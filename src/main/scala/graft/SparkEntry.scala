@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every implemented operator (SURVEY.md §2 inventory);
+  * `oracleSql` carries the equivalent DuckDB SQL for the hash-compare gate.
+  * Modules: RelationalCore (scans/filters/joins), Aggregations, Windows,
+  * ScalarQueries (F-layer + event windows); more land per milestone.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A8 per-height rollup — the reference's handleBlockCommitInfo
+    * (rpc.js:463-487) — over the sf0.001 commits table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.Aggregations.queries("a8_block_rollup")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    operators.RelationalCore.queries ++
+      operators.Aggregations.queries ++
+      operators.Windows.queries ++
+      functions.ScalarQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    operators.RelationalCore.oracles ++
+      operators.Aggregations.oracles ++
+      operators.Windows.oracles ++
+      functions.ScalarQueries.oracles
 }

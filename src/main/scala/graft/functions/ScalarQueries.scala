@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.{Domain, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function layer as runnable queries (SURVEY.md §2.8: F6, F8–F15)
+  * plus the T5 event-time window extension. All pure column expressions —
+  * codegen'd, no UDFs (SURVEY §2.11).
+  */
+object ScalarQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F6 — JSON document column parse + field extraction (rpc.js:351-366),
+    * via from_json with an explicit schema (permissive on bad docs). */
+  private val f6: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** F10/P9 — miner_info projection with rate-of-return economics
+    * (utils.js:1-11, server.js:286-294): pure arithmetic on the leaderboard,
+    * dimension join broadcast. Constants from the reference (BASELINE.md). */
+  private val f10: Q = (s, d) => {
+    val stx = 1.5; val btc = 60000.0
+    val lb = Domain.commitsWithWinner(s, d)
+      .groupBy(col("leader_key_address"))
+      .agg(
+        count(lit(1)).as("total_mined"),
+        sum(col("burn_fee")).as("miner_burned"),
+        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"),
+        sum(when(col("is_winner") &&
+          col("stacks_block_height") < Domain.BonusBoundary, 1L).otherwise(0L))
+          .as("actual_win_bonus"))
+      .withColumn("actual_win", col("total_win"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val earn = col("actual_win_bonus") * Domain.BonusReward * stx +
+      (col("actual_win") - col("actual_win_bonus")) * Domain.BaseReward * stx
+    val cost = (col("total_mined") * Domain.GasSats + col("miner_burned")) * btc / 1e8
+    lb.join(broadcast(sup), lb("leader_key_address") === sup("s_suppkey"))
+      .select(
+        col("s_name").as("stx_address"),
+        concat(lit("btc:"), col("s_name")).as("btc_address"),
+        col("actual_win"), col("actual_win_bonus"), col("total_win"),
+        col("total_mined"), col("miner_burned"),
+        round(earn / cost - 1.0, 3).as("rr"))
+      .orderBy(col("stx_address"))
+  }
+
+  /** F12+F13 — txid prefix list → CSV per block (rpc.js:415): substring,
+    * array transform, concat_ws; order pinned by vtxindex. */
+  private val f12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        substring(md5(concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string"))), 1, 10).as("txid10"))
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",",
+        transform(
+          sort_array(collect_list(struct(col("l_linenumber"), col("txid10")))),
+          x => x.getField("txid10"))).as("txids"))
+      .orderBy(col("l_orderkey"))
+
+  /** T5 — event-time tumbling window aggregation (new capability per SURVEY
+    * §2.10 T5; batch form of the Structured Streaming pipeline). */
+  private val t5: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "f6_json_extract" -> f6,
+    "f10_rr_miner_info" -> f10,
+    "f12_txid_csv" -> f12,
+    "t5_event_hourly" -> t5
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f6_json_extract" ->
+      """SELECT event_id, event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events ORDER BY event_id""",
+    "f10_rr_miner_info" ->
+      """WITH c AS (SELECT l_suppkey, l_orderkey, CAST(round(l_extendedprice) AS BIGINT) AS fee,
+        |   row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem),
+        | g AS (SELECT l_suppkey, count(*) AS total_mined, CAST(sum(fee) AS BIGINT) AS miner_burned,
+        |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win,
+        |   CAST(sum(CASE WHEN rn = 1 AND l_orderkey < 8387 THEN 1 ELSE 0 END) AS BIGINT) AS actual_win_bonus
+        |   FROM c GROUP BY 1)
+        | SELECT s.s_name AS stx_address, 'btc:' || s.s_name AS btc_address,
+        |   g.total_win AS actual_win, g.actual_win_bonus, g.total_win, g.total_mined, g.miner_burned,
+        |   round((g.actual_win_bonus * 2466.0 * 1.5 + (g.total_win - g.actual_win_bonus) * 1000.0 * 1.5)
+        |         / ((g.total_mined * 35000.0 + g.miner_burned) * 60000.0 / 1e8) - 1.0, 3) AS rr
+        | FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey ORDER BY stx_address""".stripMargin,
+    "f12_txid_csv" ->
+      """SELECT l_orderkey, string_agg(substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 10), ',' ORDER BY l_linenumber) AS txids
+        | FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "t5_event_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type, count(*) AS n_events,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Domain, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation layer (SURVEY.md §2.4: A1–A5, A8–A12).
+  *
+  * All money math is integer (LONG burn fees / cents) so partial map-side
+  * aggregation is exact and the DuckDB-oracle hash compare is deterministic;
+  * doubles only appear after a final division + explicit round.
+  */
+object Aggregations {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1+A4 — per-miner leaderboard over commits in range (rpc.js:244-275):
+    * mined = count, burned = sum(fee), won = count_if(winner), plus derived
+    * average_burn and normalized_wins (rpc.js:433-434). One shuffle on the
+    * group key; the winner window shares the per-height partitioning. */
+  private val a1: Q = (s, d) =>
+    Domain.commitsWithWinner(s, d)
+      .groupBy(col("leader_key_address"))
+      .agg(
+        count(lit(1)).as("total_mined"),
+        sum(col("burn_fee")).as("miner_burned"),
+        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
+      .withColumn("average_burn", round(col("miner_burned") / col("total_mined"), 3))
+      .withColumn("normalized_wins", round(col("total_win") / col("average_burn"), 6))
+      .orderBy(col("leader_key_address"))
+
+  /** A2 — canonical-fork wins with genesis-bonus split (rpc.js:301-305). */
+  private val a2: Q = (s, d) =>
+    Domain.commitsWithWinner(s, d)
+      .filter(col("is_winner"))
+      .groupBy(col("leader_key_address"))
+      .agg(
+        count(lit(1)).as("actual_win"),
+        sum(when(col("stacks_block_height") < Domain.BonusBoundary, 1L).otherwise(0L))
+          .as("actual_win_bonus"))
+      .orderBy(col("leader_key_address"))
+
+  /** A3 — global totals (rpc.js:89-90,271,305): single-row global agg. */
+  private val a3: Q = (s, d) =>
+    Domain.commits(s, d).agg(
+      countDistinct(col("stacks_block_height")).as("win_total"),
+      count(lit(1)).as("commit_total"),
+      countDistinct(col("leader_key_address")).as("miner_total"))
+
+  /** A5 — two-level agg: per-block tx count minus coinbase, summed globally
+    * (rpc.js:333-335). Partial counts combine map-side before the shuffle. */
+  private val a5: Q = (s, d) =>
+    Domain.commits(s, d)
+      .groupBy(col("stacks_block_height")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1L).as("tx_total"))
+
+  /** A8 — flagship per-height rollup (handleBlockCommitInfo, rpc.js:463-487):
+    * scalar aggs + nested commit_value_list in one pass. The list is pinned
+    * sorted by vtxindex so array hashing is deterministic (SURVEY §7.4.4). */
+  private val a8: Q = (s, d) =>
+    Domain.commits(s, d)
+      .withColumn("commit",
+        struct(col("vtxindex"), col("burn_fee"), col("leader_key_address")))
+      .groupBy(col("stacks_block_height"))
+      .agg(
+        sum(col("burn_fee")).as("sum_burn_fees"),
+        count(lit(1)).as("sum_miner_amount"),
+        sort_array(collect_list(col("commit"))).as("commit_value_list"))
+      .orderBy(col("stacks_block_height"))
+
+  /** A9 — global burned total, scaled sats→BTC and rounded (server.js:334-352). */
+  private val a9: Q = (s, d) =>
+    Domain.commits(s, d)
+      .agg(round(sum(col("burn_fee")) / lit(1e8), 2).as("btc_total"))
+
+  /** A10 — trailing-20 burn-fee average + raw series (mining_monitor_rpc.js:2-5). */
+  private val a10: Q = (s, d) => {
+    val tail = Domain.commits(s, d)
+      .groupBy(col("stacks_block_height"))
+      .agg(sum(col("burn_fee")).as("f"))
+      .orderBy(col("stacks_block_height").desc)
+      .limit(20)
+    tail.agg(
+      round(avg(col("f")), 3).as("avg_burn_fee"),
+      transform(
+        sort_array(collect_list(struct(col("stacks_block_height"), col("f")))),
+        x => x.getField("f")).as("data_20"))
+  }
+
+  /** A11 — trailing-20 miner-count average + series (mining_monitor_rpc.js:7-8). */
+  private val a11: Q = (s, d) => {
+    val tail = Domain.commits(s, d)
+      .groupBy(col("stacks_block_height"))
+      .agg(count(lit(1)).as("m"))
+      .orderBy(col("stacks_block_height").desc)
+      .limit(20)
+    tail.agg(
+      round(avg(col("m")), 3).as("avg_miner_count"),
+      transform(
+        sort_array(collect_list(struct(col("stacks_block_height"), col("m")))),
+        x => x.getField("m")).as("data_20"))
+  }
+
+  /** A12 — trailing-100-block leaderboard (server.js:304-331): same pipeline
+    * as A1 with the range pushed into the scan; the tip height comes from a
+    * 1-row broadcast, never a driver collect. */
+  private val a12: Q = (s, d) => {
+    val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
+    Domain.commitsWithWinner(s, d)
+      .crossJoin(broadcast(hi))
+      .filter(col("stacks_block_height") > col("hi") - 100L)
+      .groupBy(col("leader_key_address"))
+      .agg(
+        count(lit(1)).as("total_mined"),
+        sum(col("burn_fee")).as("miner_burned"),
+        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
+      .orderBy(col("leader_key_address"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a1_leaderboard" -> a1,
+    "a2_canonical_wins" -> a2,
+    "a3_global_totals" -> a3,
+    "a5_tx_count" -> a5,
+    "a8_block_rollup" -> a8,
+    "a9_btc_total" -> a9,
+    "a10_tail20_burnfee" -> a10,
+    "a11_tail20_miners" -> a11,
+    "a12_leaderboard_100" -> a12
+  )
+
+  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
+  private val winnerRn =
+    s"row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber, l_suppkey)"
+
+  val oracles: Map[String, String] = Map(
+    "a1_leaderboard" ->
+      s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn FROM lineitem),
+         | g AS (SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
+         |   CAST(sum(fee) AS BIGINT) AS miner_burned,
+         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win FROM c GROUP BY 1)
+         | SELECT leader_key_address, total_mined, miner_burned, total_win,
+         |   round(miner_burned / total_mined, 3) AS average_burn,
+         |   round(total_win / round(miner_burned / total_mined, 3), 6) AS normalized_wins
+         | FROM g ORDER BY leader_key_address""".stripMargin,
+    "a2_canonical_wins" ->
+      s"""WITH c AS (SELECT l_orderkey, l_suppkey, $winnerRn AS rn FROM lineitem)
+         | SELECT l_suppkey AS leader_key_address, count(*) AS actual_win,
+         |   CAST(sum(CASE WHEN l_orderkey < 8387 THEN 1 ELSE 0 END) AS BIGINT) AS actual_win_bonus
+         | FROM c WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a3_global_totals" ->
+      "SELECT count(DISTINCT l_orderkey) AS win_total, count(*) AS commit_total, count(DISTINCT l_suppkey) AS miner_total FROM lineitem",
+    "a5_tx_count" ->
+      "SELECT CAST(sum(c - 1) AS BIGINT) AS tx_total FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)",
+    "a8_block_rollup" ->
+      s"""SELECT l_orderkey AS stacks_block_height,
+         |   CAST(sum($fee) AS BIGINT) AS sum_burn_fees,
+         |   count(*) AS sum_miner_amount,
+         |   list(struct_pack(vtxindex := l_linenumber, burn_fee := $fee, leader_key_address := l_suppkey) ORDER BY l_linenumber, $fee, l_suppkey) AS commit_value_list
+         | FROM lineitem GROUP BY l_orderkey ORDER BY stacks_block_height""".stripMargin,
+    "a9_btc_total" ->
+      s"SELECT round(CAST(sum($fee) AS BIGINT) / 1e8, 2) AS btc_total FROM lineitem",
+    "a10_tail20_burnfee" ->
+      s"""WITH r AS (SELECT l_orderkey AS h, CAST(sum($fee) AS BIGINT) AS f FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
+         | SELECT round(avg(f), 3) AS avg_burn_fee, list(f ORDER BY h) AS data_20 FROM r""".stripMargin,
+    "a11_tail20_miners" ->
+      """WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
+        | SELECT round(avg(m), 3) AS avg_miner_count, list(m ORDER BY h) AS data_20 FROM r""".stripMargin,
+    "a12_leaderboard_100" ->
+      s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn, l_orderkey FROM lineitem)
+         | SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
+         |   CAST(sum(fee) AS BIGINT) AS miner_burned,
+         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win
+         | FROM c WHERE l_orderkey > (SELECT max(o_orderkey) FROM orders) - 100
+         | GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

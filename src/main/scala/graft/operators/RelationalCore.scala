@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.{Domain, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, filters, projections, joins (SURVEY.md §2.1–2.3).
+  *
+  * Every query is a declarative DataFrame plan so Catalyst pushes predicates
+  * and prunes columns into the parquet scan; each carries an explicit total
+  * order so the DuckDB-oracle hash compare is deterministic.
+  */
+object RelationalCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S2 — sorted full scan (snapshots ORDER BY height DESC, rpc.js:63). */
+  private val s2: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey").desc)
+
+  /** S9 — top-10 newest (rpc.js:501). */
+  private val s9: Q = (s, d) => s2(s, d).limit(10)
+
+  /** S11 — filtered scan with pushed-down predicate (rpc.js:549). */
+  private val s11: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** S12 — latest processed row: filter + ORDER BY DESC LIMIT 1 (rpc.js:604). */
+  private val s12: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(1)
+
+  /** P1 — validity filter (pox_valid !== 0, rpc.js:159). */
+  private val p1: Q = (s, d) =>
+    Domain.snapshots(s, d)
+      .filter(col("status") =!= "O")
+      .select(col("block_height"), col("status"), col("total_burn_cents"))
+      .orderBy(col("block_height"))
+
+  /** P3 — height-range predicate (rpc.js:248; pushed to parquet row groups). */
+  private val p3: Q = (s, d) =>
+    Domain.commits(s, d)
+      .filter(col("stacks_block_height").between(100L, 200L))
+      .orderBy(col("stacks_block_height"), col("vtxindex"))
+
+  /** P6 — sentinel-prefix: newest snapshots up to and including the first one
+    * with a sortition (rpc.js:510-515). Bounded to the newest 1000 so the
+    * global window never sees more than a constant number of rows at scale. */
+  private val p6: Q = (s, d) => {
+    val top = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey").desc).limit(1000)
+    val w = Window.orderBy(col("o_orderkey").desc)
+    val ranked = top.withColumn("rn", row_number().over(w))
+    val firstHit = ranked.filter(col("o_orderstatus") === "F")
+      .agg(min(col("rn")).as("first_rn"))
+    ranked.crossJoin(broadcast(firstHit))
+      .filter(col("rn") <= col("first_rn"))
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderkey").desc)
+  }
+
+  /** J3 — commits ⋈ snapshots equi-join (rpc.js:196-205). The fact side
+    * shuffles on the join key; AQE picks broadcast when the dim side fits. */
+  private val j3: Q = (s, d) => {
+    val c = Domain.commits(s, d)
+    val snap = Domain.snapshots(s, d).select(col("block_height"), col("status"))
+    c.join(snap, c("stacks_block_height") === snap("block_height"), "inner")
+      .select(col("stacks_block_height"), col("vtxindex"), col("burn_fee"), col("status"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"))
+  }
+
+  /** J7 — two-column equi-join with miss tolerance (commit ⋈ leader_key on
+    * (key_block_ptr, key_vtxindex), left + null check, rpc.js:128-148). */
+  private val j7: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val pairs = li.filter(col("l_quantity") > 25)
+      .groupBy(col("l_partkey").as("p_pk"), col("l_suppkey").as("p_sk"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    li.join(pairs,
+        li("l_partkey") === pairs("p_pk") && li("l_suppkey") === pairs("p_sk"),
+        "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("first_ship"),
+        col("first_ship").isNull.as("key_missing"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** J8/P5 — winner resolution: the commit matching winning_block_txid,
+    * re-derived as per-height argmax (rpc.js:269; SURVEY §4 G1(b)). */
+  private val j8: Q = (s, d) =>
+    Domain.commitsWithWinner(s, d)
+      .filter(col("is_winner"))
+      .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
+      .orderBy(col("stacks_block_height"))
+
+  /** J9 — join on a computed key (stacks_block_id digest, rpc.js:320-336). */
+  private val j9: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), md5(col("o_orderkey").cast("string")).as("o_h"))
+    val l = Tables.lineitem(s, d)
+      .select(md5(col("l_orderkey").cast("string")).as("l_h"))
+    o.join(l, o("o_h") === l("l_h"), "inner")
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_txs"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J2 — grouped join: distinct miners per block, nested list form
+    * (rpc.js:185-194). List pinned sorted for deterministic hashing. */
+  private val j2: Q = (s, d) =>
+    Domain.commits(s, d)
+      .groupBy(col("stacks_block_height"))
+      .agg(sort_array(collect_set(col("leader_key_address"))).as("miners"))
+      .orderBy(col("stacks_block_height"))
+
+  val queries: Map[String, Q] = Map(
+    "s2_sorted_scan" -> s2,
+    "s9_top10" -> s9,
+    "s11_filtered_scan" -> s11,
+    "s12_latest" -> s12,
+    "p1_validity_filter" -> p1,
+    "p3_height_range" -> p3,
+    "p6_sentinel_prefix" -> p6,
+    "j2_miners_per_block" -> j2,
+    "j3_commits_join" -> j3,
+    "j7_two_col_leftjoin" -> j7,
+    "j8_winner_commit" -> j8,
+    "j9_computed_key_join" -> j9
+  )
+
+  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "s2_sorted_scan" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey DESC",
+    "s9_top10" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 10",
+    "s11_filtered_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F' ORDER BY l_orderkey, l_linenumber",
+    "s12_latest" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F' ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1",
+    "p1_validity_filter" ->
+      "SELECT o_orderkey AS block_height, o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS total_burn_cents FROM orders WHERE o_orderstatus <> 'O' ORDER BY block_height",
+    "p3_height_range" ->
+      s"SELECT l_orderkey AS stacks_block_height, $fee AS burn_fee, l_suppkey AS leader_key_address, l_linenumber AS vtxindex FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200 ORDER BY stacks_block_height, vtxindex",
+    "p6_sentinel_prefix" ->
+      """WITH top AS (SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey DESC LIMIT 1000),
+        | ranked AS (SELECT o_orderkey, o_orderstatus, row_number() OVER (ORDER BY o_orderkey DESC) AS rn FROM top),
+        | hit AS (SELECT min(rn) AS first_rn FROM ranked WHERE o_orderstatus = 'F')
+        | SELECT o_orderkey, o_orderstatus FROM ranked, hit WHERE rn <= first_rn ORDER BY o_orderkey DESC""".stripMargin,
+    "j2_miners_per_block" ->
+      "SELECT l_orderkey AS stacks_block_height, list_sort(list_distinct(list(l_suppkey))) AS miners FROM lineitem GROUP BY l_orderkey ORDER BY stacks_block_height",
+    "j3_commits_join" ->
+      s"SELECT l.l_orderkey AS stacks_block_height, l.l_linenumber AS vtxindex, $fee AS burn_fee, o.o_orderstatus AS status FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey ORDER BY stacks_block_height, vtxindex",
+    "j7_two_col_leftjoin" ->
+      """WITH pairs AS (SELECT l_partkey AS p_pk, l_suppkey AS p_sk, min(l_shipdate) AS first_ship FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2)
+        | SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, p.first_ship, (p.first_ship IS NULL) AS key_missing
+        | FROM lineitem l LEFT JOIN pairs p ON l.l_partkey = p.p_pk AND l.l_suppkey = p.p_sk
+        | ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+    "j8_winner_commit" ->
+      s"""SELECT l_orderkey AS stacks_block_height, l_suppkey AS leader_key_address, $fee AS burn_fee FROM (
+         | SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem
+         |) WHERE rn = 1 ORDER BY stacks_block_height""".stripMargin,
+    "j9_computed_key_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_txs
+        | FROM (SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS o_h FROM orders) o
+        | JOIN (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS l_h FROM lineitem) l ON o.o_h = l.l_h
+        | GROUP BY o.o_orderkey ORDER BY o.o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{Domain, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window layer (SURVEY.md §2.5: W1–W7 and window-shaped aggs A6/A7/A13/A14).
+  *
+  * Scale notes: per-partition windows (by miner) parallelize on the partition
+  * key. The two global-order windows (A6 lag-diff, A7 running max) mirror
+  * reference semantics that are inherently a total order over blocks; at
+  * 100 TB they would be range-partitioned by height bucket with per-bucket
+  * carry-in (documented divergence — the testdata plan keeps one sort).
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A6/W1 — first difference of a cumulative measure via lag (rpc.js:245-252):
+    * reconstruct per-block burn from the running total. Integer cents. */
+  private val a6: Q = (s, d) => {
+    val w = Window.orderBy(col("block_height"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Domain.snapshots(s, d)
+      .select(col("block_height"), col("total_burn_cents"))
+      .withColumn("cum", sum(col("total_burn_cents")).over(cumW))
+      .withColumn("actual_burn", col("cum") - lag(col("cum"), 1, 0L).over(w))
+      .select(col("block_height"), col("cum"), col("actual_burn"))
+      .orderBy(col("block_height"))
+  }
+
+  /** A7/W2 — running max with at-tip flag (rpc.js:401-410). */
+  private val a7: Q = (s, d) => {
+    val ord = Window.orderBy(col("ts"), col("event_id"))
+    val runW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("value"))
+      .withColumn("running_max", max(col("value")).over(runW))
+      .withColumn("at_tip",
+        max(col("value")).over(prevW).isNull ||
+          col("value") > max(col("value")).over(prevW))
+      .select(col("event_id"), col("value"), col("running_max"), col("at_tip"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A13/W3 — per-miner cumulative burn ordered by height
+    * (mining_monitor_rpc.js:46-70). */
+  private val a13: Q = (s, d) => {
+    val w = Window.partitionBy(col("leader_key_address"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Domain.commits(s, d)
+      .withColumn("cum_burn", sum(col("burn_fee")).over(w))
+      .select(col("leader_key_address").as("address"),
+        col("stacks_block_height").as("height"), col("vtxindex"),
+        col("cum_burn"))
+      .orderBy(col("address"), col("height"), col("vtxindex"))
+  }
+
+  /** A14 — same-height dedup, keep the later cumulative value
+    * (mining_monitor_rpc.js:78-82). */
+  private val a14: Q = (s, d) =>
+    a13(s, d)
+      .groupBy(col("address"), col("height"))
+      .agg(max(col("cum_burn")).as("cum_burn"))
+      .orderBy(col("address"), col("height"))
+
+  /** W5 — gap-fill over the trailing 1000 heights: dense height grid via
+    * sequence+explode, left join, forward-fill with last(ignoreNulls)
+    * (mining_monitor_rpc.js:83-106). Grid size is miners × 1000, bounded. */
+  private val w5: Q = (s, d) => {
+    val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
+    val inWin = Domain.commits(s, d)
+      .crossJoin(broadcast(hi))
+      .filter(col("stacks_block_height") > col("hi") - 1000L)
+    val perH = inWin
+      .groupBy(col("leader_key_address").as("address"),
+        col("stacks_block_height").as("height"))
+      .agg(sum(col("burn_fee")).as("fee_h"))
+    val cumW = Window.partitionBy(col("address")).orderBy(col("height"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perH.withColumn("cum_burn", sum(col("fee_h")).over(cumW))
+      .select(col("address"), col("height"), col("cum_burn"))
+    val grid = cum.select(col("address")).distinct()
+      .crossJoin(broadcast(hi))
+      .select(col("address"),
+        explode(sequence(col("hi") - 999L, col("hi"))).as("height"))
+    val ffW = Window.partitionBy(col("address")).orderBy(col("height"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(cum, Seq("address", "height"), "left")
+      .withColumn("cum_filled",
+        coalesce(last(col("cum_burn"), ignoreNulls = true).over(ffW), lit(0L)))
+      .select(col("address"), col("height"), col("cum_filled"))
+      .orderBy(col("address"), col("height"))
+  }
+
+  /** W6 — head-N: 50 newest canonical rows (mining_monitor_rpc.js:26). */
+  private val w6: Q = (s, d) =>
+    Domain.commitsWithWinner(s, d)
+      .filter(col("is_winner"))
+      .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
+      .orderBy(col("stacks_block_height").desc)
+      .limit(50)
+
+  /** W7 — pagination: page 2, size 3, plus total count (server.js:153-154). */
+  private val w7: Q = (s, d) => {
+    val lb = Domain.commits(s, d)
+      .groupBy(col("leader_key_address"))
+      .agg(sum(col("burn_fee")).as("miner_burned"))
+    val total = lb.agg(count(lit(1)).as("total_miners"))
+    lb.withColumn("rn",
+        row_number().over(Window.orderBy(col("leader_key_address"))))
+      .filter(col("rn").between(4, 6))
+      .crossJoin(broadcast(total))
+      .select(col("rn"), col("leader_key_address"), col("miner_burned"),
+        col("total_miners"))
+      .orderBy(col("rn"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "a6_lag_diff" -> a6,
+    "a7_running_max" -> a7,
+    "a13_cumsum_by_miner" -> a13,
+    "a14_height_dedup" -> a14,
+    "w5_gapfill" -> w5,
+    "w6_head50" -> w6,
+    "w7_pagination" -> w7
+  )
+
+  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "a6_lag_diff" ->
+      """WITH c AS (SELECT o_orderkey AS block_height,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        | FROM orders)
+        | SELECT block_height, cum, CAST(cum - coalesce(lag(cum) OVER (ORDER BY block_height), 0) AS BIGINT) AS actual_burn
+        | FROM c ORDER BY block_height""".stripMargin,
+    "a7_running_max" ->
+      """SELECT event_id, value,
+        |   max(value) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_max,
+        |   (max(value) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR value > max(value) OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS at_tip
+        | FROM events ORDER BY event_id""".stripMargin,
+    "a13_cumsum_by_miner" ->
+      s"""SELECT l_suppkey AS address, l_orderkey AS height, l_linenumber AS vtxindex,
+         |   CAST(sum($fee) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_burn
+         | FROM lineitem ORDER BY address, height, vtxindex""".stripMargin,
+    "a14_height_dedup" ->
+      s"""WITH c AS (SELECT l_suppkey AS address, l_orderkey AS height,
+         |   CAST(sum($fee) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_burn
+         | FROM lineitem)
+         | SELECT address, height, CAST(max(cum_burn) AS BIGINT) AS cum_burn FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w5_gapfill" ->
+      s"""WITH bounds AS (SELECT max(o_orderkey) AS hi FROM orders),
+         | f AS (SELECT l_suppkey AS address, l_orderkey AS height, $fee AS fee FROM lineitem, bounds WHERE l_orderkey > hi - 1000),
+         | perh AS (SELECT address, height, CAST(sum(fee) AS BIGINT) AS fee_h FROM f GROUP BY 1, 2),
+         | cum AS (SELECT address, height, CAST(sum(fee_h) OVER (PARTITION BY address ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_burn FROM perh),
+         | grid AS (SELECT m.address, g.height FROM (SELECT DISTINCT address FROM cum) m CROSS JOIN (SELECT unnest(generate_series(hi - 999, hi)) AS height FROM bounds) g),
+         | j AS (SELECT grid.address, grid.height, cum.cum_burn FROM grid LEFT JOIN cum ON grid.address = cum.address AND grid.height = cum.height)
+         | SELECT address, height, CAST(coalesce(last_value(cum_burn IGNORE NULLS) OVER (PARTITION BY address ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cum_filled
+         | FROM j ORDER BY address, height""".stripMargin,
+    "w6_head50" ->
+      s"""SELECT l_orderkey AS stacks_block_height, l_suppkey AS leader_key_address, $fee AS burn_fee FROM (
+         | SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem
+         |) WHERE rn = 1 ORDER BY stacks_block_height DESC LIMIT 50""".stripMargin,
+    "w7_pagination" ->
+      s"""WITH lb AS (SELECT l_suppkey AS leader_key_address, CAST(sum($fee) AS BIGINT) AS miner_burned FROM lineitem GROUP BY 1),
+         | r AS (SELECT *, row_number() OVER (ORDER BY leader_key_address) AS rn FROM lb),
+         | t AS (SELECT count(*) AS total_miners FROM lb)
+         | SELECT rn, leader_key_address, miner_burned, total_miners FROM r, t WHERE rn BETWEEN 4 AND 6 ORDER BY rn""".stripMargin
+  )
+}

@@ -58,6 +58,15 @@ object Domain {
       row_number().over(winnerWindow) === 1
     )
 
+  /** Winner row_number as DuckDB SQL — the single shared definition used by
+    * every oracle (ADVICE r1: one constant, not per-file re-derivations).
+    * Total order: fee DESC, vtxindex, miner — mirrors [[winnerWindow]]. */
+  val winnerRnSql: String =
+    "row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber, l_suppkey)"
+
+  /** burn_fee as DuckDB SQL (matches commits(): round(l_extendedprice)→long). */
+  val feeSql: String = "CAST(round(l_extendedprice) AS BIGINT)"
+
   /** Bonus-era boundary (rpc.js:303 — stacks height < 8387). */
   val BonusBoundary: Long = 8387L
 

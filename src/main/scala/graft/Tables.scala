@@ -22,15 +22,14 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
   /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and convert to a
-    * microsecond TIMESTAMP_NTZ (the data is µs-exact; DuckDB sees the same
-    * wall-clock values, keeping oracle comparisons deterministic). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * reader rejects; read nanos as long (legacy conf, set once at session
+    * construction — see [[Sessions.configure]]) and convert to a microsecond
+    * TIMESTAMP_NTZ (the data is µs-exact; DuckDB sees the same wall-clock
+    * values, keeping oracle comparisons deterministic). */
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr(
         "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -86,8 +86,8 @@ object ScalarQueries {
     "f6_json_extract" ->
       """SELECT event_id, event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events ORDER BY event_id""",
     "f10_rr_miner_info" ->
-      """WITH c AS (SELECT l_suppkey, l_orderkey, CAST(round(l_extendedprice) AS BIGINT) AS fee,
-        |   row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem),
+      s"""WITH c AS (SELECT l_suppkey, l_orderkey, ${Domain.feeSql} AS fee,
+        |   ${Domain.winnerRnSql} AS rn FROM lineitem),
         | g AS (SELECT l_suppkey, count(*) AS total_mined, CAST(sum(fee) AS BIGINT) AS miner_burned,
         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win,
         |   CAST(sum(CASE WHEN rn = 1 AND l_orderkey < 8387 THEN 1 ELSE 0 END) AS BIGINT) AS actual_win_bonus

@@ -56,7 +56,9 @@ object Aggregations {
 
   /** A8 — flagship per-height rollup (handleBlockCommitInfo, rpc.js:463-487):
     * scalar aggs + nested commit_value_list in one pass. The list is pinned
-    * sorted by vtxindex so array hashing is deterministic (SURVEY §7.4.4). */
+    * sorted by (vtxindex, fee, miner) and serialized "vtx:fee:miner;…" so the
+    * driver's hash comparator can treat it as a plain string (ADVICE r1 —
+    * raw array columns crash its pandas sort). */
   private val a8: Q = (s, d) =>
     Domain.commits(s, d)
       .withColumn("commit",
@@ -65,7 +67,9 @@ object Aggregations {
       .agg(
         sum(col("burn_fee")).as("sum_burn_fees"),
         count(lit(1)).as("sum_miner_amount"),
-        sort_array(collect_list(col("commit"))).as("commit_value_list"))
+        concat_ws(";", transform(sort_array(collect_list(col("commit"))),
+          x => concat_ws(":", x.getField("vtxindex"), x.getField("burn_fee"),
+            x.getField("leader_key_address")))).as("commit_value_list"))
       .orderBy(col("stacks_block_height"))
 
   /** A9 — global burned total, scaled sats→BTC and rounded (server.js:334-352). */
@@ -82,9 +86,9 @@ object Aggregations {
       .limit(20)
     tail.agg(
       round(avg(col("f")), 3).as("avg_burn_fee"),
-      transform(
+      concat_ws(",", transform(
         sort_array(collect_list(struct(col("stacks_block_height"), col("f")))),
-        x => x.getField("f")).as("data_20"))
+        x => x.getField("f"))).as("data_20"))
   }
 
   /** A11 — trailing-20 miner-count average + series (mining_monitor_rpc.js:7-8). */
@@ -96,9 +100,9 @@ object Aggregations {
       .limit(20)
     tail.agg(
       round(avg(col("m")), 3).as("avg_miner_count"),
-      transform(
+      concat_ws(",", transform(
         sort_array(collect_list(struct(col("stacks_block_height"), col("m")))),
-        x => x.getField("m")).as("data_20"))
+        x => x.getField("m"))).as("data_20"))
   }
 
   /** A12 — trailing-100-block leaderboard (server.js:304-331): same pipeline
@@ -129,9 +133,8 @@ object Aggregations {
     "a12_leaderboard_100" -> a12
   )
 
-  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
-  private val winnerRn =
-    s"row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber, l_suppkey)"
+  private val fee = Domain.feeSql
+  private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
     "a1_leaderboard" ->
@@ -156,16 +159,16 @@ object Aggregations {
       s"""SELECT l_orderkey AS stacks_block_height,
          |   CAST(sum($fee) AS BIGINT) AS sum_burn_fees,
          |   count(*) AS sum_miner_amount,
-         |   list(struct_pack(vtxindex := l_linenumber, burn_fee := $fee, leader_key_address := l_suppkey) ORDER BY l_linenumber, $fee, l_suppkey) AS commit_value_list
+         |   string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST($fee AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR), ';' ORDER BY l_linenumber, $fee, l_suppkey) AS commit_value_list
          | FROM lineitem GROUP BY l_orderkey ORDER BY stacks_block_height""".stripMargin,
     "a9_btc_total" ->
       s"SELECT round(CAST(sum($fee) AS BIGINT) / 1e8, 2) AS btc_total FROM lineitem",
     "a10_tail20_burnfee" ->
       s"""WITH r AS (SELECT l_orderkey AS h, CAST(sum($fee) AS BIGINT) AS f FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-         | SELECT round(avg(f), 3) AS avg_burn_fee, list(f ORDER BY h) AS data_20 FROM r""".stripMargin,
+         | SELECT round(avg(f), 3) AS avg_burn_fee, string_agg(CAST(f AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a11_tail20_miners" ->
       """WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-        | SELECT round(avg(m), 3) AS avg_miner_count, list(m ORDER BY h) AS data_20 FROM r""".stripMargin,
+        | SELECT round(avg(m), 3) AS avg_miner_count, string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a12_leaderboard_100" ->
       s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn, l_orderkey FROM lineitem)
          | SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,

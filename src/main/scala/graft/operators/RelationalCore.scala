@@ -114,11 +114,13 @@ object RelationalCore {
   }
 
   /** J2 — grouped join: distinct miners per block, nested list form
-    * (rpc.js:185-194). List pinned sorted for deterministic hashing. */
+    * (rpc.js:185-194). List pinned sorted and serialized CSV so the driver
+    * comparator hashes a plain string (ADVICE r1). */
   private val j2: Q = (s, d) =>
     Domain.commits(s, d)
       .groupBy(col("stacks_block_height"))
-      .agg(sort_array(collect_set(col("leader_key_address"))).as("miners"))
+      .agg(concat_ws(",", sort_array(collect_set(col("leader_key_address"))))
+        .as("miners"))
       .orderBy(col("stacks_block_height"))
 
   val queries: Map[String, Q] = Map(
@@ -136,7 +138,7 @@ object RelationalCore {
     "j9_computed_key_join" -> j9
   )
 
-  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
+  private val fee = Domain.feeSql
 
   val oracles: Map[String, String] = Map(
     "s2_sorted_scan" ->
@@ -157,7 +159,7 @@ object RelationalCore {
         | hit AS (SELECT min(rn) AS first_rn FROM ranked WHERE o_orderstatus = 'F')
         | SELECT o_orderkey, o_orderstatus FROM ranked, hit WHERE rn <= first_rn ORDER BY o_orderkey DESC""".stripMargin,
     "j2_miners_per_block" ->
-      "SELECT l_orderkey AS stacks_block_height, list_sort(list_distinct(list(l_suppkey))) AS miners FROM lineitem GROUP BY l_orderkey ORDER BY stacks_block_height",
+      "SELECT l_orderkey AS stacks_block_height, array_to_string(list_sort(list_distinct(list(l_suppkey))), ',') AS miners FROM lineitem GROUP BY l_orderkey ORDER BY stacks_block_height",
     "j3_commits_join" ->
       s"SELECT l.l_orderkey AS stacks_block_height, l.l_linenumber AS vtxindex, $fee AS burn_fee, o.o_orderstatus AS status FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey ORDER BY stacks_block_height, vtxindex",
     "j7_two_col_leftjoin" ->
@@ -167,7 +169,7 @@ object RelationalCore {
         | ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
     "j8_winner_commit" ->
       s"""SELECT l_orderkey AS stacks_block_height, l_suppkey AS leader_key_address, $fee AS burn_fee FROM (
-         | SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem
+         | SELECT *, ${Domain.winnerRnSql} AS rn FROM lineitem
          |) WHERE rn = 1 ORDER BY stacks_block_height""".stripMargin,
     "j9_computed_key_join" ->
       """SELECT o.o_orderkey, count(*) AS n_txs

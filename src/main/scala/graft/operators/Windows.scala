@@ -45,10 +45,12 @@ object Windows {
   }
 
   /** A13/W3 — per-miner cumulative burn ordered by height
-    * (mining_monitor_rpc.js:46-70). */
+    * (mining_monitor_rpc.js:46-70). burn_fee is the final sort key because
+    * (height, vtxindex) is NOT unique per miner in the testdata — without it
+    * the ROWS-frame cumsum is nondeterministic between engines (ADVICE r1). */
   private val a13: Q = (s, d) => {
     val w = Window.partitionBy(col("leader_key_address"))
-      .orderBy(col("stacks_block_height"), col("vtxindex"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Domain.commits(s, d)
       .withColumn("cum_burn", sum(col("burn_fee")).over(w))
@@ -145,7 +147,7 @@ object Windows {
         | FROM events ORDER BY event_id""".stripMargin,
     "a13_cumsum_by_miner" ->
       s"""SELECT l_suppkey AS address, l_orderkey AS height, l_linenumber AS vtxindex,
-         |   CAST(sum($fee) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_burn
+         |   CAST(sum($fee) OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, $fee ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_burn
          | FROM lineitem ORDER BY address, height, vtxindex""".stripMargin,
     "a14_height_dedup" ->
       s"""WITH c AS (SELECT l_suppkey AS address, l_orderkey AS height,
@@ -163,7 +165,7 @@ object Windows {
          | FROM j ORDER BY address, height""".stripMargin,
     "w6_head50" ->
       s"""SELECT l_orderkey AS stacks_block_height, l_suppkey AS leader_key_address, $fee AS burn_fee FROM (
-         | SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY round(l_extendedprice) DESC, l_linenumber) AS rn FROM lineitem
+         | SELECT *, ${graft.Domain.winnerRnSql} AS rn FROM lineitem
          |) WHERE rn = 1 ORDER BY stacks_block_height DESC LIMIT 50""".stripMargin,
     "w7_pagination" ->
       s"""WITH lb AS (SELECT l_suppkey AS leader_key_address, CAST(sum($fee) AS BIGINT) AS miner_burned FROM lineitem GROUP BY 1),

@@ -97,13 +97,23 @@ object Windows {
       .orderBy(col("address"), col("height"))
   }
 
-  /** W6 — head-N: 50 newest canonical rows (mining_monitor_rpc.js:26). */
-  private val w6: Q = (s, d) =>
-    Domain.commitsWithWinner(s, d)
-      .filter(col("is_winner"))
-      .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
+  /** W6 — head-N: 50 newest canonical rows (mining_monitor_rpc.js:26).
+    * The 50 newest heights are resolved first (tiny TakeOrdered) and
+    * broadcast, so the winner window only ranks those heights' commits
+    * instead of shuffling the whole fact table — at 100 TB this is the
+    * difference between a full-table window and a metadata-sized one. */
+  private val w6: Q = (s, d) => {
+    val topH = Domain.commits(s, d)
+      .select(col("stacks_block_height")).distinct()
       .orderBy(col("stacks_block_height").desc)
       .limit(50)
+    Domain.commits(s, d)
+      .join(broadcast(topH), Seq("stacks_block_height"))
+      .withColumn("rn", row_number().over(Domain.winnerWindow))
+      .filter(col("rn") === 1)
+      .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
+      .orderBy(col("stacks_block_height").desc)
+  }
 
   /** W7 — pagination: page 2, size 3, plus total count (server.js:153-154). */
   private val w7: Q = (s, d) => {

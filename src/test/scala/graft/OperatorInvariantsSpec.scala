@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant specs per operator family (SURVEY.md §5.2): structural
+  * properties that must hold on any input, checked on sf0.001. The exact
+  * value-level check is the DuckDB oracle gate (Verify + check_oracle). */
+class RelationalCoreSpec extends SparkSpec {
+  test("s9 top-10 is 10 rows in strictly descending key order") {
+    val keys = q("s9_top10").select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.length === 10)
+    assert(keys.sliding(2).forall(p => p(0) > p(1)))
+  }
+
+  test("s12 latest is exactly one row") {
+    assert(q("s12_latest").count() === 1L)
+  }
+
+  test("p3 height range keeps only heights in [100, 200]") {
+    val out = q("p3_height_range")
+      .agg(min("stacks_block_height"), max("stacks_block_height")).head()
+    assert(out.getLong(0) >= 100L && out.getLong(1) <= 200L)
+  }
+
+  test("j3 inner join never exceeds the fact-side row count") {
+    val facts = Domain.commits(spark, sf).count()
+    assert(q("j3_commits_join").count() <= facts)
+  }
+
+  test("j7 left join preserves every fact row exactly once per match group") {
+    val li = Tables.lineitem(spark, sf).count()
+    assert(q("j7_two_col_leftjoin").count() === li)
+  }
+
+  test("j8 resolves exactly one winner per height") {
+    val dup = q("j8_winner_commit")
+      .groupBy("stacks_block_height").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+    assert(q("j8_winner_commit").count() ===
+      Domain.commits(spark, sf).select("stacks_block_height").distinct().count())
+  }
+
+  test("j2 miners CSV is sorted ascending within each block") {
+    val rows = q("j2_miners_per_block").select("miners").collect().map(_.getString(0))
+    assert(rows.forall { s =>
+      val xs = s.split(",").map(_.toLong); xs.sameElements(xs.sorted)
+    })
+  }
+
+  test("p6 sentinel prefix ends at the first matching row") {
+    val rows = q("p6_sentinel_prefix").collect()
+    assert(rows.nonEmpty)
+    // exactly the last row carries the sentinel status
+    assert(rows.last.getString(1) === "F")
+    assert(rows.dropRight(1).forall(_.getString(1) != "F"))
+  }
+}
+
+class AggregationsSpec extends SparkSpec {
+  test("a1 leaderboard: wins never exceed attempts; derived cols consistent") {
+    val bad = q("a1_leaderboard")
+      .filter(col("total_win") > col("total_mined")).count()
+    assert(bad === 0L)
+  }
+
+  test("a2 bonus wins are a subset of wins") {
+    assert(q("a2_canonical_wins")
+      .filter(col("actual_win_bonus") > col("actual_win")).count() === 0L)
+  }
+
+  test("a3/a5/a9 global aggregates are single rows") {
+    assert(q("a3_global_totals").count() === 1L)
+    assert(q("a5_tx_count").count() === 1L)
+    assert(q("a9_btc_total").count() === 1L)
+  }
+
+  test("a8 rollup: list length equals commit count per height") {
+    val bad = q("a8_block_rollup")
+      .withColumn("n_list", size(split(col("commit_value_list"), ";")))
+      .filter(col("n_list") =!= col("sum_miner_amount")).count()
+    assert(bad === 0L)
+  }
+
+  test("a8 rollup totals reconcile with the global sum") {
+    val fromRollup = q("a8_block_rollup").agg(sum("sum_burn_fees")).head().getLong(0)
+    val global = Domain.commits(spark, sf).agg(sum("burn_fee")).head().getLong(0)
+    assert(fromRollup === global)
+  }
+
+  test("a10/a11 tail-20 series have at most 20 points") {
+    assert(q("a10_tail20_burnfee").head().getString(1).split(",").length <= 20)
+    assert(q("a11_tail20_miners").head().getString(1).split(",").length <= 20)
+  }
+
+  test("a12 trailing-100 leaderboard only counts commits in the window") {
+    val mined = q("a12_leaderboard_100").agg(sum("total_mined")).head().getLong(0)
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0)
+    val expect = Domain.commits(spark, sf)
+      .filter(col("stacks_block_height") > hi - 100L).count()
+    assert(mined === expect)
+  }
+}
+
+class WindowsSpec extends SparkSpec {
+  test("a6 first differences sum back to the cumulative total") {
+    val r = q("a6_lag_diff").agg(sum("actual_burn"), max("cum")).head()
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
+  test("a7 running max is monotone non-decreasing in event order") {
+    val xs = q("a7_running_max").orderBy("event_id")
+      .select("running_max").collect().map(_.getDouble(0))
+    assert(xs.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("a13 cumulative burn is strictly positive and monotone per miner") {
+    val bad = q("a13_cumsum_by_miner")
+      .withColumn("prev", lag("cum_burn", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("address").orderBy("height", "vtxindex", "cum_burn")))
+      .filter(col("prev").isNotNull && col("cum_burn") < col("prev"))
+    assert(bad.count() === 0L)
+  }
+
+  test("a14 dedup leaves one row per (address, height)") {
+    val dup = q("a14_height_dedup")
+      .groupBy("address", "height").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+  }
+
+  test("w5 gap-fill produces a dense 1000-height grid per address") {
+    val perAddr = q("w5_gapfill").groupBy("address")
+      .agg(count(lit(1)).as("n"), countDistinct("height").as("nh"))
+      .filter(col("n") =!= 1000L || col("nh") =!= 1000L)
+    assert(perAddr.count() === 0L)
+  }
+
+  test("w5 gap-fill is monotone non-decreasing per address") {
+    val bad = q("w5_gapfill")
+      .withColumn("prev", lag("cum_filled", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("address").orderBy("height")))
+      .filter(col("prev").isNotNull && col("cum_filled") < col("prev"))
+    assert(bad.count() === 0L)
+  }
+
+  test("w6 head-50 is descending and covers the 50 newest heights") {
+    val hs = q("w6_head50").select("stacks_block_height").collect().map(_.getLong(0))
+    assert(hs.length === 50)
+    assert(hs.sliding(2).forall(p => p(0) > p(1)))
+    val top = Domain.commits(spark, sf).select("stacks_block_height")
+      .distinct().orderBy(col("stacks_block_height").desc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(hs.toSet === top)
+  }
+
+  test("w7 pagination returns page rows 4..6 with the global count attached") {
+    val rows = q("w7_pagination").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(4, 5, 6))
+    val total = Domain.commits(spark, sf).select("leader_key_address").distinct().count()
+    assert(rows.forall(_.getLong(3) === total))
+  }
+}
+
+class ScalarQueriesSpec extends SparkSpec {
+  test("f6 extracts the JSON field for every event") {
+    val df = q("f6_json_extract")
+    assert(df.count() > 0)
+    assert(df.filter(col("k").isNull).count() < df.count())
+  }
+
+  test("f10 RR economics: rr is finite and actual_win==total_win") {
+    val df = q("f10_rr_miner_info")
+    assert(df.filter(col("rr").isNull || isnan(col("rr"))).count() === 0L)
+    assert(df.filter(col("actual_win") =!= col("total_win")).count() === 0L)
+  }
+
+  test("f12 CSV carries one 10-char txid prefix per line item") {
+    val bad = q("f12_txid_csv")
+      .withColumn("n", size(split(col("txids"), ",")))
+      .join(
+        Tables.lineitem(spark, sf).groupBy("l_orderkey").agg(count(lit(1)).as("c")),
+        Seq("l_orderkey"))
+      .filter(col("n") =!= col("c"))
+    assert(bad.count() === 0L)
+  }
+
+  test("t5 hourly buckets align to the hour") {
+    val misaligned = q("t5_event_hourly")
+      .filter(minute(col("hour_start")) =!= 0 || second(col("hour_start")) =!= 0)
+    assert(misaligned.count() === 0L)
+  }
+}

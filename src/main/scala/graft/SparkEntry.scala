@@ -22,7 +22,10 @@ object SparkEntry {
     operators.RelationalCore.queries ++
       operators.Aggregations.queries ++
       operators.Windows.queries ++
-      functions.ScalarQueries.queries
+      functions.ScalarQueries.queries ++
+      functions.TextQueries.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +33,8 @@ object SparkEntry {
     operators.RelationalCore.oracles ++
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
-      functions.ScalarQueries.oracles
+      functions.ScalarQueries.oracles ++
+      functions.TextQueries.oracles ++
+      operators.Dedup.oracles ++
+      operators.Similarity.oracles
 }

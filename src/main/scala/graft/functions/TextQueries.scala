@@ -1,0 +1,155 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis layer over the `documents` table (north-star ops, SURVEY.md
+  * §7.5): token stats, quality scoring, language-ID, and fingerprinting.
+  *
+  * Everything is a row-local column expression (higher-order functions over
+  * the token array) — map-side only, codegen-friendly, no shuffle beyond the
+  * final presentation sort. This is the shape a 100 TB quality-filter pass
+  * needs: one scan, no wide dependencies.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+  import TextOps.{toks, shingles, toksSql, shinglesSql}
+
+  /** Per-language stopword lists for the n-gram/stopword lang-ID heuristic.
+    * Order is the deterministic tie-break priority. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "en", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "les", "et", "des", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def hits(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => t.isInCollection(words)))
+
+  /** TX1 — token statistics: counts + mean token length. */
+  private val tx1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct_tokens"),
+        round(
+          aggregate(col("tk"), lit(0), (acc, t) => acc + length(t)).cast("double")
+            / size(col("tk")), 3).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  /** TX2 — quality score: length saturation + non-punct share + stopword
+    * share, a typical pretraining quality filter (weights are fixed). */
+  private val tx2: Q = (s, d) => {
+    val tk = col("tk") // materialized below; multi-use ref, evaluated once
+    val nTok = size(tk).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val stopHits = hits(tk, stopwords.head._2).cast("double")
+    val lenScore = least(lit(1.0), nTok / 100.0)
+    val punctRatio = punct / length(col("text"))
+    val stopRatio = stopHits / nTok
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(tk).as("n_tokens"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio)
+          + lit(0.3) * stopRatio, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX3 — language ID: argmax of per-language stopword hits with a fixed
+    * priority tie-break; scored against the labeled `lang` column. */
+  private val tx3: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id") +: col("lang") +:
+          stopwords.map { case (l, ws) => hits(col("tk"), ws).as(s"c_$l") }: _*)
+    val langs = stopwords.map(_._1)
+    // priority-ordered argmax: first lang whose count >= every later count
+    val predicted = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((l, i), fallback) =>
+        val rest = langs.drop(i + 1)
+        when(rest.map(r => col(s"c_$l") >= col(s"c_$r")).reduce(_ && _), lit(l))
+          .otherwise(fallback)
+    }
+    base
+      .withColumn("predicted", predicted)
+      .withColumn("correct", (col("predicted") === col("lang")).cast("int"))
+      .select(col("doc_id"), col("lang"), col("predicted"), col("correct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX4 — document fingerprint: the 4 smallest shingle hashes joined (a
+    * winnowing-style sketch — stable under small edits elsewhere in the
+    * doc). Row-local. */
+  private val tx4: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk")).as("sh"))
+      .select(
+        col("doc_id"),
+        concat_ws("-",
+          slice(sort_array(transform(col("sh"), x => md5(x))), 1, 4))
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "tx1_token_stats" -> tx1,
+    "tx2_quality_score" -> tx2,
+    "tx3_langid" -> tx3,
+    "tx4_fingerprint" -> tx4
+  )
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(tk, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private val langidCaseSql: String = {
+    val langs = stopwords.map(_._1)
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(r => s"c_$l >= c_$r").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx1_token_stats" ->
+      s"""SELECT doc_id, n_chars, len(tk) AS n_tokens,
+         |   len(list_distinct(tk)) AS n_distinct_tokens,
+         |   round(list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk), 3) AS avg_token_len
+         | FROM (SELECT doc_id, n_chars, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
+    "tx2_quality_score" ->
+      s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+         | m AS (SELECT doc_id,
+         |   len(tk) AS n_tokens,
+         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) AS punct_ratio,
+         |   ${hitsSql(stopwords.head._2)} * 1.0 / len(tk) AS stop_ratio,
+         |   least(1.0, len(tk) / 100.0) AS len_score
+         |  FROM b)
+         | SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio,
+         |   round(stop_ratio, 4) AS stopword_ratio,
+         |   round(0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 4) AS quality
+         | FROM m ORDER BY doc_id""".stripMargin,
+    "tx3_langid" ->
+      s"""WITH c AS (SELECT doc_id, lang,
+         |   ${stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS c_$l" }.mkString(", ")}
+         |  FROM (SELECT doc_id, lang, $toksSql AS tk FROM documents)),
+         | p AS (SELECT doc_id, lang, $langidCaseSql AS predicted FROM c)
+         | SELECT doc_id, lang, predicted,
+         |   CAST(predicted = lang AS INTEGER) AS correct
+         | FROM p ORDER BY doc_id""".stripMargin,
+    "tx4_fingerprint" ->
+      s"""SELECT doc_id,
+         |   array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:4], '-') AS fingerprint
+         | FROM (SELECT doc_id, $shinglesSql AS sh
+         |       FROM (SELECT doc_id, $toksSql AS tk FROM documents)) ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication over the `documents` table (north-star ops,
+  * SURVEY.md §7.5): exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: signatures (token lists, shingle sets, MinHash sketches,
+  * SimHash bits) are all computed ROW-LOCALLY with higher-order functions —
+  * no explode, no shuffle, no UDF — so the signature stage is map-side only
+  * and codegen-friendly at any scale. The only shuffles are the ones the
+  * algorithms require: a groupBy on content hash (d1), a band-bucket
+  * equi-join (d2, the LSH trick that replaces the O(n²) all-pairs compare),
+  * and a shared-shingle equi-join (d4, bounded to candidate pairs).
+  * Hashes are md5 hex on both engines, so the DuckDB oracle agrees exactly.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  import graft.functions.TextOps.{toks, shingles, toksSql, shinglesSql}
+
+  /** doc_id → distinct shingles. The token array is materialized in its own
+    * projection first: `shingles` references it 4× (twice inside lambdas),
+    * and a single inlined expression would be re-evaluated per reference —
+    * interpreted HOF lambdas get no subexpression elimination, which showed
+    * up as the regex split re-running per shingle (8s of 22s at sf0.1).
+    * Multi-use refs also stop CollapseProject from re-inlining. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk")).as("shingles"))
+
+  /** D1 — exact dedup by content hash: one row per distinct content, the
+    * kept doc is min(doc_id) (deterministic survivor rule). */
+  private val d1: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("content_hash"))
+
+  private def md5hexJvm(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** 8 fixed xor-seeds (driver-derived from md5, embedded as literals in the
+    * oracle SQL too, so both engines use the same hash family). */
+  private[operators] val seeds: Seq[Long] =
+    (0 until 8).map(j => java.lang.Long.parseLong(md5hexJvm(s"seed:$j").take(15), 16))
+
+  /** 60-bit integer hash of a string: first 15 hex digits of md5. One md5
+    * per shingle — the k minhash functions are derived by xor-ing this base
+    * hash with fixed seeds, so signature cost is O(shingles), not
+    * O(k·shingles) md5 calls (8× cheaper; the md5 IS the hot loop at scale). */
+  private def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature j over pre-hashed shingles: min(h ⊕ seed_j). */
+  private def minhash(j: Int): Column =
+    array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seeds(j)))))
+
+  /** D2 — MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2;
+    * docs sharing any band bucket are candidate pairs. The band-bucket
+    * equi-join is what makes this O(n·bands) shuffle instead of O(n²)
+    * compare — the core 100 TB dedup pattern. */
+  private val d2: Q = (s, d) => {
+    val sig = docShingles(s, d)
+      .select(col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs"))
+      .select(
+        col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array(
+        md5(concat_ws(":", col("h0"), col("h1"))),
+        md5(concat_ws(":", col("h2"), col("h3"))),
+        md5(concat_ws(":", col("h4"), col("h5"))),
+        md5(concat_ws(":", col("h6"), col("h7"))))).as(Seq("band_idx", "bh")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** SimHash bit p (1-based): sign of Σ over tokens of ±1, where the token
+    * votes +1 iff hex digit p of md5(token) has its high bit set. */
+  private def bitVote(tk: Column, p: Int): Column =
+    aggregate(tk, lit(0),
+      (acc, t) => acc + when(substring(md5(t), p, 1) >= "8", 1).otherwise(-1))
+
+  /** D3 — 16-bit SimHash per document (row-local; identical docs get
+    * identical simhash, near-identical docs differ in few bits). */
+  private val d3: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        (1 to 16).map(p =>
+          when(bitVote(col("tk"), p) > 0, lit(1 << (p - 1))).otherwise(lit(0)))
+          .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** D4 — n-gram Jaccard near-dup pairs (threshold 0.5): exact Jaccard
+    * = |∩| / (|A|+|B|−|∩|) on distinct-shingle sets, verified over the LSH
+    * candidates from d2 — the canonical two-stage dedup (cheap candidate
+    * generation, exact row-local verification). A shared-shingle all-pairs
+    * join would blow up super-linearly on a small vocabulary (~48M
+    * intermediate rows at sf0.1); verifying O(candidates) pairs is the
+    * shape that survives 100 TB. */
+  private val d4: Q = (s, d) => {
+    val ds = docShingles(s, d)
+    d2(s, d)
+      .join(ds.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(ds.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Cast a float embedding to double element-wise (row-local). */
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** D5 — embedding-cosine near-dup pairs (threshold 0.35), blocked by the
+    * `label` column (coarse IVF-style cell): pairs are only compared within
+    * a block, turning O(n²) into Σ O(|cell|²) — the partition-pruned scale
+    * path. Exact cosine on the candidates. */
+  private val d5: Q = (s, d) => {
+    // norm is computed ONCE per vector (row-local) — per-pair work is a
+    // single dot product, not three.
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1,
+    "d2_minhash_lsh" -> d2,
+    "d3_simhash" -> d3,
+    "d4_ngram_jaccard" -> d4,
+    "d5_embedding_neardup" -> d5
+  )
+
+  private val docShinglesSql =
+    s"""SELECT doc_id, $shinglesSql AS shingles
+       | FROM (SELECT doc_id, $toksSql AS tk FROM documents)""".stripMargin
+
+  /** DuckDB mirrors of the hashed-shingle minhash/band pipeline. */
+  private val hsSql =
+    "list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
+  private def minhashSql(j: Int): String =
+    s"list_min(list_transform(hs, h -> xor(h, ${seeds(j)})))"
+  private def bandSql(a: Int, b: Int): String =
+    s"md5(CAST(h$a AS VARCHAR) || ':' || CAST(h$b AS VARCHAR))"
+  /** Shared candidate-pair CTE chain (d2's whole plan, reused by d4). */
+  private val candSql =
+    s"""ds AS ($docShinglesSql),
+       | sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(", ")}
+       |   FROM (SELECT doc_id, $hsSql AS hs FROM ds)),
+       | bands AS (SELECT doc_id, b.band_idx,
+       |   CASE b.band_idx WHEN 0 THEN ${bandSql(0, 1)} WHEN 1 THEN ${bandSql(2, 3)}
+       |                   WHEN 2 THEN ${bandSql(4, 5)} ELSE ${bandSql(6, 7)} END AS bh
+       |   FROM sig, (SELECT unnest(range(4)) AS band_idx) b),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val simhashSql: String = (1 to 16).map { p =>
+    s"(CASE WHEN list_sum(list_transform(tk, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1 << (p - 1)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val dotSql =
+    "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))"
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+        | FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH $candSql
+         | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "d3_simhash" ->
+      s"""SELECT doc_id, $simhashSql AS simhash
+         | FROM (SELECT doc_id, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      s"""WITH $candSql,
+         | j AS (SELECT d1, d2,
+         |   round(len(list_intersect(s1.shingles, s2.shingles)) /
+         |     (len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles))), 6) AS jaccard
+         |   FROM cand JOIN ds s1 ON cand.d1 = s1.doc_id JOIN ds s2 ON cand.d2 = s2.doc_id)
+         | SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+    "d5_embedding_neardup" ->
+      s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | v AS (SELECT vec_id, label, v,
+         |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm FROM v0),
+         | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+         |   round($dotSql / (a.norm * b.norm), 4) AS cos
+         |   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         | SELECT v1, v2, cos FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+  )
+}

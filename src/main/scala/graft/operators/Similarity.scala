@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north-star ops, SURVEY.md
+  * §7.5): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * The LSH planes are a fixed ±1 matrix derived from md5 (driver-side,
+  * deterministic) and embedded as literals into BOTH the Spark plan and the
+  * DuckDB oracle SQL, so the two engines bucket identically. At 100 TB the
+  * bucket signature is a map-side expression; the candidate join shuffles
+  * on (bucket) instead of comparing all pairs — recall trades against the
+  * number of planes (here 4 planes → 16 buckets).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Dim = 64
+  private val NPlanes = 4
+  private val TopK = 10
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 hyperplanes: component i of plane j is +1 iff the
+    * first hex digit of md5("j:i") has its high bit set. */
+  private[operators] val planes: Seq[Seq[Double]] =
+    (0 until NPlanes).map(j => (0 until Dim).map(i =>
+      if (md5hex(s"$j:$i").head >= '8') 1.0 else -1.0))
+
+  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id (row-local): bit j set iff v · plane_j > 0. */
+  private def bucket(v: Column): Column =
+    (0 until NPlanes).map { j =>
+      when(dot(v, typedlit(planes(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Vectors with their norm precomputed once (row-local) — per-candidate
+    * work in the knn joins is then a single dot product. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** X1 — exact brute-force cosine top-k for query vectors (vec_id < 5):
+    * the correctness baseline every ANN variant is judged against. One
+    * broadcast of the tiny query side; candidates never shuffle. */
+  private val x1: Q = (s, d) => {
+    val v = vecs(s, d)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** X2 — LSH-bucketed ANN: queries only compare against candidates in the
+    * SAME hyperplane bucket (16 buckets), then exact cosine + top-k within
+    * the bucket. The equi-join on bucket is the 100 TB plan shape — O(n/16)
+    * candidates per query instead of O(n). */
+  private val x2: Q = (s, d) => {
+    val v = vecs(s, d).withColumn("bucket", bucket(col("v")))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"), col("bucket"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x1_knn_bruteforce" -> x1,
+    "x2_ann_lsh" -> x2
+  )
+
+  private def planeSql(j: Int): String =
+    planes(j).map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  private val dotQSql =
+    s"list_sum(list_transform(range($Dim), i -> a.v[i+1] * q.qv[i+1]))"
+  private val normSql = "a.norm * q.qnorm"
+  private val vNormSql =
+    s"sqrt(list_sum(list_transform(range($Dim), i -> v[i+1] * v[i+1])))"
+  private val bucketSql = (0 until NPlanes).map { j =>
+    s"(CASE WHEN list_sum(list_transform(range($Dim), i -> v[i+1] * (${planeSql(j)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "x1_knn_bruteforce" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0),
+         | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM v WHERE vec_id < 5),
+         | c AS (SELECT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
+         |   FROM v a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         | r AS (SELECT q_id, vec_id, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "x2_ann_lsh" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | v AS (SELECT vec_id, v, $vNormSql AS norm, $bucketSql AS bucket FROM v0),
+         | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket FROM v WHERE vec_id < 5),
+         | c AS (SELECT q.q_id, a.vec_id, a.bucket, $dotQSql / ($normSql) AS cos_raw
+         |   FROM v a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.q_id),
+         | r AS (SELECT q_id, vec_id, bucket, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, bucket
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the training-data-pipeline layer (dedup / similarity /
+  * text analysis) on sf0.001. */
+class DedupSpec extends SparkSpec {
+  test("d1 exact dedup partitions the corpus: group sizes sum to doc count") {
+    val total = Tables.documents(spark, sf).count()
+    assert(q("d1_exact_dedup").agg(sum("n_docs")).head().getLong(0) === total)
+  }
+
+  test("d1 keeps the minimum doc_id per content group") {
+    // keep_id must itself be a doc in the group: re-derive and compare
+    val again = Tables.documents(spark, sf)
+      .groupBy(md5(col("text"))).agg(min("doc_id").as("k"))
+      .agg(sum("k")).head().getLong(0)
+    assert(q("d1_exact_dedup").agg(sum("keep_id")).head().getLong(0) === again)
+  }
+
+  test("d2 LSH candidate pairs are canonical (d1 < d2) and distinct") {
+    val df = q("d2_minhash_lsh")
+    assert(df.filter(col("d1") >= col("d2")).count() === 0L)
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("d2 LSH recalls every high-Jaccard pair on this data") {
+    // LSH is probabilistic in general; with 4 bands of 2 and jaccard>=0.5 the
+    // expected miss rate is (1-s^2)^4 <= 0.32 per pair — on this fixture all
+    // planted near-dups happen to be recalled, which pins regressions.
+    val cand = q("d2_minhash_lsh").select("d1", "d2")
+    val truth = q("d4_ngram_jaccard").select("d1", "d2")
+    assert(truth.except(cand).count() === 0L)
+  }
+
+  test("d3 simhash is a 16-bit value, equal for identical token streams") {
+    val mm = q("d3_simhash").agg(min("simhash"), max("simhash")).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 0xFFFF)
+  }
+
+  test("d4 jaccard values are in (0.5, 1.0]") {
+    val bad = q("d4_ngram_jaccard")
+      .filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count()
+    assert(bad === 0L)
+  }
+
+  test("d5 embedding near-dups are same-label pairs with cos >= threshold") {
+    val lbl = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    val bad = q("d5_embedding_neardup")
+      .join(lbl.withColumnRenamed("vec_id", "v1").withColumnRenamed("label", "l1"), "v1")
+      .join(lbl.withColumnRenamed("vec_id", "v2").withColumnRenamed("label", "l2"), "v2")
+      .filter(col("l1") =!= col("l2") || col("cos") < 0.35)
+    assert(bad.count() === 0L)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("x1 brute-force top-k: k rows per query, contiguous ranks, cos in [-1,1]") {
+    val df = q("x1_knn_bruteforce")
+    val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))
+    assert(perQ.filter(col("n") =!= 10L || col("mr") =!= 10).count() === 0L)
+    assert(df.filter(col("cos") < -1.0 || col("cos") > 1.0).count() === 0L)
+    assert(df.filter(col("neighbor_id") === col("q_id")).count() === 0L)
+  }
+
+  test("x1 ranking is non-increasing in cosine per query") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rank")
+    val bad = q("x1_knn_bruteforce")
+      .withColumn("prev", lag("cos", 1).over(w))
+      .filter(col("prev").isNotNull && col("cos") > col("prev"))
+    assert(bad.count() === 0L)
+  }
+
+  test("x2 ANN candidates share the query's LSH bucket") {
+    // bucket is emitted per result row and is the join key by construction;
+    // verify the query's own bucket matches every row it received
+    val qBuckets = q("x2_ann_lsh").select("q_id", "bucket").distinct()
+    assert(qBuckets.groupBy("q_id").count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("x2 ANN top-1 agrees with brute force when the true NN shares a bucket") {
+    val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id").as("true_nn"))
+    val ann = q("x2_ann_lsh").filter(col("rank") === 1)
+      .select(col("q_id"), col("neighbor_id").as("ann_nn"))
+    val joined = bf.join(ann, "q_id")
+    // where they disagree, the ANN similarity must be <= the true NN's (never better)
+    val x1sims = q("x1_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("best_cos"))
+    val annsims = q("x2_ann_lsh").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("ann_cos"))
+    val bad = x1sims.join(annsims, "q_id").filter(col("ann_cos") > col("best_cos"))
+    assert(bad.count() === 0L)
+  }
+}
+
+class TextQueriesSpec extends SparkSpec {
+  test("tx1 token stats: distinct <= total tokens, avg length positive") {
+    val df = q("tx1_token_stats")
+    assert(df.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0L)
+    assert(df.filter(col("avg_token_len") <= 0.0).count() === 0L)
+  }
+
+  test("tx2 quality is a convex combination in [0, 1]") {
+    val bad = q("tx2_quality_score")
+      .filter(col("quality") < 0.0 || col("quality") > 1.0).count()
+    assert(bad === 0L)
+  }
+
+  test("tx3 predictions come from the known language set") {
+    val langs = Seq("en", "es", "de", "fr", "zh")
+    assert(q("tx3_langid").filter(!col("predicted").isInCollection(langs)).count() === 0L)
+  }
+
+  test("tx4 fingerprint is 4 md5 hashes for any doc with >= 4 shingles") {
+    val df = q("tx4_fingerprint")
+    // 4 * 32 hex + 3 separators
+    assert(df.filter(length(col("fingerprint")) === 131).count() > 0)
+    assert(df.filter(length(col("fingerprint")) > 131).count() === 0L)
+  }
+}

@@ -25,7 +25,8 @@ object SparkEntry {
       functions.ScalarQueries.queries ++
       functions.TextQueries.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      plans.ForkWalk.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       functions.ScalarQueries.oracles ++
       functions.TextQueries.oracles ++
       operators.Dedup.oracles ++
-      operators.Similarity.oracles
+      operators.Similarity.oracles ++
+      plans.ForkWalk.oracles
 }

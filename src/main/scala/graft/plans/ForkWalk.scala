@@ -1,0 +1,177 @@
+package graft.plans
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** G1 — canonical-fork selection (rpc.js:92-125, 277-318) and P2 — the
+  * chain-linkage filter (rpc.js:156-175): the reference's two
+  * parent-pointer-dependent operators.
+  *
+  * The fork tree is derived deterministically from `orders`: a main chain
+  * (one block per orderkey, parent = previous key's hash) plus 3-block side
+  * branches rooted at every 97th height — so the walk has real forks to
+  * reject. Both engines derive the identical table (md5-keyed), and DuckDB
+  * oracles the walk with WITH RECURSIVE.
+  *
+  * Scale design: the walk is POINTER DOUBLING — the reached set S and the
+  * 2^k-ancestor jump table both double each round, so a depth-D chain needs
+  * O(log D) self-joins instead of D sequential probes (rpc.js walks
+  * one-by-one; that shape can never distribute). Each round is
+  * localCheckpoint'ed: lineage stays constant-depth, and the loop stops at
+  * fixpoint. The walk range is bounded by the reference's own
+  * startblock/endblock parameterization (rpc.js:285-288).
+  */
+object ForkWalk {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Trailing-window size for the walk (P4 range semantics, rpc.js:13-21).
+    * 1000 keeps the DuckDB recursive oracle O(depth·n) tractable — the
+    * Spark side's doubling walk is O(n log depth) and doesn't care. */
+  private val WalkWindow = 1000L
+
+  private def h(prefix: String, k: org.apache.spark.sql.Column) =
+    md5(concat(lit(prefix), k.cast("string")))
+
+  /** Derived block tree: main chain + 3-block side branches every 97th key,
+    * restricted to the trailing [tip-WalkWindow+1, tip] height range. */
+  private[plans] def chainTable(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val hi = o.agg(max(col("o_orderkey")).as("hi"))
+    val keys = o.select(col("o_orderkey").as("k"))
+      .crossJoin(broadcast(hi))
+      .filter(col("k") > col("hi") - WalkWindow)
+    val main = keys.select(
+      h("m", col("k")).as("block_hash"),
+      h("m", col("k") - 1).as("parent_hash"),
+      col("k").as("height"))
+    val branch = keys.filter(col("k") % 97 === 0)
+      .select(col("k"), explode(sequence(lit(1), lit(3))).as("i"))
+      .select(
+        md5(concat(lit("b"), col("k").cast("string"), lit(":"),
+          col("i").cast("string"))).as("block_hash"),
+        when(col("i") === 1, h("m", col("k") - 1))
+          .otherwise(md5(concat(lit("b"), col("k").cast("string"), lit(":"),
+            (col("i") - 1).cast("string")))).as("parent_hash"),
+        (col("k") - 1 + col("i")).as("height"))
+    main.unionByName(branch)
+  }
+
+  /** Canonical chain of `blocks` (block_hash, parent_hash, height): all
+    * ancestors of the deepest tip (ties: max hash), via pointer doubling. */
+  def canonicalChain(blocks: DataFrame): DataFrame = {
+    val b = blocks.localCheckpoint(true)
+    val tip = b.orderBy(col("height").desc, col("block_hash").desc).limit(1)
+    var reached = tip.select(col("block_hash").as("h")).localCheckpoint(true)
+    var jump = b.select(col("block_hash").as("h"), col("parent_hash").as("a"))
+      .localCheckpoint(true)
+    var size = 1L
+    var done = false
+    while (!done) {
+      // S := S ∪ jump(S)  — covers ancestor distances [0, 2^k) after k rounds
+      reached = reached
+        .unionByName(
+          reached.join(jump, Seq("h")).select(col("a").as("h")))
+        .distinct()
+        .localCheckpoint(true)
+      val n = reached.count()
+      done = n == size // fixpoint; an emptied jump table stalls S next round
+      size = n
+      if (!done) {
+        // jump := jump ∘ jump — 2^k-step ancestor map; empties past genesis
+        jump = jump.as("x")
+          .join(jump.as("y"), col("x.a") === col("y.h"))
+          .select(col("x.h").as("h"), col("y.a").as("a"))
+          .localCheckpoint(true)
+      }
+    }
+    b.join(reached.withColumnRenamed("h", "block_hash"), "block_hash")
+  }
+
+  /** G1 query — canonical rows of the derived fork tree. */
+  private val g1: Q = (s, d) =>
+    canonicalChain(chainTable(s, d))
+      .select(col("height"), col("block_hash"))
+      .orderBy(col("height"), col("block_hash"))
+
+  /** Main chain with parents corrupted at every 1009th height — P2's input
+    * needs genuine linkage breaks. */
+  private[graft] def linkTable(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    o.select(
+      h("m", k).as("block_hash"),
+      when(k % 1009 === 0, h("x", k)).otherwise(h("m", k - 1)).as("parent_hash"),
+      k.as("height"))
+  }
+
+  /** P2 query — lag-dependent chain-linkage filter: scanning height-DESC
+    * from the tip, a row survives only while every link above it held
+    * (rpc.js:156-175 keeps a row iff it chains to the previous KEPT row;
+    * on a unique-height chain that is exactly "no broken link above me").
+    * One window over the ordered scan — no iteration needed. */
+  private val p2: Q = (s, d) => {
+    val byHeight = Window.orderBy(col("height"))
+    val above = Window.orderBy(col("height").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    linkTable(s, d)
+      .withColumn("prev_hash", lag(col("block_hash"), 1).over(byHeight))
+      .withColumn("broken",
+        when(col("prev_hash").isNotNull &&
+          col("parent_hash") =!= col("prev_hash"), 1).otherwise(0))
+      .withColumn("broken_above", max(col("broken")).over(above))
+      .filter(col("broken_above").isNull || col("broken_above") === 0)
+      .select(col("height"), col("block_hash"))
+      .orderBy(col("height"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g1_fork_walk" -> g1,
+    "p2_chain_filter" -> p2
+  )
+
+  private val chainSql =
+    s"""bounds AS (SELECT max(o_orderkey) AS hi FROM orders),
+       | keys AS (SELECT o_orderkey AS k FROM orders, bounds WHERE o_orderkey > hi - $WalkWindow),
+       | blocks AS (
+       |   SELECT md5('m' || CAST(k AS VARCHAR)) AS block_hash,
+       |          md5('m' || CAST(k - 1 AS VARCHAR)) AS parent_hash,
+       |          k AS height
+       |   FROM keys
+       |   UNION ALL
+       |   SELECT md5('b' || CAST(k AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+       |          CASE WHEN i = 1 THEN md5('m' || CAST(k - 1 AS VARCHAR))
+       |               ELSE md5('b' || CAST(k AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)) END,
+       |          k - 1 + i
+       |   FROM keys, (SELECT unnest(range(1, 4)) AS i) g WHERE k % 97 = 0)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "g1_fork_walk" ->
+      s"""WITH RECURSIVE $chainSql,
+         | tip AS (SELECT block_hash, parent_hash, height FROM blocks
+         |   ORDER BY height DESC, block_hash DESC LIMIT 1),
+         | walk AS (
+         |   SELECT block_hash, parent_hash, height FROM tip
+         |   UNION ALL
+         |   SELECT b.block_hash, b.parent_hash, b.height
+         |   FROM blocks b JOIN walk w ON b.block_hash = w.parent_hash)
+         | SELECT height, block_hash FROM walk ORDER BY height, block_hash""".stripMargin,
+    "p2_chain_filter" ->
+      s"""WITH c AS (
+         |   SELECT md5('m' || CAST(o_orderkey AS VARCHAR)) AS block_hash,
+         |          CASE WHEN o_orderkey % 1009 = 0
+         |               THEN md5('x' || CAST(o_orderkey AS VARCHAR))
+         |               ELSE md5('m' || CAST(o_orderkey - 1 AS VARCHAR)) END AS parent_hash,
+         |          o_orderkey AS height
+         |   FROM orders),
+         | w AS (SELECT height, block_hash, parent_hash,
+         |   lag(block_hash) OVER (ORDER BY height) AS prev_hash FROM c),
+         | w2 AS (SELECT height, block_hash,
+         |   CASE WHEN prev_hash IS NOT NULL AND parent_hash <> prev_hash THEN 1 ELSE 0 END AS broken FROM w),
+         | w3 AS (SELECT height, block_hash,
+         |   max(broken) OVER (ORDER BY height DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS broken_above FROM w2)
+         | SELECT height, block_hash FROM w3
+         | WHERE broken_above IS NULL OR broken_above = 0 ORDER BY height""".stripMargin
+  )
+}

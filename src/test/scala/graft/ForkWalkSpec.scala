@@ -1,0 +1,74 @@
+package graft
+
+import graft.plans.ForkWalk
+import org.apache.spark.sql.functions._
+
+/** Golden-output tests for the G1 fork walk (SURVEY.md §5.5: the
+  * highest-risk semantic, hand-built fixtures instead of an oracle). */
+class ForkWalkSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("block_hash", StringType),
+    StructField("parent_hash", StringType),
+    StructField("height", LongType)))
+
+  private def tree(rows: (String, String, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3))),
+      schema)
+
+  test("walk picks the deeper branch over the earlier one") {
+    // g <- a2 <- a3   and   g <- b2 <- b3 <- b4 (deeper)
+    val blocks = tree(
+      ("g", "0", 1L),
+      ("a2", "g", 2L), ("a3", "a2", 3L),
+      ("b2", "g", 2L), ("b3", "b2", 3L), ("b4", "b3", 4L))
+    val canon = ForkWalk.canonicalChain(blocks)
+      .select("block_hash").collect().map(_.getString(0)).toSet
+    assert(canon === Set("g", "b2", "b3", "b4"))
+  }
+
+  test("equal-depth fork resolves to the lexicographically larger tip") {
+    val blocks = tree(
+      ("g", "0", 1L),
+      ("a2", "g", 2L), ("a3", "a2", 3L),
+      ("z2", "g", 2L), ("z3", "z2", 3L))
+    val canon = ForkWalk.canonicalChain(blocks)
+      .select("block_hash").collect().map(_.getString(0)).toSet
+    assert(canon === Set("g", "z2", "z3"))
+  }
+
+  test("single-node chain is its own canonical chain") {
+    val blocks = tree(("g", "0", 1L))
+    assert(ForkWalk.canonicalChain(blocks).count() === 1L)
+  }
+
+  test("long chain walks to genesis (pointer doubling covers all depths)") {
+    // 300-block path: needs ceil(log2) = 9 doubling rounds, exercises the loop
+    val rows = (1L to 300L).map(k => (s"h$k", if (k == 1) "0" else s"h${k - 1}", k))
+    val canon = ForkWalk.canonicalChain(tree(rows: _*))
+    assert(canon.count() === 300L)
+  }
+
+  test("g1 query on testdata: one canonical row per height, dense range") {
+    val df = q("g1_fork_walk")
+    val dup = df.groupBy("height").count().filter(col("count") > 1).count()
+    assert(dup === 0L)
+    val mm = df.agg(min("height"), max("height"), count(lit(1))).head()
+    assert(mm.getLong(2) === mm.getLong(1) - mm.getLong(0) + 1)
+  }
+
+  test("p2 keeps exactly the suffix above the newest broken link") {
+    val kept = q("p2_chain_filter")
+    val all = ForkWalk.linkTable(spark, sf)
+    // every kept row's height is above the max corrupted height
+    val maxCorrupt = all.filter(col("parent_hash") =!=
+        md5(concat(lit("m"), (col("height") - 1).cast("string"))))
+      .agg(max("height")).head().getLong(0)
+    assert(kept.agg(min("height")).head().getLong(0) === maxCorrupt)
+    assert(kept.count() ===
+      all.agg(max("height")).head().getLong(0) - maxCorrupt + 1)
+  }
+}

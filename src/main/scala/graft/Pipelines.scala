@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** M6 — serving/cache parity (SURVEY.md §3.1, §7.2): the reference's
+  * update() cycle computes three relations and overwrites them in Redis
+  * wholesale (server.js:280-302); here the same three land as parquet
+  * directories, overwritten idempotently — re-runnable on a timer, readers
+  * never touch the source tables (the read path is O(cache)).
+  *
+  * At 100 TB: each cache write is `overwrite` of a small AGGREGATED result
+  * (leaderboard ≈ #miners, chain ≈ #heights in range, rollup ≈ #heights) —
+  * the big fact table never gets copied, only scanned.
+  */
+object Pipelines {
+
+  /** miner_info (P9 projection of A1+A2+A4, rpc.js:430-445). */
+  def minerInfo(s: SparkSession, d: String): DataFrame =
+    operators.Aggregations.queries("a1_leaderboard")(s, d)
+
+  /** mining_info (P10: canonical winner per height, rpc.js:447-457). */
+  def miningInfo(s: SparkSession, d: String): DataFrame =
+    operators.RelationalCore.queries("j8_winner_commit")(s, d)
+
+  /** block_info (A8 per-height rollup, rpc.js:463-487). */
+  def blockInfo(s: SparkSession, d: String): DataFrame =
+    operators.Aggregations.queries("a8_block_rollup")(s, d)
+
+  /** The update() cycle: recompute all three and overwrite the cache dir.
+    * Idempotent — same contract as the reference's whole-key Redis SET. */
+  def refreshCache(s: SparkSession, sfDir: String, cacheDir: String): Unit = {
+    minerInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/miner_info")
+    miningInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/mining_info")
+    blockInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/block_info")
+  }
+
+  /** monitorIntegrate (§3.2): assemble the dashboard document from the
+    * cache — small aggregate reads, collected at the serving edge only
+    * (explicit limits; never an unbounded collect). */
+  def dashboard(s: SparkSession, cacheDir: String): String = {
+    val miners = s.read.parquet(s"$cacheDir/miner_info")
+    val chain = s.read.parquet(s"$cacheDir/mining_info")
+    val blocks = s.read.parquet(s"$cacheDir/block_info")
+
+    val status = blocks.agg(
+      round(avg(col("sum_burn_fees")), 3).as("avg_burn"),
+      round(avg(col("sum_miner_amount")), 3).as("avg_miners")).head()
+    val minerTable = chain.orderBy(col("stacks_block_height").desc).limit(50)
+      .collect().map(r =>
+        s"""{"height":${r.getLong(0)},"miner":${r.getLong(1)},"fee":${r.getLong(2)}}""")
+    val topMiners = miners.orderBy(col("miner_burned").desc).limit(10)
+      .select(col("leader_key_address"), col("total_win"))
+      .collect().map(r => s"""{"address":${r.getLong(0)},"wins":${r.getLong(1)}}""")
+
+    s"""{"currentStatus":{"avgBurnFee":${status.getDouble(0)},"avgMinerCount":${status.getDouble(1)}},
+       |"minerTable":[${minerTable.mkString(",")}],
+       |"winnerPie":[${topMiners.mkString(",")}]}""".stripMargin.replace("\n", "")
+  }
+}

@@ -24,8 +24,10 @@ object SparkEntry {
       operators.Windows.queries ++
       functions.ScalarQueries.queries ++
       functions.TextQueries.queries ++
+      functions.CryptoQueries.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.Multimodal.queries ++
       plans.ForkWalk.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +40,6 @@ object SparkEntry {
       functions.TextQueries.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.Multimodal.oracles ++
       plans.ForkWalk.oracles
 }

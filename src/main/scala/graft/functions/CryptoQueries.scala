@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the crypto scalar layer (F1–F5) on testdata. These are
+  * the non-SQL-expressible operators (DuckDB has no SHA-512/256, RIPEMD-160
+  * or base58/c32) — per the driver contract they register WITHOUT oracle SQL
+  * and get a rows-only check; value-level correctness is pinned by public
+  * test vectors in CryptoSpec.
+  *
+  * Scalar UDFs are the right tool here (SURVEY §2.11): cold-path,
+  * short-string digests; a codegen Expression would buy nothing measurable.
+  */
+object CryptoQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** bytes→bytes digest UDF; hex packing/unpacking stays in Spark-native
+    * unhex/hex (codegen'd) — string formatting per row inside a UDF was the
+    * hot spot (31s → ~2s for f1 at sf0.1). */
+  private val sha512_256 = udf { (b: Array[Byte]) => Crypto.sha512_256(b) }
+  private val btcAddr = udf { (pubkey: Array[Byte]) => Crypto.btcAddress(pubkey) }
+  private val stxAddr = udf { (pubkey: Array[Byte]) => Crypto.stxAddress(pubkey) }
+
+  private def blockId(blockHash: org.apache.spark.sql.Column,
+                      consensusHash: org.apache.spark.sql.Column) =
+    lower(hex(sha512_256(concat(unhex(blockHash), unhex(consensusHash)))))
+
+  /** F1/J9 — the reference's real computed-key join: stacks_block_id =
+    * SHA-512/256(block_hash ‖ consensus_hash) (rpc.js:320-336), block side
+    * derived from orders, tx side from lineitem, joined on the digest. */
+  private val f1: Q = (s, d) => {
+    val blocks = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      blockId(md5(col("o_orderkey").cast("string")),
+        md5(concat(lit("c"), col("o_orderkey").cast("string")))).as("stacks_block_id"))
+    val txs = Tables.lineitem(s, d).select(
+      blockId(md5(col("l_orderkey").cast("string")),
+        md5(concat(lit("c"), col("l_orderkey").cast("string")))).as("stacks_block_id"))
+    blocks.join(txs, "stacks_block_id")
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_txs"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** F2–F4 — address book: a deterministic compressed-pubkey per supplier
+    * (02 ‖ SHA-256(name)), hashed to both BTC base58check and Stacks
+    * c32check mainnet addresses (rpc.js:358-362, 437). */
+  private val f2: Q = (s, d) => {
+    val pub = unhex(concat(lit("02"), sha2(col("s_name"), 256)))
+    Tables.supplier(s, d)
+      .select(
+        col("s_suppkey"),
+        btcAddr(pub).as("btc_address"),
+        stxAddr(pub).as("stx_address"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "f1_block_id_join" -> f1,
+    "f2_address_book" -> f2
+  )
+
+  /** Intentionally empty: none of these digests exist in DuckDB — the
+    * driver records rows-only checks; CryptoSpec pins exact values. */
+  val oracles: Map[String, String] = Map.empty
+}

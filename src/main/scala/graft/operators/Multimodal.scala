@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star ops): media as opaque BINARY plus typed
+  * metadata, with decode/feature-extraction as a partition-batched stub.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC FAKE (byte arithmetic over the payload);
+  * everything around it — binary column, metadata struct, partition-batched
+  * processing shape, output schema — is the real plumbing a decode UDF
+  * would plug into. At 100 TB media bytes stay opaque through the plan
+  * (no decode before the filter), metadata predicates prune first, and the
+  * per-partition iterator processes rows in batches exactly like an
+  * mapInPandas/Arrow decode stage would.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Extracted features of one media payload (what a real decoder emits). */
+  case class MediaFeature(doc_id: Long, format: String, size_bytes: Int,
+                          mean_byte: Double, max_byte: Int)
+
+  /** Synthetic media table: payload = md5 bytes of the text (stands in for
+    * real image bytes); metadata derived from hex digits with instr() so
+    * DuckDB mirrors it exactly. */
+  private[operators] def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(
+        col("doc_id"),
+        unhex(col("h")).as("media"),
+        expr("CASE (instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 3 " +
+          "WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END").as("format"),
+        expr("1 + 16 * (instr('0123456789abcdef', substring(h, 1, 1)) - 1) + " +
+          "(instr('0123456789abcdef', substring(h, 2, 1)) - 1)").cast("int").as("width"),
+        expr("1 + 16 * (instr('0123456789abcdef', substring(h, 3, 1)) - 1) + " +
+          "(instr('0123456789abcdef', substring(h, 4, 1)) - 1)").cast("int").as("height"))
+
+  /** MM1 — metadata projection over the binary column: media stays opaque,
+    * predicates/projections run on typed metadata only. Oracle-gated. */
+  private val mm1: Q = (s, d) =>
+    media(s, d)
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        length(col("media")).as("size_bytes"))
+      .filter(col("width") > 64)
+      .orderBy(col("doc_id"))
+
+  /** MM2 — partition-batched "decode": the stub feature extractor runs once
+    * per partition over an iterator of rows — the exact batch shape a real
+    * Arrow/Pandas decode stage has. Rows-only check (the decoder is the
+    * stub); MultimodalSpec pins the arithmetic. */
+  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    media(s, d)
+      .select(col("doc_id"), col("format"), col("media"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        // STUB decode: a real implementation would hand `batch` to a codec
+        // library in chunks; this fake derives features from the raw bytes
+        // deterministically so tests can pin values.
+        batch.map { case (id, fmt, bytes) =>
+          val unsigned = bytes.map(_ & 0xFF)
+          MediaFeature(id, fmt, bytes.length,
+            unsigned.sum.toDouble / unsigned.length, unsigned.max)
+        }
+      }
+  }
+
+  private val mm2: Q = (s, d) =>
+    decodeFeatures(s, d).toDF()
+      .withColumn("mean_byte", round(col("mean_byte"), 4))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "mm1_media_metadata" -> mm1,
+    "mm2_decode_features" -> mm2
+  )
+
+  private def dig(pos: Int) = s"(instr('0123456789abcdef', substring(h, $pos, 1)) - 1)"
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_metadata" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents)
+         | SELECT doc_id,
+         |   CASE ${dig(1)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+         |   CAST(1 + 16 * ${dig(1)} + ${dig(2)} AS INTEGER) AS width,
+         |   CAST(1 + 16 * ${dig(3)} + ${dig(4)} AS INTEGER) AS height,
+         |   octet_length(from_hex(h)) AS size_bytes
+         | FROM m WHERE 1 + 16 * ${dig(1)} + ${dig(2)} > 64 ORDER BY doc_id""".stripMargin
+    // mm2 intentionally has no oracle: the decode stage is a stub.
+  )
+}

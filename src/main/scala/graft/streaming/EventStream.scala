@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming layer (SURVEY.md §2.10): the reference's "streaming"
+  * is timer-driven batch (setInterval, server.js:444-452); here the same
+  * dataflow is a real event-time stream — T5's tumbling-window aggregation
+  * with a watermark, runnable over any streaming source.
+  *
+  * The transformation is UNIFIED: [[hourlyAgg]] is plain DataFrame → DataFrame
+  * and is applied identically to a batch read (ScalarQueries t5 semantics)
+  * and to readStream — one definition, two execution modes. State at scale:
+  * the watermark bounds the window state store; without it a 100 TB stream
+  * accumulates every open window forever.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour event-time aggregation (T5), watermarked at 1 hour:
+    * windows close once the event-time high-water mark passes end+1h, so
+    * late data beyond that is dropped instead of growing state. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** File-source stream over an events parquet directory: the streaming
+    * read path (schema must be declared for streaming sources). */
+  def fromFiles(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    raw.withColumn("ts",
+      expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  }
+
+  /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
+    * a sink directory on a processing-time trigger (the reference's 120 s
+    * setInterval, as a streaming job with checkpointed exactly-once state). */
+  def refreshLoop(spark: SparkSession, dir: String, sinkDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    hourlyAgg(fromFiles(spark, dir)).writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
+      .format("parquet")
+      .option("path", s"$sinkDir/hourly")
+      .start()
+}

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing invariants + pinned stub-decode arithmetic. */
+class MultimodalSpec extends SparkSpec {
+  test("mm1 metadata: formats from the fixed set, dims in [1, 256]") {
+    val df = q("mm1_media_metadata")
+    assert(df.filter(!col("format").isInCollection(Seq("png", "jpg", "webp"))).count() === 0L)
+    assert(df.filter(col("width") < 1 || col("width") > 256 ||
+      col("height") < 1 || col("height") > 256).count() === 0L)
+    assert(df.filter(col("size_bytes") =!= 16).count() === 0L)
+  }
+
+  test("mm2 stub decode: features match direct byte arithmetic") {
+    val f = Multimodal.decodeFeatures(spark, sf).filter(_.doc_id == 0L).head()
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val bytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map(_ & 0xFF)
+    assert(f.size_bytes === 16)
+    assert(f.mean_byte === bytes.sum.toDouble / 16)
+    assert(f.max_byte === bytes.max)
+  }
+
+  test("mm2 runs partition-batched over every document") {
+    assert(q("mm2_decode_features").count() ===
+      Tables.documents(spark, sf).count())
+  }
+}

@@ -75,14 +75,53 @@ object ScalarQueries {
         col("n_events"), col("value_cents"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** F6 (variant leg) — the op-JSON two-variant dispatch (rpc.js:351-366):
+    * documents carry either a LeaderBlockCommit or a LeaderKeyRegister
+    * payload; parse with one nested schema and branch on which sub-struct
+    * is present. The JSON is synthesized deterministically per row so both
+    * engines parse identical documents. */
+  private val f7: Q = (s, d) => {
+    val op = when(col("l_linenumber") % 2 === 0,
+      concat(lit("""{"LeaderBlockCommit":{"burn_fee":"""),
+        round(col("l_extendedprice")).cast("long"),
+        lit(""","vtxindex":"""), col("l_linenumber"), lit("}}")))
+      .otherwise(
+        concat(lit("""{"LeaderKeyRegister":{"address":"""),
+          col("l_suppkey"), lit("}}")))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "LeaderBlockCommit STRUCT<burn_fee: BIGINT, vtxindex: INT>, " +
+        "LeaderKeyRegister STRUCT<address: BIGINT>")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), from_json(op, schema).as("op"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("op.LeaderBlockCommit").isNotNull, "commit")
+          .otherwise("key_register").as("op_type"),
+        coalesce(col("op.LeaderBlockCommit.burn_fee"), lit(0L)).as("burn_fee"),
+        coalesce(col("op.LeaderKeyRegister.address"), lit(0L)).as("address"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("burn_fee"), col("address"))
+  }
+
   val queries: Map[String, Q] = Map(
     "f6_json_extract" -> f6,
+    "f7_op_variant_dispatch" -> f7,
     "f10_rr_miner_info" -> f10,
     "f12_txid_csv" -> f12,
     "t5_event_hourly" -> t5
   )
 
   val oracles: Map[String, String] = Map(
+    "f7_op_variant_dispatch" ->
+      """WITH j AS (SELECT l_orderkey, l_linenumber,
+        |   CASE WHEN l_linenumber % 2 = 0
+        |     THEN '{"LeaderBlockCommit":{"burn_fee":' || CAST(CAST(round(l_extendedprice) AS BIGINT) AS VARCHAR) || ',"vtxindex":' || CAST(l_linenumber AS VARCHAR) || '}}'
+        |     ELSE '{"LeaderKeyRegister":{"address":' || CAST(l_suppkey AS VARCHAR) || '}}' END AS op
+        |  FROM lineitem)
+        | SELECT l_orderkey, l_linenumber,
+        |   CASE WHEN json_extract(op, '$.LeaderBlockCommit') IS NOT NULL THEN 'commit' ELSE 'key_register' END AS op_type,
+        |   coalesce(CAST(json_extract(op, '$.LeaderBlockCommit.burn_fee') AS BIGINT), 0) AS burn_fee,
+        |   coalesce(CAST(json_extract(op, '$.LeaderKeyRegister.address') AS BIGINT), 0) AS address
+        | FROM j ORDER BY l_orderkey, l_linenumber, burn_fee, address""".stripMargin,
     "f6_json_extract" ->
       """SELECT event_id, event_type, CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INTEGER) AS k FROM events ORDER BY event_id""",
     "f10_rr_miner_info" ->

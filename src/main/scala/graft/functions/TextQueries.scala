@@ -101,8 +101,20 @@ object TextQueries {
           .as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** TX5 — vocabulary construction: corpus-wide term and document
+    * frequencies, top-100. The one text op that genuinely needs a shuffle
+    * (token → counts); explode feeds a map-side-combining hash aggregate. */
+  private val tx5: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "tx1_token_stats" -> tx1,
+    "tx5_vocab" -> tx5,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
     "tx4_fingerprint" -> tx4
@@ -121,6 +133,10 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "tx5_vocab" ->
+      s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         | FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+         | GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "tx1_token_stats" ->
       s"""SELECT doc_id, n_chars, len(tk) AS n_tokens,
          |   len(list_distinct(tk)) AS n_distinct_tokens,

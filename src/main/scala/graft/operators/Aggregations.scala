@@ -121,7 +121,33 @@ object Aggregations {
       .orderBy(col("leader_key_address"))
   }
 
+  /** A15 — skew-resistant salted aggregation: the two-stage groupBy
+    * (key⊕salt partial, then key merge) that a 100 TB pipeline uses when
+    * one group key dominates a partition. Results are identical to the
+    * plain aggregation — the oracle is the unsalted SQL — only the shuffle
+    * distribution differs (no single reducer sees a whole hot key). */
+  private val a15: Q = (s, d) =>
+    Domain.commits(s, d)
+      .withColumn("salt", pmod(col("vtxindex"), lit(8)))
+      .groupBy(col("leader_key_address"), col("salt"))
+      .agg(count(lit(1)).as("pm"), sum(col("burn_fee")).as("pb"))
+      .groupBy(col("leader_key_address"))
+      .agg(sum(col("pm")).as("total_mined"), sum(col("pb")).as("miner_burned"))
+      .orderBy(col("leader_key_address"))
+
+  /** A16 — approximate distinct (HLL++) next to the exact count: the
+    * sketch-based path for 100 TB cardinality questions. No oracle (DuckDB's
+    * approx sketch differs); the spec bounds the relative error. */
+  private val a16: Q = (s, d) =>
+    Domain.commits(s, d).agg(
+      countDistinct(col("leader_key_address")).as("exact_miners"),
+      approx_count_distinct(col("leader_key_address"), 0.02).as("approx_miners"),
+      countDistinct(col("stacks_block_height")).as("exact_heights"),
+      approx_count_distinct(col("stacks_block_height"), 0.02).as("approx_heights"))
+
   val queries: Map[String, Q] = Map(
+    "a15_salted_leaderboard" -> a15,
+    "a16_approx_distinct" -> a16,
     "a1_leaderboard" -> a1,
     "a2_canonical_wins" -> a2,
     "a3_global_totals" -> a3,
@@ -137,6 +163,10 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a15_salted_leaderboard" ->
+      s"""SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
+         |   CAST(sum($fee) AS BIGINT) AS miner_burned
+         | FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a1_leaderboard" ->
       s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn FROM lineitem),
          | g AS (SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,

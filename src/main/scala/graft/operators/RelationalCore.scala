@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
 object RelationalCore {
   type Q = (SparkSession, String) => DataFrame
 
+  /** S1 — full-table scan, no predicate (burnchain ops, rpc.js:60,342).
+    * Full column set, deterministic order for the gate. */
+  private val s1: Q = (s, d) =>
+    Tables.nation(s, d).orderBy(col("n_nationkey"))
+
+  /** S10 — top-3 newest (rpc.js:530-532). */
+  private val s10: Q = (s, d) => s2(s, d).limit(3)
+
   /** S2 — sorted full scan (snapshots ORDER BY height DESC, rpc.js:63). */
   private val s2: Q = (s, d) =>
     Tables.orders(s, d)
@@ -123,7 +131,70 @@ object RelationalCore {
         .as("miners"))
       .orderBy(col("stacks_block_height"))
 
+  /** J4/J5 — grouped join keyed on a second key (payments ⋈ snapshots on
+    * consensus_hash, rpc.js:207-229): child rows nested per parent, list
+    * serialized sorted (customer plays payments; orders the snapshot). */
+  private val j4: Q = (s, d) => {
+    val pay = Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(col("o_totalprice")).cast("long").as("amount"))
+    Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+      .join(pay, col("c_custkey") === col("o_custkey"), "inner")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(lit(1)).as("n_payments"),
+        sum(col("amount")).as("total_paid"),
+        concat_ws(";", transform(
+          sort_array(collect_list(struct(col("o_orderkey"), col("amount")))),
+          x => concat_ws(":", x.getField("o_orderkey"), x.getField("amount"))))
+          .as("payments"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J10 — burnchain ops grouped by block hash (rpc.js:340-367): the group
+    * key is a computed hash; counts per op variant. */
+  private val j10: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        md5(col("l_orderkey").cast("string")).as("block_hash"),
+        when(col("l_linenumber") % 2 === 0, "LeaderBlockCommit")
+          .otherwise("LeaderKeyRegister").as("op_type"))
+      .groupBy(col("block_hash"))
+      .agg(
+        count(lit(1)).as("n_ops"),
+        sum(when(col("op_type") === "LeaderBlockCommit", 1L).otherwise(0L))
+          .as("n_commits"))
+      .orderBy(col("block_hash"))
+
+  /** J11 — local vs remote stage compare (server.js:233-242): two 1-row
+    * relations crossed, equality on height → canMine flag. */
+  private val j11: Q = (s, d) => {
+    val local = Tables.lineitem(s, d)
+      .agg(max(col("l_orderkey")).as("local_height"))
+    val remote = Tables.orders(s, d)
+      .agg(max(col("o_orderkey")).as("remote_height"))
+    local.crossJoin(remote)
+      .withColumn("can_mine", col("local_height") === col("remote_height"))
+  }
+
+  /** R1 — unnest: explode the nested per-height commit list back to flat
+    * rows (mining_monitor_rpc.js:28-37) — the inverse of A8/R2. */
+  private val r1: Q = (s, d) =>
+    Domain.commits(s, d)
+      .groupBy(col("stacks_block_height"))
+      .agg(sort_array(collect_list(struct(col("vtxindex"), col("burn_fee")))).as("cl"))
+      .select(col("stacks_block_height"), explode(col("cl")).as("c"))
+      .select(col("stacks_block_height"),
+        col("c.vtxindex").as("vtxindex"), col("c.burn_fee").as("burn_fee"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
+
   val queries: Map[String, Q] = Map(
+    "s1_full_scan" -> s1,
+    "s10_top3" -> s10,
+    "j4_grouped_payments" -> j4,
+    "j10_ops_by_block" -> j10,
+    "j11_stage_compare" -> j11,
+    "r1_explode_commits" -> r1,
     "s2_sorted_scan" -> s2,
     "s9_top10" -> s9,
     "s11_filtered_scan" -> s11,
@@ -141,6 +212,27 @@ object RelationalCore {
   private val fee = Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "s1_full_scan" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s10_top3" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 3",
+    "j4_grouped_payments" ->
+      """SELECT c.c_custkey, count(*) AS n_payments,
+        |   CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS total_paid,
+        |   string_agg(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(CAST(round(o.o_totalprice) AS BIGINT) AS VARCHAR), ';'
+        |     ORDER BY o.o_orderkey, CAST(round(o.o_totalprice) AS BIGINT)) AS payments
+        | FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        | GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    "j10_ops_by_block" ->
+      """SELECT md5(CAST(l_orderkey AS VARCHAR)) AS block_hash, count(*) AS n_ops,
+        |   CAST(sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_commits
+        | FROM lineitem GROUP BY 1 ORDER BY block_hash""".stripMargin,
+    "j11_stage_compare" ->
+      """SELECT l.local_height, r.remote_height, l.local_height = r.remote_height AS can_mine
+        | FROM (SELECT max(l_orderkey) AS local_height FROM lineitem) l,
+        |      (SELECT max(o_orderkey) AS remote_height FROM orders) r""".stripMargin,
+    "r1_explode_commits" ->
+      s"SELECT l_orderkey AS stacks_block_height, l_linenumber AS vtxindex, $fee AS burn_fee FROM lineitem ORDER BY 1, 2, 3",
     "s2_sorted_scan" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey DESC",
     "s9_top10" ->

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the coverage-gap operators (salted agg, approx distinct,
+  * vocab, variant dispatch, stage compare, explode round-trip). */
+class CoverageSpec extends SparkSpec {
+  test("a15 salted aggregation equals the plain aggregation") {
+    val salted = q("a15_salted_leaderboard")
+    val plain = Domain.commits(spark, sf)
+      .groupBy(col("leader_key_address"))
+      .agg(count(lit(1)).as("total_mined"), sum(col("burn_fee")).as("miner_burned"))
+    assert(salted.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(salted.select(plain.columns.map(col): _*)).count() === 0L)
+  }
+
+  test("a16 approx distinct is within 5% of exact") {
+    val r = q("a16_approx_distinct").head()
+    val (em, am) = (r.getLong(0), r.getLong(1))
+    val (eh, ah) = (r.getLong(2), r.getLong(3))
+    assert(math.abs(am - em).toDouble / em <= 0.05)
+    assert(math.abs(ah - eh).toDouble / eh <= 0.05)
+  }
+
+  test("tx5 vocab: tf >= df, descending tf, at most 100 terms") {
+    val rows = q("tx5_vocab").collect()
+    assert(rows.length <= 100)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("f7 variant dispatch splits rows by line parity") {
+    val df = q("f7_op_variant_dispatch")
+    val even = Tables.lineitem(spark, sf).filter(col("l_linenumber") % 2 === 0).count()
+    assert(df.filter(col("op_type") === "commit").count() === even)
+    // a commit row never carries an address; a register never a fee
+    assert(df.filter(col("op_type") === "commit" && col("address") =!= 0L).count() === 0L)
+    assert(df.filter(col("op_type") === "key_register" && col("burn_fee") =!= 0L).count() === 0L)
+  }
+
+  test("j11 stage compare emits one row with a boolean verdict") {
+    val r = q("j11_stage_compare").collect()
+    assert(r.length === 1)
+    assert(r.head.getBoolean(2) === (r.head.getLong(0) == r.head.getLong(1)))
+  }
+
+  test("r1 explode round-trips the nest: row count equals the fact table") {
+    assert(q("r1_explode_commits").count() === Tables.lineitem(spark, sf).count())
+  }
+}

@@ -23,6 +23,7 @@ object Sessions {
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
     engineConfs.foreach { case (k, v) => b.config(k, v) }

@@ -124,17 +124,20 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** Cast a float embedding to double element-wise (row-local). */
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+  /** float[] → double[] as a native array cast (codegen'd). */
+  private def dvec(c: Column): Column = c.cast("array<double>")
 
+  /** Native codegen'd dot product (expressions.DotProduct) — same
+    * index-ascending fold as the DuckDB oracle's list_sum. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   /** D5 — embedding-cosine near-dup pairs (threshold 0.35), blocked by the
     * `label` column (coarse IVF-style cell): pairs are only compared within
     * a block, turning O(n²) into Σ O(|cell|²) — the partition-pruned scale
     * path. Exact cosine on the candidates. */
   private val d5: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
     // norm is computed ONCE per vector (row-local) — per-pair work is a
     // single dot product, not three.
     val v = Tables.embeddings(s, d)

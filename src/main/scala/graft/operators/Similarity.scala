@@ -33,10 +33,16 @@ object Similarity {
     (0 until NPlanes).map(j => (0 until Dim).map(i =>
       if (md5hex(s"$j:$i").head >= '8') 1.0 else -1.0))
 
-  private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
+  /** float[] → double[] as a native array cast (codegen'd; a transform()
+    * lambda here would knock the whole stage out of WSCG). */
+  private def dvec(c: Column): Column = c.cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd dot product (expressions.DotProduct, registered by
+    * GraftExtensions); falls back to the HOF form if the session lacks the
+    * extension (e.g. a driver-owned SparkSession). Same fold order → same
+    * IEEE doubles either way. */
+  private[operators] def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
 
   /** LSH bucket id (row-local): bit j set iff v · plane_j > 0. */
   private def bucket(v: Column): Column =
@@ -46,10 +52,12 @@ object Similarity {
 
   /** Vectors with their norm precomputed once (row-local) — per-candidate
     * work in the knn joins is then a single dot product. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** X1 — exact brute-force cosine top-k for query vectors (vec_id < 5):
     * the correctness baseline every ANN variant is judged against. One

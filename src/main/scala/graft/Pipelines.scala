@@ -35,6 +35,19 @@ object Pipelines {
     blockInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/block_info")
   }
 
+  /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
+    * shipped — `fs` never imported — implemented as evidently intended):
+    * a driver-side one-value state read/written around each refresh. */
+  def writeStatus(path: String, mining: Boolean): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      if (mining) "true" else "false")
+
+  def readStatus(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).trim == "true"
+  }
+
   /** monitorIntegrate (§3.2): assemble the dashboard document from the
     * cache — small aggregate reads, collected at the serving edge only
     * (explicit limits; never an unbounded collect). */

@@ -80,4 +80,14 @@ class PipelinesSpec extends SparkSpec {
     // cheap structural assertion (balanced braces, 50-row miner table)
     assert(doc.count(_ == '{') === doc.count(_ == '}'))
   }
+
+  test("status flag file round-trips and defaults to false when absent") {
+    val p = java.nio.file.Files.createTempDirectory("graft_status")
+      .resolve("mining_status.txt").toString
+    assert(!Pipelines.readStatus(p))
+    Pipelines.writeStatus(p, mining = true)
+    assert(Pipelines.readStatus(p))
+    Pipelines.writeStatus(p, mining = false)
+    assert(!Pipelines.readStatus(p))
+  }
 }

@@ -8,14 +8,15 @@ object Bench {
     // Warm the JVM/codegen/scan paths once so the first timed query isn't
     // charged several seconds of session startup (r1: first query +4s).
     SparkEntry.queries.get("a5_tx_count").foreach(fn => fn(spark, sfDir).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: run-to-run comparability beats hash order
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

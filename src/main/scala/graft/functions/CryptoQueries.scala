@@ -16,30 +16,40 @@ import org.apache.spark.sql.functions._
 object CryptoQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** bytes→bytes digest UDF; hex packing/unpacking stays in Spark-native
-    * unhex/hex (codegen'd) — string formatting per row inside a UDF was the
-    * hot spot (31s → ~2s for f1 at sf0.1). */
-  private val sha512_256 = udf { (b: Array[Byte]) => Crypto.sha512_256(b) }
+  /** Digest via the native codegen expression (expressions.Sha512_256) —
+    * no UDF row conversion; hex packing/unpacking stays in Spark-native
+    * unhex/hex. (History: a string-in/string-out UDF with per-byte
+    * String.format cost 31s at sf0.1; bytes-UDF 7s; native expression
+    * removes the remaining UDF plumbing.) */
   private val btcAddr = udf { (pubkey: Array[Byte]) => Crypto.btcAddress(pubkey) }
   private val stxAddr = udf { (pubkey: Array[Byte]) => Crypto.stxAddress(pubkey) }
 
   private def blockId(blockHash: org.apache.spark.sql.Column,
                       consensusHash: org.apache.spark.sql.Column) =
-    lower(hex(sha512_256(concat(unhex(blockHash), unhex(consensusHash)))))
+    lower(hex(call_function("graft_sha512_256",
+      concat(unhex(blockHash), unhex(consensusHash)))))
 
   /** F1/J9 — the reference's real computed-key join: stacks_block_id =
     * SHA-512/256(block_hash ‖ consensus_hash) (rpc.js:320-336), block side
     * derived from orders, tx side from lineitem, joined on the digest. */
   private val f1: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
     val blocks = Tables.orders(s, d).select(
       col("o_orderkey"),
       blockId(md5(col("o_orderkey").cast("string")),
         md5(concat(lit("c"), col("o_orderkey").cast("string")))).as("stacks_block_id"))
-    val txs = Tables.lineitem(s, d).select(
-      blockId(md5(col("l_orderkey").cast("string")),
-        md5(concat(lit("c"), col("l_orderkey").cast("string")))).as("stacks_block_id"))
-    blocks.join(txs, "stacks_block_id")
-      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_txs"))
+    // aggregate-before-join: collapse the tx side to one row per key BEFORE
+    // digesting and joining — the count is key-associative, so this digests
+    // 1/4 of the rows and shuffles longs instead of 64-char digests. A
+    // rewrite Catalyst cannot do itself (the digest is opaque to it).
+    val txCounts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_txs"))
+      .select(
+        blockId(md5(col("l_orderkey").cast("string")),
+          md5(concat(lit("c"), col("l_orderkey").cast("string")))).as("stacks_block_id"),
+        col("n_txs"))
+    blocks.join(txCounts, "stacks_block_id")
+      .select(col("o_orderkey"), col("n_txs"))
       .orderBy(col("o_orderkey"))
   }
 

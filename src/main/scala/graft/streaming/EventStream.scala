@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 
 /** Structured Streaming layer (SURVEY.md §2.10): the reference's "streaming"
   * is timer-driven batch (setInterval, server.js:444-452); here the same
@@ -37,6 +37,34 @@ object EventStream {
     val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
     raw.withColumn("ts",
       expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
+  }
+
+  /** Per-type incremental state carried across micro-batches. */
+  case class TypeAgg(event_type: String, max_value: Double, n_events: Long)
+
+  /** A7's running-max as a genuinely INCREMENTAL stateful operator
+    * (mapGroupsWithState): the reference recomputes its tip diagnostics from
+    * a full scan every 120 s; here per-key state persists in the state store
+    * and each micro-batch folds only its own rows in. This is the custom-
+    * state extension point (KeyValueGroupedDataset) for anything the built-in
+    * windowed aggs can't express. */
+  def statefulRunningMax(events: DataFrame): Dataset[TypeAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TypeAgg, TypeAgg](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            TypeAgg(key, Double.NegativeInfinity, 0L))
+          var mx = prev.max_value
+          var n = prev.n_events
+          rows.foreach { case (_, v) => mx = math.max(mx, v); n += 1 }
+          val next = TypeAgg(key, mx, n)
+          state.update(next)
+          next
+      }
   }
 
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into

@@ -81,6 +81,32 @@ class PipelinesSpec extends SparkSpec {
     assert(doc.count(_ == '{') === doc.count(_ == '}'))
   }
 
+  test("stateful running max accumulates across micro-batches") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.statefulRunningMax(
+        ms.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("stateful_max")
+      .outputMode("update").start()
+    try {
+      ms.addData((ts(1, 0), "a", 5.0), (ts(1, 1), "a", 3.0), (ts(1, 2), "b", 1.0))
+      q.processAllAvailable()
+      // second batch: state must carry — max stays 5.0 for a smaller value,
+      // count keeps growing
+      ms.addData((ts(2, 0), "a", 4.0), (ts(2, 1), "b", 9.0))
+      q.processAllAvailable()
+      val last = spark.table("stateful_max")
+        .groupBy("event_type")
+        .agg(max("max_value").as("mx"), max("n_events").as("n"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(last("a") === ((5.0, 3L)))
+      assert(last("b") === ((9.0, 2L)))
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

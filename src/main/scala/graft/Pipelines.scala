@@ -28,11 +28,19 @@ object Pipelines {
     operators.Aggregations.queries("a8_block_rollup")(s, d)
 
   /** The update() cycle: recompute all three and overwrite the cache dir.
-    * Idempotent — same contract as the reference's whole-key Redis SET. */
+    * Idempotent — same contract as the reference's whole-key Redis SET.
+    * block_info (the only per-height relation) is partitioned by height
+    * bucket (SURVEY §7.6): readers with a height range prune partitions,
+    * and dynamic partition overwrite lets an incremental refresh rewrite
+    * only the buckets that changed instead of the whole relation. */
   def refreshCache(s: SparkSession, sfDir: String, cacheDir: String): Unit = {
     minerInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/miner_info")
     miningInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/mining_info")
-    blockInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/block_info")
+    blockInfo(s, sfDir)
+      .withColumn("height_bucket", (col("stacks_block_height") / 1000L).cast("long"))
+      .write.mode("overwrite")
+      .partitionBy("height_bucket")
+      .parquet(s"$cacheDir/block_info")
   }
 
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as

@@ -105,14 +105,15 @@ object Aggregations {
         x => x.getField("m"))).as("data_20"))
   }
 
-  /** A12 — trailing-100-block leaderboard (server.js:304-331): same pipeline
-    * as A1 with the range pushed into the scan; the tip height comes from a
-    * 1-row broadcast, never a driver collect. */
-  private val a12: Q = (s, d) => {
+  /** A12 — trailing-N-block leaderboards (server.js:304-331, miner_info100 /
+    * miner_info1000): same pipeline as A1 with the range pushed into the
+    * scan; the tip height comes from a 1-row broadcast, never a driver
+    * collect. */
+  private def trailingLeaderboard(n: Long): Q = (s, d) => {
     val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
     Domain.commitsWithWinner(s, d)
       .crossJoin(broadcast(hi))
-      .filter(col("stacks_block_height") > col("hi") - 100L)
+      .filter(col("stacks_block_height") > col("hi") - n)
       .groupBy(col("leader_key_address"))
       .agg(
         count(lit(1)).as("total_mined"),
@@ -120,6 +121,8 @@ object Aggregations {
         sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
       .orderBy(col("leader_key_address"))
   }
+  private val a12 = trailingLeaderboard(100L)
+  private val a12b = trailingLeaderboard(1000L)
 
   /** A15 — skew-resistant salted aggregation: the two-stage groupBy
     * (key⊕salt partial, then key merge) that a 100 TB pipeline uses when
@@ -156,7 +159,8 @@ object Aggregations {
     "a9_btc_total" -> a9,
     "a10_tail20_burnfee" -> a10,
     "a11_tail20_miners" -> a11,
-    "a12_leaderboard_100" -> a12
+    "a12_leaderboard_100" -> a12,
+    "a12_leaderboard_1000" -> a12b
   )
 
   private val fee = Domain.feeSql
@@ -199,12 +203,15 @@ object Aggregations {
     "a11_tail20_miners" ->
       """WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
         | SELECT round(avg(m), 3) AS avg_miner_count, string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
-    "a12_leaderboard_100" ->
-      s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn, l_orderkey FROM lineitem)
-         | SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
-         |   CAST(sum(fee) AS BIGINT) AS miner_burned,
-         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win
-         | FROM c WHERE l_orderkey > (SELECT max(o_orderkey) FROM orders) - 100
-         | GROUP BY 1 ORDER BY 1""".stripMargin
+    "a12_leaderboard_100" -> trailingLeaderboardSql(100),
+    "a12_leaderboard_1000" -> trailingLeaderboardSql(1000)
   )
+
+  private def trailingLeaderboardSql(n: Int): String =
+    s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn, l_orderkey FROM lineitem)
+       | SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
+       |   CAST(sum(fee) AS BIGINT) AS miner_burned,
+       |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win
+       | FROM c WHERE l_orderkey > (SELECT max(o_orderkey) FROM orders) - $n
+       | GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -74,6 +74,12 @@ class PipelinesSpec extends SparkSpec {
     val n1 = spark.read.parquet(s"$dir/block_info").count()
     Pipelines.refreshCache(spark, sf, dir)
     assert(spark.read.parquet(s"$dir/block_info").count() === n1)
+    // height-bucket partitioning: a range predicate prunes partitions
+    val pruned = spark.read.parquet(s"$dir/block_info")
+      .filter(col("height_bucket") === 0L)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(height_bucket"),
+      s"expected partition pruning, got:\n$planStr")
     val doc = Pipelines.dashboard(spark, dir)
     assert(doc.contains("\"currentStatus\"") && doc.contains("\"minerTable\""))
     // well-formed JSON: parseable by the JVM's own nashorn-free check — a

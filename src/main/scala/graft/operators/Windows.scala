@@ -130,7 +130,37 @@ object Windows {
       .orderBy(col("rn"))
   }
 
+  /** W8 — gap-based sessionization over the event stream: a new session
+    * starts after >30 min of user inactivity. The lag→flag→running-sum
+    * formulation is one shuffle on user_id and works identically in any
+    * SQL engine (unlike Spark's session_window builtin, which the oracle
+    * couldn't mirror). Session analytics is a standard training-data /
+    * behavioral-pipeline primitive. */
+  private val w8: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // exact µs compare: second-granularity diffs round differently across
+      // engines (floor vs boundary-count) and split sessions off-by-one
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp"))) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w8_sessionize" -> w8,
     "a6_lag_diff" -> a6,
     "a7_running_max" -> a7,
     "a13_cumsum_by_miner" -> a13,
@@ -143,6 +173,15 @@ object Windows {
   private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "w8_sessionize" ->
+      """WITH w AS (SELECT user_id, event_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+        | f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session FROM w),
+        | s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM f)
+        | SELECT user_id, session_idx, count(*) AS n_events,
+        |   min(ts) AS session_start, max(ts) AS session_end,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a6_lag_diff" ->
       """WITH c AS (SELECT o_orderkey AS block_height,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum

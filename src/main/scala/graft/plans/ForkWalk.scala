@@ -66,24 +66,27 @@ object ForkWalk {
     var reached = tip.select(col("block_hash").as("h")).localCheckpoint(true)
     var jump = b.select(col("block_hash").as("h"), col("parent_hash").as("a"))
       .localCheckpoint(true)
-    var size = 1L
+    var round = 0
     var done = false
     while (!done) {
-      // S := S ∪ jump(S)  — covers ancestor distances [0, 2^k) after k rounds
-      reached = reached
-        .unionByName(
-          reached.join(jump, Seq("h")).select(col("a").as("h")))
-        .distinct()
+      // increment := jump_k(S_k). After k rounds S covers ancestor distances
+      // [0, 2^k) and jump maps +2^k, so the increment covers [2^k, 2^(k+1))
+      // — DISJOINT from S (ancestors of one tip form a path; distances are
+      // unique). No distinct() needed, and fixpoint = empty increment.
+      val inc = reached.join(jump, Seq("h")).select(col("a").as("h"))
         .localCheckpoint(true)
-      val n = reached.count()
-      done = n == size // fixpoint; an emptied jump table stalls S next round
-      size = n
+      val n = inc.count()
+      done = n == 0
       if (!done) {
+        reached = reached.unionByName(inc) // narrow op, no job
         // jump := jump ∘ jump — 2^k-step ancestor map; empties past genesis
         jump = jump.as("x")
           .join(jump.as("y"), col("x.a") === col("y.h"))
           .select(col("x.h").as("h"), col("y.a").as("a"))
           .localCheckpoint(true)
+        round += 1
+        // union lineage is shallow (log-depth); re-anchor it periodically
+        if (round % 8 == 0) reached = reached.localCheckpoint(true)
       }
     }
     b.join(reached.withColumnRenamed("h", "block_hash"), "block_hash")

@@ -112,9 +112,37 @@ object TextQueries {
       .orderBy(col("tf").desc, col("token"))
       .limit(100)
 
+  /** PX1 — end-to-end corpus prep, the composed training-data pipeline:
+    * exact-dedup survivors ∩ quality ≥ 0.55 ∩ labeled English, projected to
+    * (doc_id, n_tokens, quality). One scan feeds the row-local quality
+    * features; the dedup survivor check is the only join (broadcast — the
+    * survivor set is #distinct-contents keep ids). This is the query shape
+    * of an actual pretraining filter pass. */
+  private val px1: Q = (s, d) => {
+    val survivors = Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val tk = col("tk")
+    val nTok = size(tk).cast("double")
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val quality = round(
+      lit(0.4) * least(lit(1.0), nTok / 100.0) +
+        lit(0.3) * (lit(1.0) - punct / length(col("text"))) +
+        lit(0.3) * (hits(tk, stopwords.head._2).cast("double") / nTok), 4)
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(tk).as("n_tokens"), quality.as("quality"))
+      .filter(col("quality") >= 0.55)
+      .join(survivors, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
+    "px1_corpus_prep" -> px1,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
     "tx4_fingerprint" -> tx4
@@ -133,6 +161,16 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "px1_corpus_prep" ->
+      s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         | b AS (SELECT doc_id, text, $toksSql AS tk FROM documents WHERE lang = 'en'),
+         | m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |   round(0.4 * least(1.0, len(tk) / 100.0)
+         |     + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text))
+         |     + 0.3 * (${hitsSql(stopwords.head._2)} * 1.0 / len(tk)), 4) AS quality
+         |  FROM b)
+         | SELECT m.doc_id, m.n_tokens, m.quality FROM m JOIN surv ON m.doc_id = surv.doc_id
+         | WHERE m.quality >= 0.55 ORDER BY m.doc_id""".stripMargin,
     "tx5_vocab" ->
       s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          | FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)

@@ -99,9 +99,46 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  private val NCells = 16
+
+  /** X3 — IVF-style ANN: vectors are assigned to the nearest of 16 codebook
+    * cells, and queries search ONLY their own cell — the coarse-quantization
+    * scale path (Σ O(|cell|·queries-in-cell) instead of O(n) per query).
+    * The codebook here is fixed (the 16 lowest vec_ids) so both engines
+    * derive identical cells; a production build would k-means it — the
+    * plan shape (assign map-side, equi-join on cell, exact re-rank) is the
+    * part that carries to 100 TB. */
+  private val x3: Q = (s, d) => {
+    val v = vecs(s, d)
+    val cb = v.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    val wCell = Window.partitionBy("vec_id")
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val assigned = v.crossJoin(broadcast(cb))
+      .withColumn("cell_cos",
+        dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
+      .withColumn("rc", row_number().over(wCell))
+      .filter(col("rc") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell_id"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell_id"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"), col("cell_id"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_knn_bruteforce" -> x1,
-    "x2_ann_lsh" -> x2
+    "x2_ann_lsh" -> x2,
+    "x3_ann_ivf" -> x3
   )
 
   private def planeSql(j: Int): String =
@@ -126,6 +163,22 @@ object Similarity {
          | r AS (SELECT q_id, vec_id, cos_raw,
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "x3_ann_ivf" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0),
+         | cb AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM v WHERE vec_id < $NCells),
+         | asg0 AS (SELECT v.vec_id, v.v, v.norm, cb.cell_id,
+         |   list_sum(list_transform(range($Dim), i -> v.v[i+1] * cb.cv[i+1])) / (v.norm * cb.cnorm) AS cell_cos
+         |   FROM v CROSS JOIN cb),
+         | asg AS (SELECT vec_id, v, norm, cell_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc FROM asg0) WHERE rc = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, cell_id FROM asg WHERE vec_id < 5),
+         | c AS (SELECT q.q_id, a.vec_id, a.cell_id, $dotQSql / ($normSql) AS cos_raw
+         |   FROM asg a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id),
+         | r AS (SELECT q_id, vec_id, cell_id, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, cell_id
          | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "x2_ann_lsh" ->
       s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

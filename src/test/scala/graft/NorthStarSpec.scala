@@ -79,6 +79,28 @@ class SimilaritySpec extends SparkSpec {
     assert(qBuckets.groupBy("q_id").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("x3 IVF: every result shares the query's cell and never beats brute force") {
+    val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("best_cos"))
+    val ivf = q("x3_ann_ivf").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("ivf_cos"))
+    assert(bf.join(ivf, "q_id").filter(col("ivf_cos") > col("best_cos")).count() === 0L)
+    // one cell per query in the output
+    val cells = q("x3_ann_ivf").select("q_id", "cell_id").distinct()
+    assert(cells.groupBy("q_id").count().filter(col("count") > 1).count() === 0L)
+  }
+
+  test("px1 corpus prep is the intersection of its three filters") {
+    val out = q("px1_corpus_prep")
+    // every kept doc is English-labeled and above the quality bar
+    val lang = Tables.documents(spark, sf).select("doc_id", "lang")
+    assert(out.join(lang, "doc_id").filter(col("lang") =!= "en").count() === 0L)
+    assert(out.filter(col("quality") < 0.55).count() === 0L)
+    // and its quality agrees with tx2's for the same docs
+    val tx2q = q("tx2_quality_score").select(col("doc_id"), col("quality").as("q2"))
+    assert(out.join(tx2q, "doc_id").filter(col("quality") =!= col("q2")).count() === 0L)
+  }
+
   test("x2 ANN top-1 agrees with brute force when the true NN shares a bucket") {
     val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
       .select(col("q_id"), col("neighbor_id").as("true_nn"))

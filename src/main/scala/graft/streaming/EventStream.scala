@@ -67,6 +67,28 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup (the d1 operator as a continuous stage): drop
+    * rows whose content hash was already seen. State note: with the event-
+    * time column excluded from the keys, dropDuplicates keeps seen-hash
+    * state indefinitely — correct, but unbounded; the 100 TB variant is
+    * dropDuplicatesWithinWatermark (dupes only caught within the horizon),
+    * trading completeness for bounded state. Watch for epoch-0 event times:
+    * Spark's initial watermark is 0, so such rows are born late and dropped
+    * silently before this stage. */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("content_hash")
+
+  /** The state-bounded variant: duplicates are only detected within the
+    * watermark horizon, and seen-hash state ages out with it. */
+  def streamingDedupBounded(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */

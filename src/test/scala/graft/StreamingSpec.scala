@@ -113,6 +113,27 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate content across micro-batches") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = EventStream.streamingDedup(ms.toDF.toDF("ts", "text"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData((ts(1, 0), "doc A"), (ts(1, 1), "doc B"), (ts(1, 2), "doc A"))
+      q.processAllAvailable()
+      // a later batch repeating "doc A" within the watermark horizon: dropped
+      ms.addData((ts(1, 30), "doc A"), (ts(1, 31), "doc C"))
+      q.processAllAvailable()
+      val texts = spark.table("stream_dedup").select("text")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq === Seq("doc A", "doc B", "doc C"))
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
+      operators.Profiling.queries ++
       plans.ForkWalk.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.Profiling.oracles ++
       plans.ForkWalk.oracles
 }

@@ -77,7 +77,11 @@ object Aggregations {
     Domain.commits(s, d)
       .agg(round(sum(col("burn_fee")) / lit(1e8), 2).as("btc_total"))
 
-  /** A10 — trailing-20 burn-fee average + raw series (mining_monitor_rpc.js:2-5). */
+  /** A10 — trailing-20 burn-fee average + raw series (mining_monitor_rpc.js:2-5).
+    * Deliberately groupBy-then-limit: groups are scalar sums, so one shuffle
+    * + TakeOrdered beats resolving the height set first (a pre-filter join
+    * costs 2 extra jobs and only pays when per-group work is heavy — w6's
+    * window — not for cheap aggregates; measured both ways). */
   private val a10: Q = (s, d) => {
     val tail = Domain.commits(s, d)
       .groupBy(col("stacks_block_height"))

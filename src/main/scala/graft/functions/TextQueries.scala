@@ -41,26 +41,41 @@ object TextQueries {
             / size(col("tk")), 3).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
+  /** quality = 0.4·min(1, n/100) + 0.3·(1 − punct/len) + 0.3·stop/n,
+    * emitted as INTEGER basis points (×10000) with explicit integer
+    * half-up: (num·20000 + den) div (2·den) where
+    *   num = 4·min(100,n)·L·n + 300·(L−p)·n + 300·s·L, den = 1000·L·n.
+    * No floating point anywhere: the rational cancels into values that sit
+    * EXACTLY on round-half boundaries (e.g. 25716/48000 = 0.535750), and
+    * double-rounding of such halves is engine-dependent — at sf0.1 it
+    * flipped one row per ~5000 docs. Integer arithmetic can't. */
+  private def qualityBp(n: Column, len: Column, punct: Column, stop: Column): Column = {
+    val num = lit(4L) * least(lit(100L), n) * len * n +
+      lit(300L) * (len - punct) * n + lit(300L) * stop * len
+    val den = lit(1000L) * len * n
+    // floor of the double quotient is exact here: quotient granularity
+    // 1/(2·den) ≥ 7e-9 dwarfs the 2^-53 division error
+    floor((num * 20000L + den).cast("double") / (den * 2L).cast("double"))
+      .cast("long")
+  }
+
   /** TX2 — quality score: length saturation + non-punct share + stopword
     * share, a typical pretraining quality filter (weights are fixed). */
   private val tx2: Q = (s, d) => {
     val tk = col("tk") // materialized below; multi-use ref, evaluated once
-    val nTok = size(tk).cast("double")
+    val n = size(tk).cast("long")
+    val len = length(col("text")).cast("long")
     val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val stopHits = hits(tk, stopwords.head._2).cast("double")
-    val lenScore = least(lit(1.0), nTok / 100.0)
-    val punctRatio = punct / length(col("text"))
-    val stopRatio = stopHits / nTok
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val stop = hits(tk, stopwords.head._2).cast("long")
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
       .select(
         col("doc_id"),
         size(tk).as("n_tokens"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(stopRatio, 4).as("stopword_ratio"),
-        round(lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio)
-          + lit(0.3) * stopRatio, 4).as("quality"))
+        round(punct.cast("double") / len.cast("double"), 4).as("punct_ratio"),
+        round(stop.cast("double") / n.cast("double"), 4).as("stopword_ratio"),
+        qualityBp(n, len, punct, stop).as("quality_bp"))
       .orderBy(col("doc_id"))
   }
 
@@ -123,18 +138,17 @@ object TextQueries {
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val tk = col("tk")
-    val nTok = size(tk).cast("double")
+    val n = size(tk).cast("long")
+    val len = length(col("text")).cast("long")
     val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
-    val quality = round(
-      lit(0.4) * least(lit(1.0), nTok / 100.0) +
-        lit(0.3) * (lit(1.0) - punct / length(col("text"))) +
-        lit(0.3) * (hits(tk, stopwords.head._2).cast("double") / nTok), 4)
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    val stop = hits(tk, stopwords.head._2).cast("long")
     Tables.documents(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), size(tk).as("n_tokens"), quality.as("quality"))
-      .filter(col("quality") >= 0.55)
+      .select(col("doc_id"), size(tk).as("n_tokens"),
+        qualityBp(n, len, punct, stop).as("quality_bp"))
+      .filter(col("quality_bp") >= 5500L)
       .join(survivors, Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -164,13 +178,15 @@ object TextQueries {
     "px1_corpus_prep" ->
       s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          | b AS (SELECT doc_id, text, $toksSql AS tk FROM documents WHERE lang = 'en'),
-         | m AS (SELECT doc_id, len(tk) AS n_tokens,
-         |   round(0.4 * least(1.0, len(tk) / 100.0)
-         |     + 0.3 * (1.0 - (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text))
-         |     + 0.3 * (${hitsSql(stopwords.head._2)} * 1.0 / len(tk)), 4) AS quality
-         |  FROM b)
-         | SELECT m.doc_id, m.n_tokens, m.quality FROM m JOIN surv ON m.doc_id = surv.doc_id
-         | WHERE m.quality >= 0.55 ORDER BY m.doc_id""".stripMargin,
+         | m0 AS (SELECT doc_id, len(tk) AS n, len(text) AS l,
+         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS p,
+         |   ${hitsSql(stopwords.head._2)} AS s
+         |  FROM b),
+         | m AS (SELECT doc_id, n AS n_tokens,
+         |   CAST(floor(((4 * least(100, n) * l * n + 300 * (l - p) * n + 300 * s * l) * 20000 + 1000 * l * n) * 1.0 / (2000 * l * n)) AS BIGINT) AS quality_bp
+         |  FROM m0)
+         | SELECT m.doc_id, m.n_tokens, m.quality_bp FROM m JOIN surv ON m.doc_id = surv.doc_id
+         | WHERE m.quality_bp >= 5500 ORDER BY m.doc_id""".stripMargin,
     "tx5_vocab" ->
       s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
          | FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
@@ -182,15 +198,13 @@ object TextQueries {
          | FROM (SELECT doc_id, n_chars, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
     "tx2_quality_score" ->
       s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
-         | m AS (SELECT doc_id,
-         |   len(tk) AS n_tokens,
-         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / len(text) AS punct_ratio,
-         |   ${hitsSql(stopwords.head._2)} * 1.0 / len(tk) AS stop_ratio,
-         |   least(1.0, len(tk) / 100.0) AS len_score
+         | m AS (SELECT doc_id, len(tk) AS n, len(text) AS l,
+         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS p,
+         |   ${hitsSql(stopwords.head._2)} AS s
          |  FROM b)
-         | SELECT doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio,
-         |   round(stop_ratio, 4) AS stopword_ratio,
-         |   round(0.4 * len_score + 0.3 * (1.0 - punct_ratio) + 0.3 * stop_ratio, 4) AS quality
+         | SELECT doc_id, n AS n_tokens, round(p * 1.0 / l, 4) AS punct_ratio,
+         |   round(s * 1.0 / n, 4) AS stopword_ratio,
+         |   CAST(floor(((4 * least(100, n) * l * n + 300 * (l - p) * n + 300 * s * l) * 20000 + 1000 * l * n) * 1.0 / (2000 * l * n)) AS BIGINT) AS quality_bp
          | FROM m ORDER BY doc_id""".stripMargin,
     "tx3_langid" ->
       s"""WITH c AS (SELECT doc_id, lang,

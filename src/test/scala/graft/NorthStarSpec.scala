@@ -95,10 +95,10 @@ class SimilaritySpec extends SparkSpec {
     // every kept doc is English-labeled and above the quality bar
     val lang = Tables.documents(spark, sf).select("doc_id", "lang")
     assert(out.join(lang, "doc_id").filter(col("lang") =!= "en").count() === 0L)
-    assert(out.filter(col("quality") < 0.55).count() === 0L)
+    assert(out.filter(col("quality_bp") < 5500L).count() === 0L)
     // and its quality agrees with tx2's for the same docs
-    val tx2q = q("tx2_quality_score").select(col("doc_id"), col("quality").as("q2"))
-    assert(out.join(tx2q, "doc_id").filter(col("quality") =!= col("q2")).count() === 0L)
+    val tx2q = q("tx2_quality_score").select(col("doc_id"), col("quality_bp").as("q2"))
+    assert(out.join(tx2q, "doc_id").filter(col("quality_bp") =!= col("q2")).count() === 0L)
   }
 
   test("x2 ANN top-1 agrees with brute force when the true NN shares a bucket") {
@@ -124,9 +124,9 @@ class TextQueriesSpec extends SparkSpec {
     assert(df.filter(col("avg_token_len") <= 0.0).count() === 0L)
   }
 
-  test("tx2 quality is a convex combination in [0, 1]") {
+  test("tx2 quality_bp is a convex combination in [0, 10000] basis points") {
     val bad = q("tx2_quality_score")
-      .filter(col("quality") < 0.0 || col("quality") > 1.0).count()
+      .filter(col("quality_bp") < 0L || col("quality_bp") > 10000L).count()
     assert(bad === 0L)
   }
 

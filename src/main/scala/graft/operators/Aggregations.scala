@@ -14,10 +14,21 @@ import org.apache.spark.sql.functions._
 object Aggregations {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Scaled-integer half-up of the rational num/den — round(double, n) of
+    * int/int rationals is not portable across engines (exact .5 boundaries;
+    * see TextQueries.qualityBp). */
+  private def rationalScaled(num: org.apache.spark.sql.Column,
+                             den: org.apache.spark.sql.Column,
+                             scale: Long): org.apache.spark.sql.Column =
+    floor((num * (2L * scale) + den).cast("double") / (den * 2L).cast("double"))
+      .cast("long")
+
   /** A1+A4 — per-miner leaderboard over commits in range (rpc.js:244-275):
     * mined = count, burned = sum(fee), won = count_if(winner), plus derived
-    * average_burn and normalized_wins (rpc.js:433-434). One shuffle on the
-    * group key; the winner window shares the per-height partitioning. */
+    * average_burn (milli-units) and normalized_wins (micro-units)
+    * (rpc.js:433-434 — the reference's toFixed(3) presentation rounding,
+    * re-expressed as exact scaled integers so both engines agree on every
+    * input). One shuffle on the group key. */
   private val a1: Q = (s, d) =>
     Domain.commitsWithWinner(s, d)
       .groupBy(col("leader_key_address"))
@@ -25,8 +36,11 @@ object Aggregations {
         count(lit(1)).as("total_mined"),
         sum(col("burn_fee")).as("miner_burned"),
         sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
-      .withColumn("average_burn", round(col("miner_burned") / col("total_mined"), 3))
-      .withColumn("normalized_wins", round(col("total_win") / col("average_burn"), 6))
+      .withColumn("average_burn_milli",
+        rationalScaled(col("miner_burned"), col("total_mined"), 1000L))
+      // normalized_wins = won / average_burn = won·1000 / avg_milli
+      .withColumn("normalized_wins_micro",
+        rationalScaled(col("total_win") * 1000L, col("average_burn_milli"), 1000000L))
       .orderBy(col("leader_key_address"))
 
   /** A2 — canonical-fork wins with genesis-bonus split (rpc.js:301-305). */
@@ -89,10 +103,14 @@ object Aggregations {
       .orderBy(col("stacks_block_height").desc)
       .limit(20)
     tail.agg(
-      round(avg(col("f")), 3).as("avg_burn_fee"),
+      sum(col("f")).as("sum_f"),
+      count(lit(1)).as("n_f"),
       concat_ws(",", transform(
         sort_array(collect_list(struct(col("stacks_block_height"), col("f")))),
         x => x.getField("f"))).as("data_20"))
+      .select(
+        rationalScaled(col("sum_f"), col("n_f"), 1000L).as("avg_burn_fee_milli"),
+        col("data_20"))
   }
 
   /** A11 — trailing-20 miner-count average + series (mining_monitor_rpc.js:7-8). */
@@ -103,10 +121,14 @@ object Aggregations {
       .orderBy(col("stacks_block_height").desc)
       .limit(20)
     tail.agg(
-      round(avg(col("m")), 3).as("avg_miner_count"),
+      sum(col("m")).as("sum_m"),
+      count(lit(1)).as("n_m"),
       concat_ws(",", transform(
         sort_array(collect_list(struct(col("stacks_block_height"), col("m")))),
         x => x.getField("m"))).as("data_20"))
+      .select(
+        rationalScaled(col("sum_m"), col("n_m"), 1000L).as("avg_miner_count_milli"),
+        col("data_20"))
   }
 
   /** A12 — trailing-N-block leaderboards (server.js:304-331, miner_info100 /
@@ -179,11 +201,11 @@ object Aggregations {
       s"""WITH c AS (SELECT l_suppkey, $fee AS fee, $winnerRn AS rn FROM lineitem),
          | g AS (SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
          |   CAST(sum(fee) AS BIGINT) AS miner_burned,
-         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win FROM c GROUP BY 1)
-         | SELECT leader_key_address, total_mined, miner_burned, total_win,
-         |   round(miner_burned / total_mined, 3) AS average_burn,
-         |   round(total_win / round(miner_burned / total_mined, 3), 6) AS normalized_wins
-         | FROM g ORDER BY leader_key_address""".stripMargin,
+         |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win FROM c GROUP BY 1),
+         | g2 AS (SELECT *, CAST(floor((miner_burned * 2000 + total_mined) * 1.0 / (total_mined * 2)) AS BIGINT) AS average_burn_milli FROM g)
+         | SELECT leader_key_address, total_mined, miner_burned, total_win, average_burn_milli,
+         |   CAST(floor((total_win * 1000 * 2000000 + average_burn_milli) * 1.0 / (average_burn_milli * 2)) AS BIGINT) AS normalized_wins_micro
+         | FROM g2 ORDER BY leader_key_address""".stripMargin,
     "a2_canonical_wins" ->
       s"""WITH c AS (SELECT l_orderkey, l_suppkey, $winnerRn AS rn FROM lineitem)
          | SELECT l_suppkey AS leader_key_address, count(*) AS actual_win,
@@ -203,10 +225,12 @@ object Aggregations {
       s"SELECT round(CAST(sum($fee) AS BIGINT) / 1e8, 2) AS btc_total FROM lineitem",
     "a10_tail20_burnfee" ->
       s"""WITH r AS (SELECT l_orderkey AS h, CAST(sum($fee) AS BIGINT) AS f FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-         | SELECT round(avg(f), 3) AS avg_burn_fee, string_agg(CAST(f AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
+         | SELECT CAST(floor((sum(f) * 2000 + count(*)) * 1.0 / (count(*) * 2)) AS BIGINT) AS avg_burn_fee_milli,
+         |   string_agg(CAST(f AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a11_tail20_miners" ->
       """WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-        | SELECT round(avg(m), 3) AS avg_miner_count, string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
+        | SELECT CAST(floor((sum(m) * 2000 + count(*)) * 1.0 / (count(*) * 2)) AS BIGINT) AS avg_miner_count_milli,
+        |   string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a12_leaderboard_100" -> trailingLeaderboardSql(100),
     "a12_leaderboard_1000" -> trailingLeaderboardSql(1000)
   )

@@ -23,9 +23,15 @@ object ScalarQueries {
 
   /** F10/P9 — miner_info projection with rate-of-return economics
     * (utils.js:1-11, server.js:286-294): pure arithmetic on the leaderboard,
-    * dimension join broadcast. Constants from the reference (BASELINE.md). */
+    * dimension join broadcast. Constants from the reference (BASELINE.md).
+    *
+    * RR reduces to an EXACT integer rational: with stx=1.5 the rewards are
+    * 2466·1.5 = 3699 and 1000·1.5 = 1500 whole units, and cost = C·6/10⁴
+    * sats-scaled where C = mined·35000 + burned — so rr = earn/cost − 1 =
+    * (earn·10⁴ − 6C) / (6C), emitted milli-scaled with integer half-up
+    * (toward +∞ for the rare negative rr). round(double) of such rationals
+    * flips on exact half-boundaries between engines. */
   private val f10: Q = (s, d) => {
-    val stx = 1.5; val btc = 60000.0
     val lb = Domain.commitsWithWinner(s, d)
       .groupBy(col("leader_key_address"))
       .agg(
@@ -37,16 +43,18 @@ object ScalarQueries {
           .as("actual_win_bonus"))
       .withColumn("actual_win", col("total_win"))
     val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-    val earn = col("actual_win_bonus") * Domain.BonusReward * stx +
-      (col("actual_win") - col("actual_win_bonus")) * Domain.BaseReward * stx
-    val cost = (col("total_mined") * Domain.GasSats + col("miner_burned")) * btc / 1e8
+    val earn = col("actual_win_bonus") * 3699L +
+      (col("actual_win") - col("actual_win_bonus")) * 1500L
+    val costNum = (col("total_mined") * 35000L + col("miner_burned")) * 6L
+    val rrMilli = floor(((earn * 10000L - costNum) * 2000L + costNum).cast("double")
+      / (costNum * 2L).cast("double")).cast("long")
     lb.join(broadcast(sup), lb("leader_key_address") === sup("s_suppkey"))
       .select(
         col("s_name").as("stx_address"),
         concat(lit("btc:"), col("s_name")).as("btc_address"),
         col("actual_win"), col("actual_win_bonus"), col("total_win"),
         col("total_mined"), col("miner_burned"),
-        round(earn / cost - 1.0, 3).as("rr"))
+        rrMilli.as("rr_milli"))
       .orderBy(col("stx_address"))
   }
 
@@ -133,8 +141,10 @@ object ScalarQueries {
         |   FROM c GROUP BY 1)
         | SELECT s.s_name AS stx_address, 'btc:' || s.s_name AS btc_address,
         |   g.total_win AS actual_win, g.actual_win_bonus, g.total_win, g.total_mined, g.miner_burned,
-        |   round((g.actual_win_bonus * 2466.0 * 1.5 + (g.total_win - g.actual_win_bonus) * 1000.0 * 1.5)
-        |         / ((g.total_mined * 35000.0 + g.miner_burned) * 60000.0 / 1e8) - 1.0, 3) AS rr
+        |   CAST(floor((((g.actual_win_bonus * 3699 + (g.total_win - g.actual_win_bonus) * 1500) * 10000
+        |     - (g.total_mined * 35000 + g.miner_burned) * 6) * 2000
+        |     + (g.total_mined * 35000 + g.miner_burned) * 6) * 1.0
+        |     / ((g.total_mined * 35000 + g.miner_burned) * 6 * 2)) AS BIGINT) AS rr_milli
         | FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey ORDER BY stx_address""".stripMargin,
     "f12_txid_csv" ->
       """SELECT l_orderkey, string_agg(substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 10), ',' ORDER BY l_linenumber) AS txids

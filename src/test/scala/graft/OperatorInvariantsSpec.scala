@@ -169,9 +169,11 @@ class ScalarQueriesSpec extends SparkSpec {
     assert(df.filter(col("k").isNull).count() < df.count())
   }
 
-  test("f10 RR economics: rr is finite and actual_win==total_win") {
+  test("f10 RR economics: rr_milli present and actual_win==total_win") {
     val df = q("f10_rr_miner_info")
-    assert(df.filter(col("rr").isNull || isnan(col("rr"))).count() === 0L)
+    assert(df.filter(col("rr_milli").isNull).count() === 0L)
+    // rr > -1 always (earn >= 0, cost > 0)
+    assert(df.filter(col("rr_milli") < -1000L).count() === 0L)
     assert(df.filter(col("actual_win") =!= col("total_win")).count() === 0L)
   }
 

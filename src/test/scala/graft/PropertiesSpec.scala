@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.Crypto
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the scalar layers: structural laws verified
+  * over many seeded-random inputs (no scalatest↔scalacheck bridge jar on
+  * the offline classpath, so the generators are a seeded Random). */
+class PropertiesSpec extends AnyFunSuite {
+  private def randomBytes(rnd: scala.util.Random, max: Int = 64): Array[Byte] =
+    Array.fill(rnd.nextInt(max))(rnd.nextInt().toByte)
+
+  test("hex/unhex round-trip for arbitrary byte strings") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val b = randomBytes(rnd)
+      assert(Crypto.unhex(Crypto.hex(b)).sameElements(b))
+    }
+  }
+
+  test("digests have fixed lengths and are deterministic") {
+    val rnd = new scala.util.Random(43)
+    (1 to 200).foreach { _ =>
+      val b = randomBytes(rnd)
+      assert(Crypto.sha512_256(b).length === 32)
+      assert(Crypto.ripemd160(b).length === 20)
+      assert(Crypto.hash160(b).length === 20)
+      assert(Crypto.sha512_256(b).sameElements(Crypto.sha512_256(b)))
+    }
+  }
+
+  test("base58check uses only the base58 alphabet; version 0 prefixes '1'") {
+    val alphabet = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz".toSet
+    val rnd = new scala.util.Random(44)
+    (1 to 200).foreach { _ =>
+      val addr = Crypto.base58check(0x00, Array.fill(20)(rnd.nextInt().toByte))
+      assert(addr.forall(alphabet.contains))
+      assert(addr.startsWith("1"))
+    }
+  }
+
+  test("c32check addresses use the c32 alphabet and the version prefix") {
+    val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ".toSet
+    val rnd = new scala.util.Random(45)
+    (1 to 200).foreach { _ =>
+      val addr = Crypto.c32address(22, Array.fill(20)(rnd.nextInt().toByte))
+      assert(addr.startsWith("SP")) // 'S' + c32digit(22) = 'P'
+      assert(addr.drop(1).forall(alphabet.contains))
+    }
+  }
+
+  test("secp256k1 decompression honors parity and y + (p−y) ≡ 0 on-curve") {
+    val p = BigInt("fffffffffffffffffffffffffffffffffffffffffffffffffffffffefffffc2f", 16)
+    val rnd = new scala.util.Random(46)
+    var onCurve = 0
+    (1 to 300).foreach { _ =>
+      val x = BigInt(1, Crypto.sha256(BigInt(rnd.nextLong()).toByteArray)).mod(p)
+      val y2 = (x.modPow(3, p) + 7).mod(p)
+      val y = y2.modPow((p + 1) / 4, p)
+      if ((y * y).mod(p) == y2) { // ~half of x values lie on the curve
+        onCurve += 1
+        val raw = x.toByteArray.dropWhile(_ == 0)
+        val xb = Array.fill[Byte](32 - raw.length)(0) ++ raw
+        val even = Crypto.decompress(2.toByte +: xb)
+        val odd = Crypto.decompress(3.toByte +: xb)
+        val ye = BigInt(1, even.drop(33)); val yo = BigInt(1, odd.drop(33))
+        assert(!ye.testBit(0) && yo.testBit(0))
+        assert((ye + yo).mod(p) == BigInt(0))
+      }
+    }
+    assert(onCurve > 50) // the property actually exercised a decent sample
+  }
+}

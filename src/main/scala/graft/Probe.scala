@@ -16,16 +16,7 @@ object Probe {
     }
 
     GraftExtensions.ensure(spark)
-    // f1 stages
     time("warm")(Tables.lineitem(spark, d).count())
-    time("f1 txCounts groupBy")(Tables.lineitem(spark, d)
-      .groupBy(col("l_orderkey")).agg(count(lit(1))).count())
-    time("f1 digest 150k keys")(Tables.orders(spark, d).select(
-      lower(hex(expr("graft_sha512_256(concat(unhex(md5(cast(o_orderkey as string))), unhex(md5(concat('c', cast(o_orderkey as string))))))"))).as("id"))
-      .filter(col("id").isNotNull).count())
-    time("f1 full")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
-    time("f1 full again")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
-
     val docs = Tables.documents(spark, d)
     time("scan")(docs.count())
     time("tokens")(docs.select(toks(col("text")).as("tk")).agg(sum(size(col("tk")))).head().getLong(0))

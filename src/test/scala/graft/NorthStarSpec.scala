@@ -117,6 +117,29 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TextOpsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  test("shingles fall back to whole-text for docs shorter than 3 tokens") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("a b", "one", "x y z w").toDF("text")
+      .select(functions.TextOps.toks(col("text")).as("tk"))
+      .select(functions.TextOps.shingles(col("tk")).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) === List("a b"))
+    assert(rows(1) === List("one"))
+    assert(rows(2) === List("x y z", "y z w"))
+  }
+
+  test("tokenizer drops empty tokens from repeated whitespace") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("  a   b  ").toDF("text")
+      .select(functions.TextOps.toks(col("text")).as("tk"))
+    assert(df.head().getSeq[String](0).toList === List("a", "b"))
+  }
+}
+
 class TextQueriesSpec extends SparkSpec {
   test("tx1 token stats: distinct <= total tokens, avg length positive") {
     val df = q("tx1_token_stats")

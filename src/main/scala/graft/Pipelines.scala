@@ -43,6 +43,22 @@ object Pipelines {
       .parquet(s"$cacheDir/block_info")
   }
 
+  /** Incremental refresh of the block_info cache: recompute ONLY heights ≥
+    * fromHeight and dynamically overwrite just the height buckets they land
+    * in — untouched buckets' files are left as-is. This is the T2-style
+    * trailing refresh at scale: the 120 s cycle rewrites the tip bucket,
+    * not the whole history. Requires partitionOverwriteMode=dynamic (set
+    * per-write here, not globally). */
+  def refreshBlockInfoIncremental(s: SparkSession, sfDir: String,
+                                  cacheDir: String, fromHeight: Long): Unit =
+    blockInfo(s, sfDir)
+      .filter(col("stacks_block_height") >= fromHeight)
+      .withColumn("height_bucket", (col("stacks_block_height") / 1000L).cast("long"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("height_bucket")
+      .parquet(s"$cacheDir/block_info")
+
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
     * shipped — `fs` never imported — implemented as evidently intended):
     * a driver-side one-value state read/written around each refresh. */

@@ -87,6 +87,26 @@ class PipelinesSpec extends SparkSpec {
     assert(doc.count(_ == '{') === doc.count(_ == '}'))
   }
 
+  test("incremental refresh rewrites only the touched height buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    Pipelines.refreshCache(spark, sf, dir)
+    val before = spark.read.parquet(s"$dir/block_info").count()
+    def bucketFiles(b: Long) = {
+      val d = new java.io.File(s"$dir/block_info/height_bucket=$b")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    }
+    val b0Before = bucketFiles(0L)
+    Thread.sleep(1100) // mtime resolution
+    // refresh only heights >= 1000 (bucket 1 upward)
+    Pipelines.refreshBlockInfoIncremental(spark, sf, dir, 1000L)
+    val b0After = bucketFiles(0L)
+    assert(b0After === b0Before, "bucket 0 must be untouched by an incremental refresh from height 1000")
+    // the relation is still complete and identical in content
+    val after = spark.read.parquet(s"$dir/block_info").count()
+    assert(after === before)
+  }
+
   test("stateful running max accumulates across micro-batches") {
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     val sp = spark

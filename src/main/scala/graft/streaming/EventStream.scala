@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming layer (SURVEY.md §2.10): the reference's "streaming"
   * is timer-driven batch (setInterval, server.js:444-452); here the same
@@ -30,11 +30,14 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
-  /** File-source stream over an events parquet directory: the streaming
-    * read path (schema must be declared for streaming sources). */
-  def fromFiles(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  /** File-source stream over a DIRECTORY of events parquet files (the
+    * streaming source lists the directory for new files — a single-file
+    * path fails with "basePath must be a directory"). Schema must be
+    * declared for streaming sources; nanos surface as long per the session
+    * conf and convert to a timestamp here. */
+  def fromFiles(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsDir).schema
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
     raw.withColumn("ts",
       expr("cast(timestamp_micros(ts div 1000) as timestamp)"))
   }
@@ -67,6 +70,68 @@ object EventStream {
       }
   }
 
+  /** A closed user session (w8's output shape, produced continuously). */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     value_cents: Long)
+
+  /** Open-session state carried between micro-batches (epoch micros). */
+  case class OpenSession(start: Long, last: Long, n: Long, cents: Long)
+
+  private val GapMicros = 1800L * 1000000L // 30 min, matches batch w8
+
+  /** W8 as a CONTINUOUS operator: flatMapGroupsWithState with an event-time
+    * timeout. Sessions close either when a same-user event arrives past the
+    * 30-min gap, or when the watermark passes last_event + 30 min (the
+    * timeout) — so closed sessions are emitted without waiting for the
+    * user's next visit, and per-user state is dropped on timeout. This is
+    * the custom-state extension point the built-in windowed aggregations
+    * cannot express (variable-length, data-dependent windows). */
+  def streamingSessions(events: DataFrame): Dataset[Session] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          def close(o: OpenSession): Session =
+            Session(uid, new java.sql.Timestamp(o.start / 1000),
+              new java.sql.Timestamp(o.last / 1000), o.n, o.cents)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime * 1000L
+              val cents = math.round(v * 100)
+              open match {
+                case Some(o) if t - o.last > GapMicros =>
+                  closed += close(o)
+                  open = Some(OpenSession(t, t, 1L, cents))
+                case Some(o) =>
+                  open = Some(o.copy(last = math.max(o.last, t),
+                    n = o.n + 1, cents = o.cents + cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, cents))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp((o.last + GapMicros) / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup (the d1 operator as a continuous stage): drop
     * rows whose content hash was already seen. State note: with the event-
     * time column excluded from the keys, dropDuplicates keeps seen-hash
@@ -92,9 +157,9 @@ object EventStream {
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */
-  def refreshLoop(spark: SparkSession, dir: String, sinkDir: String,
+  def refreshLoop(spark: SparkSession, eventsDir: String, sinkDir: String,
                   trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
-    hourlyAgg(fromFiles(spark, dir)).writeStream
+    hourlyAgg(fromFiles(spark, eventsDir)).writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", s"$sinkDir/_checkpoint")

@@ -153,9 +153,55 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TX6 — corpus-LM fluency (simplified KenLM idea): how common are a
+    * document's bigrams in the whole corpus? Two-pass: corpus bigram counts
+    * (shuffle on bigram), then per-doc mean corpus-count of its bigrams —
+    * low scores flag disfluent/outlier text. Score is an exact scaled
+    * integer (milli mean). */
+  private val tx6: Q = (s, d) => {
+    val docBigrams = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2), i =>
+            concat_ws(" ", element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .otherwise(array(concat_ws(" ", col("tk"))))).as("bigram"))
+    val counts = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("bg_count"))
+    docBigrams.join(counts, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bg_count")).as("sum_c"), count(lit(1)).as("n_bg"))
+      .select(col("doc_id"), col("n_bg"),
+        floor((col("sum_c") * 2000L + col("n_bg")).cast("double") /
+          (col("n_bg") * 2L).cast("double")).cast("long").as("fluency_milli"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX7 — repetition detection: share of the document's word-3-grams taken
+    * by its single most repeated 3-gram (boilerplate/spam signal). Uses the
+    * WITH-duplicates shingle stream; basis points, exact. */
+  private val tx7: Q = (s, d) => {
+    val withDup = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= 3,
+          transform(sequence(lit(0), size(col("tk")) - 3), i =>
+            concat_ws(" ", element_at(col("tk"), i + 1),
+              element_at(col("tk"), i + 2), element_at(col("tk"), i + 3))))
+          .otherwise(array(concat_ws(" ", col("tk"))))).as("sh"))
+    withDup.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_sh"))
+      .select(col("doc_id"), col("max_rep"), col("n_sh"),
+        floor((col("max_rep") * 20000L + col("n_sh")).cast("double") /
+          (col("n_sh") * 2L).cast("double")).cast("long").as("repetition_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
+    "tx6_bigram_fluency" -> tx6,
+    "tx7_repetition" -> tx7,
     "px1_corpus_prep" -> px1,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
@@ -174,7 +220,34 @@ object TextQueries {
     s"CASE ${arms.mkString(" ")} ELSE '${langs.last}' END"
   }
 
+  private val bigramsSql =
+    """CASE WHEN len(tk) >= 2
+      | THEN list_transform(range(len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2])
+      | ELSE [array_to_string(tk, ' ')] END""".stripMargin
+
+  private val shinglesDupSql =
+    """CASE WHEN len(tk) >= 3
+      | THEN list_transform(range(len(tk)-2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+      | ELSE [array_to_string(tk, ' ')] END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "tx6_bigram_fluency" ->
+      s"""WITH e AS (SELECT doc_id, unnest($bigramsSql) AS bigram
+         |   FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+         | c AS (SELECT bigram, count(*) AS bg_count FROM e GROUP BY 1),
+         | j AS (SELECT e.doc_id, CAST(sum(c.bg_count) AS BIGINT) AS sum_c, count(*) AS n_bg
+         |   FROM e JOIN c ON e.bigram = c.bigram GROUP BY 1)
+         | SELECT doc_id, n_bg,
+         |   CAST(floor((sum_c * 2000 + n_bg) * 1.0 / (n_bg * 2)) AS BIGINT) AS fluency_milli
+         | FROM j ORDER BY doc_id""".stripMargin,
+    "tx7_repetition" ->
+      s"""WITH e AS (SELECT doc_id, unnest($shinglesDupSql) AS sh
+         |   FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+         | g AS (SELECT doc_id, sh, count(*) AS c FROM e GROUP BY 1, 2),
+         | m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_sh FROM g GROUP BY 1)
+         | SELECT doc_id, max_rep, n_sh,
+         |   CAST(floor((max_rep * 20000 + n_sh) * 1.0 / (n_sh * 2)) AS BIGINT) AS repetition_bp
+         | FROM m ORDER BY doc_id""".stripMargin,
     "px1_corpus_prep" ->
       s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          | b AS (SELECT doc_id, text, $toksSql AS tk FROM documents WHERE lang = 'en'),

@@ -158,6 +158,16 @@ class TextQueriesSpec extends SparkSpec {
     assert(q("tx3_langid").filter(!col("predicted").isInCollection(langs)).count() === 0L)
   }
 
+  test("tx6 fluency: every bigram occurs at least once, so fluency >= 1000 milli") {
+    assert(q("tx6_bigram_fluency").filter(col("fluency_milli") < 1000L).count() === 0L)
+  }
+
+  test("tx7 repetition share is in (0, 10000] basis points") {
+    val df = q("tx7_repetition")
+    assert(df.filter(col("repetition_bp") <= 0L || col("repetition_bp") > 10000L).count() === 0L)
+    assert(df.filter(col("max_rep") > col("n_sh")).count() === 0L)
+  }
+
   test("tx4 fingerprint is 4 md5 hashes for any doc with >= 4 shingles") {
     val df = q("tx4_fingerprint")
     // 4 * 32 hex + 3 separators

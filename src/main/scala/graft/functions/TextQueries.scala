@@ -197,12 +197,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PX2 — stratified sampling for data mixing: per-language keep-rates
+    * (en 80%, others 30%) applied by a DETERMINISTIC hash bucket — the
+    * first two md5 hex digits of the doc id give a uniform 0..255 draw both
+    * engines reproduce exactly. Spark's sampleBy is seeded-random and
+    * neither portable nor re-runnable; hash sampling is both, and at 100 TB
+    * it needs no shuffle at all (row-local predicate). */
+  private val px2: Q = (s, d) => {
+    val bucket = expr(
+      "16 * (instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) + " +
+        "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)")
+    val quota = when(col("lang") === "en", 205).otherwise(77) // 80% / 30% of 256
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < quota)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PX3 — token-budget selection (context packing / per-source caps):
+    * within each source, take documents in doc_id order while the running
+    * token total stays under 2000 — the per-source cap step of a mixing
+    * pipeline. One window per source partition. */
+  private val px3: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 2000L)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
     "tx6_bigram_fluency" -> tx6,
     "tx7_repetition" -> tx7,
     "px1_corpus_prep" -> px1,
+    "px2_stratified_sample" -> px2,
+    "px3_token_budget" -> px3,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
     "tx4_fingerprint" -> tx4
@@ -231,6 +267,21 @@ object TextQueries {
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px2_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |   16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) +
+        |   (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+        |  FROM documents)
+        | SELECT doc_id, lang, bucket FROM b
+        | WHERE bucket < CASE WHEN lang = 'en' THEN 205 ELSE 77 END
+        | ORDER BY doc_id""".stripMargin,
+    "px3_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, len($toksSql) AS n_tokens FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         | SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         | WHERE cum_tokens <= 2000 ORDER BY source, doc_id""".stripMargin,
     "tx6_bigram_fluency" ->
       s"""WITH e AS (SELECT doc_id, unnest($bigramsSql) AS bigram
          |   FROM (SELECT doc_id, $toksSql AS tk FROM documents)),

@@ -90,6 +90,31 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.groupBy("q_id").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("px2 stratified sample keeps ~80% of en and ~30% of the rest") {
+    val docs = Tables.documents(spark, sf)
+    val kept = q("px2_stratified_sample")
+    val enRate = kept.filter(col("lang") === "en").count().toDouble /
+      docs.filter(col("lang") === "en").count()
+    val otherRate = kept.filter(col("lang") =!= "en").count().toDouble /
+      docs.filter(col("lang") =!= "en").count()
+    assert(enRate > 0.65 && enRate < 0.95, s"en rate $enRate")
+    assert(otherRate > 0.15 && otherRate < 0.45, s"other rate $otherRate")
+    // deterministic: same sample twice
+    assert(kept.exceptAll(q("px2_stratified_sample")).count() === 0L)
+  }
+
+  test("px3 token budget: per-source cumulative totals never exceed the cap") {
+    val df = q("px3_token_budget")
+    assert(df.filter(col("cum_tokens") > 2000L).count() === 0L)
+    // prefix property: within a source, kept doc_ids are a prefix of the order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val gaps = df.withColumn("prev_cum", lag("cum_tokens", 1).over(w))
+      .filter(col("prev_cum").isNotNull &&
+        col("cum_tokens") =!= col("prev_cum") + col("n_tokens"))
+    assert(gaps.count() === 0L)
+  }
+
   test("px1 corpus prep is the intersection of its three filters") {
     val out = q("px1_corpus_prep")
     // every kept doc is English-labeled and above the quality bar

@@ -7,7 +7,9 @@ object Bench {
     val spark = Sessions.local(cpus, "graft-bench")
     // Warm the JVM/codegen/scan paths once so the first timed query isn't
     // charged several seconds of session startup (r1: first query +4s).
-    SparkEntry.queries.get("a5_tx_count").foreach(fn => fn(spark, sfDir).count())
+    // Guarded: a warmup failure must not prevent the contractual JSON line.
+    try SparkEntry.queries.get("a5_tx_count").foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
     // deterministic name order: run-to-run comparability beats hash order
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -52,7 +52,10 @@ object Pipelines {
   def refreshBlockInfoIncremental(s: SparkSession, sfDir: String,
                                   cacheDir: String, fromHeight: Long): Unit =
     blockInfo(s, sfDir)
-      .filter(col("stacks_block_height") >= fromHeight)
+      // refresh from the START of fromHeight's bucket: dynamic overwrite
+      // replaces whole partitions, so a mid-bucket threshold would rewrite
+      // the straddled bucket with only its upper half and drop the rest
+      .filter(col("stacks_block_height") >= (fromHeight / 1000L) * 1000L)
       .withColumn("height_bucket", (col("stacks_block_height") / 1000L).cast("long"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -28,7 +28,8 @@ object TextQueries {
   private def hits(tk: Column, words: Seq[String]): Column =
     size(filter(tk, t => t.isInCollection(words)))
 
-  /** TX1 — token statistics: counts + mean token length. */
+  /** TX1 — token statistics: counts + mean token length (milli-scaled
+    * exact ratio; zero-token docs score 0). */
   private val tx1: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
@@ -36,48 +37,45 @@ object TextQueries {
         col("doc_id"), col("n_chars"),
         size(col("tk")).as("n_tokens"),
         size(array_distinct(col("tk"))).as("n_distinct_tokens"),
-        round(
-          aggregate(col("tk"), lit(0), (acc, t) => acc + length(t)).cast("double")
-            / size(col("tk")), 3).as("avg_token_len"))
+        ExactRatio.scaled(
+          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)),
+          size(col("tk")).cast("long"), 1000L).as("avg_token_len_milli"))
       .orderBy(col("doc_id"))
 
-  /** quality = 0.4·min(1, n/100) + 0.3·(1 − punct/len) + 0.3·stop/n,
-    * emitted as INTEGER basis points (×10000) with explicit integer
-    * half-up: (num·20000 + den) div (2·den) where
-    *   num = 4·min(100,n)·L·n + 300·(L−p)·n + 300·s·L, den = 1000·L·n.
-    * No floating point anywhere: the rational cancels into values that sit
-    * EXACTLY on round-half boundaries (e.g. 25716/48000 = 0.535750), and
-    * double-rounding of such halves is engine-dependent — at sf0.1 it
-    * flipped one row per ~5000 docs. Integer arithmetic can't. */
-  private def qualityBp(n: Column, len: Column, punct: Column, stop: Column): Column = {
-    val num = lit(4L) * least(lit(100L), n) * len * n +
-      lit(300L) * (len - punct) * n + lit(300L) * stop * len
-    val den = lit(1000L) * len * n
-    // floor of the double quotient is exact here: quotient granularity
-    // 1/(2·den) ≥ 7e-9 dwarfs the 2^-53 division error
-    floor((num * 20000L + den).cast("double") / (den * 2L).cast("double"))
-      .cast("long")
+  /** The quality features over a materialized `tk`/`text` pair — ONE
+    * definition shared by tx2 and px1 (Spark side) with [[qfSql]] as the
+    * oracle mirror, so the formula cannot drift between call sites. */
+  private object QF {
+    def n: Column = size(col("tk")).cast("long")
+    def len: Column = length(col("text")).cast("long")
+    def punct: Column = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+    def stop: Column = hits(col("tk"), stopwords.head._2).cast("long")
   }
+
+  /** quality = 0.4·min(1, n/100) + 0.3·(1 − punct/len) + 0.3·stop/n, in
+    * basis points via exact integer arithmetic (ExactRatio): the rational
+    * cancels into values that sit EXACTLY on round-half boundaries (e.g.
+    * 25716/48000 = 0.535750) and double-rounding of those is engine-
+    * dependent. Empty/whitespace-only docs (n or len = 0) score 0. */
+  private def qualityBp: Column =
+    ExactRatio.scaled(
+      lit(4L) * least(lit(100L), QF.n) * QF.len * QF.n +
+        lit(300L) * (QF.len - QF.punct) * QF.n + lit(300L) * QF.stop * QF.len,
+      lit(1000L) * QF.len * QF.n, 10000L)
 
   /** TX2 — quality score: length saturation + non-punct share + stopword
     * share, a typical pretraining quality filter (weights are fixed). */
-  private val tx2: Q = (s, d) => {
-    val tk = col("tk") // materialized below; multi-use ref, evaluated once
-    val n = size(tk).cast("long")
-    val len = length(col("text")).cast("long")
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
-    val stop = hits(tk, stopwords.head._2).cast("long")
+  private val tx2: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
       .select(
         col("doc_id"),
-        size(tk).as("n_tokens"),
-        round(punct.cast("double") / len.cast("double"), 4).as("punct_ratio"),
-        round(stop.cast("double") / n.cast("double"), 4).as("stopword_ratio"),
-        qualityBp(n, len, punct, stop).as("quality_bp"))
+        size(col("tk")).as("n_tokens"),
+        ExactRatio.scaled(QF.punct, QF.len, 10000L).as("punct_bp"),
+        ExactRatio.scaled(QF.stop, QF.n, 10000L).as("stopword_bp"),
+        qualityBp.as("quality_bp"))
       .orderBy(col("doc_id"))
-  }
 
   /** TX3 — language ID: argmax of per-language stopword hits with a fixed
     * priority tie-break; scored against the labeled `lang` column. */
@@ -137,17 +135,11 @@ object TextQueries {
     val survivors = Tables.documents(s, d)
       .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val tk = col("tk")
-    val n = size(tk).cast("long")
-    val len = length(col("text")).cast("long")
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
-    val stop = hits(tk, stopwords.head._2).cast("long")
     Tables.documents(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), size(tk).as("n_tokens"),
-        qualityBp(n, len, punct, stop).as("quality_bp"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        qualityBp.as("quality_bp"))
       .filter(col("quality_bp") >= 5500L)
       .join(survivors, Seq("doc_id"))
       .orderBy(col("doc_id"))
@@ -171,8 +163,7 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("bg_count")).as("sum_c"), count(lit(1)).as("n_bg"))
       .select(col("doc_id"), col("n_bg"),
-        floor((col("sum_c") * 2000L + col("n_bg")).cast("double") /
-          (col("n_bg") * 2L).cast("double")).cast("long").as("fluency_milli"))
+        ExactRatio.scaled(col("sum_c"), col("n_bg"), 1000L).as("fluency_milli"))
       .orderBy(col("doc_id"))
   }
 
@@ -192,8 +183,7 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("max_rep"), sum(col("c")).as("n_sh"))
       .select(col("doc_id"), col("max_rep"), col("n_sh"),
-        floor((col("max_rep") * 20000L + col("n_sh")).cast("double") /
-          (col("n_sh") * 2L).cast("double")).cast("long").as("repetition_bp"))
+        ExactRatio.scaled(col("max_rep"), col("n_sh"), 10000L).as("repetition_bp"))
       .orderBy(col("doc_id"))
   }
 
@@ -256,6 +246,18 @@ object TextQueries {
     s"CASE ${arms.mkString(" ")} ELSE '${langs.last}' END"
   }
 
+  /** DuckDB mirror of [[QF]]: CTE body yielding (doc_id, n, l, p, s). */
+  private def qfSql(where: String = ""): String =
+    s"""SELECT doc_id, len(tk) AS n, len(text) AS l,
+       |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS p,
+       |   ${hitsSql(stopwords.head._2)} AS s
+       |  FROM (SELECT doc_id, text, $toksSql AS tk FROM documents$where)""".stripMargin
+
+  /** DuckDB mirror of [[qualityBp]] (expects n, l, p, s in scope). */
+  private val qualityBpSql: String = ExactRatio.scaledSql(
+    "4 * least(100, n) * l * n + 300 * (l - p) * n + 300 * s * l",
+    "1000 * l * n", 10000L)
+
   private val bigramsSql =
     """CASE WHEN len(tk) >= 2
       | THEN list_transform(range(len(tk)-1), i -> tk[i+1] || ' ' || tk[i+2])
@@ -289,7 +291,7 @@ object TextQueries {
          | j AS (SELECT e.doc_id, CAST(sum(c.bg_count) AS BIGINT) AS sum_c, count(*) AS n_bg
          |   FROM e JOIN c ON e.bigram = c.bigram GROUP BY 1)
          | SELECT doc_id, n_bg,
-         |   CAST(floor((sum_c * 2000 + n_bg) * 1.0 / (n_bg * 2)) AS BIGINT) AS fluency_milli
+         |   ${ExactRatio.scaledSql("sum_c", "n_bg", 1000L)} AS fluency_milli
          | FROM j ORDER BY doc_id""".stripMargin,
     "tx7_repetition" ->
       s"""WITH e AS (SELECT doc_id, unnest($shinglesDupSql) AS sh
@@ -297,18 +299,12 @@ object TextQueries {
          | g AS (SELECT doc_id, sh, count(*) AS c FROM e GROUP BY 1, 2),
          | m AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_rep, CAST(sum(c) AS BIGINT) AS n_sh FROM g GROUP BY 1)
          | SELECT doc_id, max_rep, n_sh,
-         |   CAST(floor((max_rep * 20000 + n_sh) * 1.0 / (n_sh * 2)) AS BIGINT) AS repetition_bp
+         |   ${ExactRatio.scaledSql("max_rep", "n_sh", 10000L)} AS repetition_bp
          | FROM m ORDER BY doc_id""".stripMargin,
     "px1_corpus_prep" ->
       s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-         | b AS (SELECT doc_id, text, $toksSql AS tk FROM documents WHERE lang = 'en'),
-         | m0 AS (SELECT doc_id, len(tk) AS n, len(text) AS l,
-         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS p,
-         |   ${hitsSql(stopwords.head._2)} AS s
-         |  FROM b),
-         | m AS (SELECT doc_id, n AS n_tokens,
-         |   CAST(floor(((4 * least(100, n) * l * n + 300 * (l - p) * n + 300 * s * l) * 20000 + 1000 * l * n) * 1.0 / (2000 * l * n)) AS BIGINT) AS quality_bp
-         |  FROM m0)
+         | m0 AS (${qfSql(" WHERE lang = 'en'")}),
+         | m AS (SELECT doc_id, n AS n_tokens, $qualityBpSql AS quality_bp FROM m0)
          | SELECT m.doc_id, m.n_tokens, m.quality_bp FROM m JOIN surv ON m.doc_id = surv.doc_id
          | WHERE m.quality_bp >= 5500 ORDER BY m.doc_id""".stripMargin,
     "tx5_vocab" ->
@@ -318,17 +314,14 @@ object TextQueries {
     "tx1_token_stats" ->
       s"""SELECT doc_id, n_chars, len(tk) AS n_tokens,
          |   len(list_distinct(tk)) AS n_distinct_tokens,
-         |   round(list_sum(list_transform(tk, t -> len(t))) * 1.0 / len(tk), 3) AS avg_token_len
+         |   ${ExactRatio.scaledSql("list_sum(list_transform(tk, t -> len(t)))", "len(tk)", 1000L)} AS avg_token_len_milli
          | FROM (SELECT doc_id, n_chars, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
     "tx2_quality_score" ->
-      s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
-         | m AS (SELECT doc_id, len(tk) AS n, len(text) AS l,
-         |   (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS p,
-         |   ${hitsSql(stopwords.head._2)} AS s
-         |  FROM b)
-         | SELECT doc_id, n AS n_tokens, round(p * 1.0 / l, 4) AS punct_ratio,
-         |   round(s * 1.0 / n, 4) AS stopword_ratio,
-         |   CAST(floor(((4 * least(100, n) * l * n + 300 * (l - p) * n + 300 * s * l) * 20000 + 1000 * l * n) * 1.0 / (2000 * l * n)) AS BIGINT) AS quality_bp
+      s"""WITH m AS (${qfSql()})
+         | SELECT doc_id, n AS n_tokens,
+         |   ${ExactRatio.scaledSql("p", "l", 10000L)} AS punct_bp,
+         |   ${ExactRatio.scaledSql("s", "n", 10000L)} AS stopword_bp,
+         |   $qualityBpSql AS quality_bp
          | FROM m ORDER BY doc_id""".stripMargin,
     "tx3_langid" ->
       s"""WITH c AS (SELECT doc_id, lang,

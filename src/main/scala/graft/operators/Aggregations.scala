@@ -14,14 +14,12 @@ import org.apache.spark.sql.functions._
 object Aggregations {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Scaled-integer half-up of the rational num/den — round(double, n) of
-    * int/int rationals is not portable across engines (exact .5 boundaries;
-    * see TextQueries.qualityBp). */
+  /** Scaled-integer half-up of the rational num/den (shared ExactRatio —
+    * round(double, n) of int/int rationals is not engine-portable). */
   private def rationalScaled(num: org.apache.spark.sql.Column,
                              den: org.apache.spark.sql.Column,
                              scale: Long): org.apache.spark.sql.Column =
-    floor((num * (2L * scale) + den).cast("double") / (den * 2L).cast("double"))
-      .cast("long")
+    graft.functions.ExactRatio.scaled(num, den, scale)
 
   /** A1+A4 — per-miner leaderboard over commits in range (rpc.js:244-275):
     * mined = count, burned = sum(fee), won = count_if(winner), plus derived

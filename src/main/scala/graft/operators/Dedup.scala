@@ -116,11 +116,12 @@ object Dedup {
     d2(s, d)
       .join(ds.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(ds.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("d1"), col("d2"), col("jaccard"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard_bp", graft.functions.ExactRatio.scaled(
+        col("inter"),
+        (size(col("sh1")) + size(col("sh2"))).cast("long") - col("inter"), 10000L))
+      .filter(col("jaccard_bp") >= 5000L)
+      .select(col("d1"), col("d2"), col("jaccard_bp"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -204,10 +205,12 @@ object Dedup {
     "d4_ngram_jaccard" ->
       s"""WITH $candSql,
          | j AS (SELECT d1, d2,
-         |   round(len(list_intersect(s1.shingles, s2.shingles)) /
-         |     (len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles))), 6) AS jaccard
+         |   ${graft.functions.ExactRatio.scaledSql(
+              "len(list_intersect(s1.shingles, s2.shingles))",
+              "len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles))",
+              10000L)} AS jaccard_bp
          |   FROM cand JOIN ds s1 ON cand.d1 = s1.doc_id JOIN ds s2 ON cand.d2 = s2.doc_id)
-         | SELECT d1, d2, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY d1, d2""".stripMargin,
+         | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin,
     "d5_embedding_neardup" ->
       s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | v AS (SELECT vec_id, label, v,

@@ -170,7 +170,7 @@ object Windows {
     "w7_pagination" -> w7
   )
 
-  private val fee = "CAST(round(l_extendedprice) AS BIGINT)"
+  private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
     "w8_sessionize" ->

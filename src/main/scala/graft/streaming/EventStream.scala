@@ -98,19 +98,27 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
          state: GroupState[OpenSession]) =>
+          def usToTs(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+            t.setNanos(((us % 1000000L) * 1000L).toInt)
+            t
+          }
           def close(o: OpenSession): Session =
-            Session(uid, new java.sql.Timestamp(o.start / 1000),
-              new java.sql.Timestamp(o.last / 1000), o.n, o.cents)
+            Session(uid, usToTs(o.start), usToTs(o.last), o.n, o.cents)
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).iterator.toSeq
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            // exact microseconds: getTime is ms-truncated and would diverge
+            // from batch w8's unix_micros comparison on sub-ms gaps
+            def micros(ts: java.sql.Timestamp): Long =
+              ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+            val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { case (_, ts, v) =>
-              val t = ts.getTime * 1000L
+              val t = micros(ts)
               val cents = math.round(v * 100)
               open match {
                 case Some(o) if t - o.last > GapMicros =>

@@ -38,9 +38,9 @@ class DedupSpec extends SparkSpec {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 0xFFFF)
   }
 
-  test("d4 jaccard values are in (0.5, 1.0]") {
+  test("d4 jaccard_bp values are in [5000, 10000]") {
     val bad = q("d4_ngram_jaccard")
-      .filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count()
+      .filter(col("jaccard_bp") < 5000L || col("jaccard_bp") > 10000L).count()
     assert(bad === 0L)
   }
 
@@ -169,7 +169,7 @@ class TextQueriesSpec extends SparkSpec {
   test("tx1 token stats: distinct <= total tokens, avg length positive") {
     val df = q("tx1_token_stats")
     assert(df.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0L)
-    assert(df.filter(col("avg_token_len") <= 0.0).count() === 0L)
+    assert(df.filter(col("avg_token_len_milli") <= 0L).count() === 0L)
   }
 
   test("tx2 quality_bp is a convex combination in [0, 10000] basis points") {

@@ -8,38 +8,83 @@ import org.apache.spark.sql.functions._
 /** Window layer (SURVEY.md §2.5: W1–W7 and window-shaped aggs A6/A7/A13/A14).
   *
   * Scale notes: per-partition windows (by miner) parallelize on the partition
-  * key. The two global-order windows (A6 lag-diff, A7 running max) mirror
-  * reference semantics that are inherently a total order over blocks; at
-  * 100 TB they would be range-partitioned by height bucket with per-bucket
-  * carry-in (documented divergence — the testdata plan keeps one sort).
+  * key. The total-order prefix computations (A6 lag-diff, A7 running max,
+  * P2's linkage scan in plans.ForkWalk) use BUCKETED TWO-PASS prefix
+  * aggregation instead of a partition-less window: bucket the order key by a
+  * fixed range width → per-bucket prefix agg in parallel (the window is
+  * partitioned by bucket) → aggregate one row per bucket and prefix-combine
+  * THOSE (a window over #buckets rows, post-aggregation — bounded, never the
+  * fact table) → broadcast the per-bucket carry-in back and merge. No plan
+  * funnels the full table through a single WindowExec task; the only global
+  * window left anywhere runs over an already-aggregated bucket relation.
+  * CoverageSpec enforces this invariant over every registered query plan.
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Range width for prefix bucketing: heights (or days, for event time)
+    * per bucket. Tuning knob: at 100 TB pick it so a bucket's rows fit one
+    * task comfortably; bucket count only needs to exceed the cluster's
+    * parallelism, and the carry-in relation stays metadata-sized. */
+  private[graft] val PrefixBucket = 1024L
+
   /** A6/W1 — first difference of a cumulative measure via lag (rpc.js:245-252):
-    * reconstruct per-block burn from the running total. Integer cents. */
+    * reconstruct per-block burn from the running total. Integer cents.
+    * Two-pass: bucket-local cumsum + lag in parallel, then a carry-in
+    * (exclusive prefix sum of bucket totals) joined back by bucket. The
+    * previous row's cum for a bucket's first row IS the carry-in, so the lag
+    * also needs no cross-bucket pass. */
   private val a6: Q = (s, d) => {
-    val w = Window.orderBy(col("block_height"))
-    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Domain.snapshots(s, d)
+    val snaps = Domain.snapshots(s, d)
       .select(col("block_height"), col("total_burn_cents"))
-      .withColumn("cum", sum(col("total_burn_cents")).over(cumW))
-      .withColumn("actual_burn", col("cum") - lag(col("cum"), 1, 0L).over(w))
+      .withColumn("bkt", floor(col("block_height") / PrefixBucket).cast("long"))
+    val byBkt = Window.partitionBy(col("bkt")).orderBy(col("block_height"))
+    val local = snaps
+      .withColumn("local_cum", sum(col("total_burn_cents"))
+        .over(byBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("local_prev", lag(col("local_cum"), 1).over(byBkt))
+    // one row per bucket; the exclusive-prefix window here runs over the
+    // aggregated bucket relation (#buckets rows), not the fact table
+    val carry = snaps.groupBy(col("bkt"))
+      .agg(sum(col("total_burn_cents")).as("bkt_sum"))
+      .withColumn("carry", coalesce(sum(col("bkt_sum")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("carry"))
+    local.join(broadcast(carry), Seq("bkt"))
+      .withColumn("cum", col("local_cum") + col("carry"))
+      .withColumn("actual_burn",
+        col("cum") - (coalesce(col("local_prev"), lit(0L)) + col("carry")))
       .select(col("block_height"), col("cum"), col("actual_burn"))
       .orderBy(col("block_height"))
   }
 
-  /** A7/W2 — running max with at-tip flag (rpc.js:401-410). */
+  /** A7/W2 — running max with at-tip flag (rpc.js:401-410). Two-pass over
+    * day-width event-time buckets: bucket-local running max in parallel,
+    * carry-in = max over all earlier buckets (exclusive prefix max of the
+    * per-bucket maxima). Equal timestamps always share a bucket, so bucket
+    * order refines the (ts, event_id) total order exactly. */
   private val a7: Q = (s, d) => {
-    val ord = Window.orderBy(col("ts"), col("event_id"))
-    val runW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prevW = ord.rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("value"))
-      .withColumn("running_max", max(col("value")).over(runW))
-      .withColumn("at_tip",
-        max(col("value")).over(prevW).isNull ||
-          col("value") > max(col("value")).over(prevW))
+      .withColumn("bkt",
+        floor(unix_micros(col("ts").cast("timestamp")) / dayUs).cast("long"))
+    val ord = Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))
+    val local = ev
+      .withColumn("local_max", max(col("value"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("local_prev_max", max(col("value"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+    val carry = ev.groupBy(col("bkt")).agg(max(col("value")).as("bkt_max"))
+      .withColumn("carry_max", max(col("bkt_max")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("carry_max")) // null for the first bucket
+    local.join(broadcast(carry), Seq("bkt"))
+      // greatest() skips nulls: first bucket falls back to the local value
+      .withColumn("running_max", greatest(col("local_max"), col("carry_max")))
+      .withColumn("prev_max", greatest(col("local_prev_max"), col("carry_max")))
+      .withColumn("at_tip", col("prev_max").isNull || col("value") > col("prev_max"))
       .select(col("event_id"), col("value"), col("running_max"), col("at_tip"))
       .orderBy(col("event_id"))
   }

@@ -113,17 +113,43 @@ object ForkWalk {
     * from the tip, a row survives only while every link above it held
     * (rpc.js:156-175 keeps a row iff it chains to the previous KEPT row;
     * on a unique-height chain that is exactly "no broken link above me").
-    * One window over the ordered scan — no iteration needed. */
+    *
+    * Bucketed two-pass (operators.Windows.PrefixBucket scale note): the lag
+    * and the suffix-max both run bucket-local in parallel; the only
+    * cross-bucket state is one row per bucket — the bucket's last hash
+    * (feeds the next bucket's first lag) and whether any link in it broke
+    * (suffix-OR'd over the bucket relation, then broadcast back). No
+    * partition-less window ever sees the full chain. */
   private val p2: Q = (s, d) => {
-    val byHeight = Window.orderBy(col("height"))
-    val above = Window.orderBy(col("height").desc)
+    val bw = graft.operators.Windows.PrefixBucket
+    val t = linkTable(s, d)
+      .withColumn("bkt", floor(col("height") / bw).cast("long"))
+    val byH = Window.partitionBy(col("bkt")).orderBy(col("height"))
+    val aboveLocal = Window.partitionBy(col("bkt")).orderBy(col("height").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    linkTable(s, d)
-      .withColumn("prev_hash", lag(col("block_hash"), 1).over(byHeight))
+    // one row per bucket: last hash + "any broken above" carry, combined over
+    // the aggregated bucket relation only
+    val bktOrd = Window.orderBy(col("bkt"))
+    val bktOrdDesc = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = t
+      .withColumn("local_prev", lag(col("block_hash"), 1).over(byH))
+    val boundary = t.groupBy(col("bkt"))
+      .agg(max_by(col("block_hash"), col("height")).as("last_hash"))
+      .withColumn("prev_bkt_hash", lag(col("last_hash"), 1).over(bktOrd))
+      .select(col("bkt"), col("prev_bkt_hash")) // null for the lowest bucket
+    val broken = local.join(broadcast(boundary), Seq("bkt"))
+      .withColumn("prev_hash", coalesce(col("local_prev"), col("prev_bkt_hash")))
       .withColumn("broken",
         when(col("prev_hash").isNotNull &&
           col("parent_hash") =!= col("prev_hash"), 1).otherwise(0))
-      .withColumn("broken_above", max(col("broken")).over(above))
+      .withColumn("local_above", max(col("broken")).over(aboveLocal))
+    val carryAbove = broken.groupBy(col("bkt"))
+      .agg(max(col("broken")).as("bkt_broken"))
+      .withColumn("carry_above", max(col("bkt_broken")).over(bktOrdDesc))
+      .select(col("bkt"), col("carry_above")) // null for the highest bucket
+    broken.join(broadcast(carryAbove), Seq("bkt"))
+      .withColumn("broken_above", greatest(col("local_above"), col("carry_above")))
       .filter(col("broken_above").isNull || col("broken_above") === 0)
       .select(col("height"), col("block_hash"))
       .orderBy(col("height"))

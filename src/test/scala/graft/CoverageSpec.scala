@@ -47,4 +47,27 @@ class CoverageSpec extends SparkSpec {
   test("r1 explode round-trips the nest: row count equals the fact table") {
     assert(q("r1_explode_commits").count() === Tables.lineitem(spark, sf).count())
   }
+
+  /** Scale invariant (VERDICT r2 item 1): a Window with no PARTITION BY
+    * funnels its whole input through ONE task. That is only acceptable over
+    * an input already reduced by aggregation or a limit (bounded by group
+    * cardinality / k, not fact rows). Every total-order prefix query (a6,
+    * a7, p2) must use the bucketed two-pass form instead. */
+  test("no registered query windows over the raw fact table without PARTITION BY") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = q(name).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collect {
+            case a: Aggregate => a
+            case g: GlobalLimit => g
+            case l: LocalLimit => l
+          }.isEmpty => w
+      }
+      if (bad.nonEmpty) Seq(name) else Nil
+    }
+    assert(offenders.isEmpty,
+      s"partition-less window over unbounded input in: ${offenders.mkString(", ")}")
+  }
 }

@@ -10,8 +10,13 @@ object Bench {
     // Guarded: a warmup failure must not prevent the contractual JSON line.
     try SparkEntry.queries.get("a5_tx_count").foreach(fn => fn(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // dev loop: an optional comma-separated arg restricts to named queries
+    // (isolated timings — full-run numbers carry ±2x cross-query noise)
+    val only = args.headOption.map(_.split(",").toSet)
     // deterministic name order: run-to-run comparability beats hash order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

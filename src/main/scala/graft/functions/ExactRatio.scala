@@ -2,20 +2,43 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scaled-integer half-up of integer rationals — THE portable form for any
   * score defined as num/den of integers. round(double, n) of such rationals
   * flips on exact half-boundaries between engines (see CHANGELOG round 2);
   * these helpers emit `round(num/den · scale)` as a long, with the exact
   * integer numerator and one floor division, plus the DuckDB mirror so both
-  * sides are generated from one definition. Zero denominators yield 0. */
+  * sides are generated from one definition. Zero denominators yield 0.
+  *
+  * Exactness: all arithmetic is 38-digit DECIMAL on Spark and HUGEINT
+  * (int128) on DuckDB — exact while |num·2·scale + den| < 10^38, replacing
+  * the previous double-based floor that silently mis-rounded past 2^53
+  * (ADVICE r2). Both engines' integer division truncates toward zero, so
+  * floor semantics for negative numerators (rr can be < 0) come from the
+  * same explicit remainder adjustment on both sides.
+  */
 object ExactRatio {
 
-  def scaled(num: Column, den: Column, scale: Long): Column =
-    when(den === 0L, 0L).otherwise(
-      floor((num * (2L * scale) + den).cast("double") / (den * 2L).cast("double"))
-        .cast("long"))
+  private val D38 = DecimalType(38, 0)
 
-  def scaledSql(num: String, den: String, scale: Long): String =
-    s"CAST(CASE WHEN ($den) = 0 THEN 0 ELSE floor((($num) * ${2L * scale} + ($den)) * 1.0 / (($den) * 2)) END AS BIGINT)"
+  /** den must be non-negative (counts/sums of non-negative integers);
+    * num may be negative. */
+  def scaled(num: Column, den: Column, scale: Long): Column = {
+    val n = num.cast(D38) * lit(2L * scale) + den.cast(D38)
+    val d = den.cast(D38) * lit(2L)
+    val q0 = call_function("div", n, d) // integral divide, truncates to 0
+    val r = n - q0.cast(D38) * d
+    when(den === 0L, 0L)
+      .otherwise(when(r < 0, q0 - 1L).otherwise(q0))
+      .cast("long")
+  }
+
+  def scaledSql(num: String, den: String, scale: Long): String = {
+    val n = s"(CAST(($num) AS HUGEINT) * ${2L * scale} + ($den))"
+    val d = s"(CAST(($den) AS HUGEINT) * 2)"
+    val q0 = s"($n // $d)"
+    s"CAST(CASE WHEN ($den) = 0 THEN 0 " +
+      s"WHEN $n - $q0 * $d < 0 THEN $q0 - 1 ELSE $q0 END AS BIGINT)"
+  }
 }

@@ -46,8 +46,9 @@ object ScalarQueries {
     val earn = col("actual_win_bonus") * 3699L +
       (col("actual_win") - col("actual_win_bonus")) * 1500L
     val costNum = (col("total_mined") * 35000L + col("miner_burned")) * 6L
-    val rrMilli = floor(((earn * 10000L - costNum) * 2000L + costNum).cast("double")
-      / (costNum * 2L).cast("double")).cast("long")
+    // shared exact half-up (negative rr floors toward -inf on both engines)
+    val rrMilli = graft.functions.ExactRatio.scaled(
+      earn * 10000L - costNum, costNum, 1000L)
     lb.join(broadcast(sup), lb("leader_key_address") === sup("s_suppkey"))
       .select(
         col("s_name").as("stx_address"),
@@ -141,10 +142,9 @@ object ScalarQueries {
         |   FROM c GROUP BY 1)
         | SELECT s.s_name AS stx_address, 'btc:' || s.s_name AS btc_address,
         |   g.total_win AS actual_win, g.actual_win_bonus, g.total_win, g.total_mined, g.miner_burned,
-        |   CAST(floor((((g.actual_win_bonus * 3699 + (g.total_win - g.actual_win_bonus) * 1500) * 10000
-        |     - (g.total_mined * 35000 + g.miner_burned) * 6) * 2000
-        |     + (g.total_mined * 35000 + g.miner_burned) * 6) * 1.0
-        |     / ((g.total_mined * 35000 + g.miner_burned) * 6 * 2)) AS BIGINT) AS rr_milli
+        |   ${graft.functions.ExactRatio.scaledSql(
+             "(g.actual_win_bonus * 3699 + (g.total_win - g.actual_win_bonus) * 1500) * 10000 - (g.total_mined * 35000 + g.miner_burned) * 6",
+             "(g.total_mined * 35000 + g.miner_burned) * 6", 1000L)} AS rr_milli
         | FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey ORDER BY stx_address""".stripMargin,
     "f12_txid_csv" ->
       """SELECT l_orderkey, string_agg(substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 10), ',' ORDER BY l_linenumber) AS txids

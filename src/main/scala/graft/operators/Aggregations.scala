@@ -200,9 +200,9 @@ object Aggregations {
          | g AS (SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
          |   CAST(sum(fee) AS BIGINT) AS miner_burned,
          |   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS total_win FROM c GROUP BY 1),
-         | g2 AS (SELECT *, CAST(floor((miner_burned * 2000 + total_mined) * 1.0 / (total_mined * 2)) AS BIGINT) AS average_burn_milli FROM g)
+         | g2 AS (SELECT *, ${graft.functions.ExactRatio.scaledSql("miner_burned", "total_mined", 1000L)} AS average_burn_milli FROM g)
          | SELECT leader_key_address, total_mined, miner_burned, total_win, average_burn_milli,
-         |   CAST(floor((total_win * 1000 * 2000000 + average_burn_milli) * 1.0 / (average_burn_milli * 2)) AS BIGINT) AS normalized_wins_micro
+         |   ${graft.functions.ExactRatio.scaledSql("total_win * 1000", "average_burn_milli", 1000000L)} AS normalized_wins_micro
          | FROM g2 ORDER BY leader_key_address""".stripMargin,
     "a2_canonical_wins" ->
       s"""WITH c AS (SELECT l_orderkey, l_suppkey, $winnerRn AS rn FROM lineitem)
@@ -223,11 +223,11 @@ object Aggregations {
       s"SELECT round(CAST(sum($fee) AS BIGINT) / 1e8, 2) AS btc_total FROM lineitem",
     "a10_tail20_burnfee" ->
       s"""WITH r AS (SELECT l_orderkey AS h, CAST(sum($fee) AS BIGINT) AS f FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-         | SELECT CAST(floor((sum(f) * 2000 + count(*)) * 1.0 / (count(*) * 2)) AS BIGINT) AS avg_burn_fee_milli,
+         | SELECT ${graft.functions.ExactRatio.scaledSql("sum(f)", "count(*)", 1000L)} AS avg_burn_fee_milli,
          |   string_agg(CAST(f AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a11_tail20_miners" ->
-      """WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
-        | SELECT CAST(floor((sum(m) * 2000 + count(*)) * 1.0 / (count(*) * 2)) AS BIGINT) AS avg_miner_count_milli,
+      s"""WITH r AS (SELECT l_orderkey AS h, count(*) AS m FROM lineitem GROUP BY 1 ORDER BY 1 DESC LIMIT 20)
+        | SELECT ${graft.functions.ExactRatio.scaledSql("sum(m)", "count(*)", 1000L)} AS avg_miner_count_milli,
         |   string_agg(CAST(m AS VARCHAR), ',' ORDER BY h) AS data_20 FROM r""".stripMargin,
     "a12_leaderboard_100" -> trailingLeaderboardSql(100),
     "a12_leaderboard_1000" -> trailingLeaderboardSql(1000)

@@ -3,6 +3,46 @@ package graft
 import graft.functions.Crypto
 import org.scalatest.funsuite.AnyFunSuite
 
+/** ExactRatio half-up stays exact past 2^53 (ADVICE r2: the old
+  * double-based floor silently mis-rounded there). Reference model is
+  * BigInt floor division. */
+class ExactRatioSpec extends SparkSpec {
+  private def fdiv(a: BigInt, b: BigInt): BigInt = {
+    val q = a / b
+    if ((a % b) != 0 && ((a < 0) != (b < 0))) q - 1 else q
+  }
+  private def expected(num: Long, den: Long, scale: Long): Long =
+    if (den == 0) 0L
+    else fdiv(BigInt(num) * 2 * scale + den, BigInt(den) * 2).toLong
+
+  /** Domain mirrors real usage: quotient = ratio·scale fits a long, but the
+    * intermediate num·2·scale exceeds 2^53 (up to ~2·10^20). */
+  private def cases(scale: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7 + scale)
+    Seq.fill(200) {
+      val den = 1L + math.abs(rnd.nextLong() % 1000000000L)
+      val k = rnd.nextLong() % 100000L
+      (den * k + rnd.nextLong() % (den + 1), den)
+    } ++ Seq((1L << 55, 3000L), (-(1L << 55) - 1, (1L << 20) + 7), (5L, 0L), (-7L, 2L))
+  }
+
+  test("scaled matches BigInt half-up for values far beyond 2^53") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark
+    import ss.implicits._
+    Seq(1000L, 1000000L).foreach { scale =>
+      val df = cases(scale).toDF("num", "den")
+      val got = df.select(col("num"), col("den"),
+          graft.functions.ExactRatio.scaled(col("num"), col("den"), scale).as("got"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(2) === expected(r.getLong(0), r.getLong(1), scale),
+          s"num=${r.getLong(0)} den=${r.getLong(1)} scale=$scale")
+      }
+    }
+  }
+}
+
 /** Property-style checks for the scalar layers: structural laws verified
   * over many seeded-random inputs (no scalatest↔scalacheck bridge jar on
   * the offline classpath, so the generators are a seeded Random). */

@@ -132,8 +132,8 @@ object Aggregations {
   /** A12 — trailing-N-block leaderboards (server.js:304-331, miner_info100 /
     * miner_info1000): same pipeline as A1 with the range pushed into the
     * scan; the tip height comes from a 1-row broadcast, never a driver
-    * collect. */
-  private def trailingLeaderboard(n: Long): Q = (s, d) => {
+    * collect. `n` is the reference's `latest` route parameter. */
+  def trailingLeaderboard(n: Long): Q = (s, d) => {
     val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
     Domain.commitsWithWinner(s, d)
       .crossJoin(broadcast(hi))

@@ -53,11 +53,25 @@ object RelationalCore {
       .select(col("block_height"), col("status"), col("total_burn_cents"))
       .orderBy(col("block_height"))
 
-  /** P3 — height-range predicate (rpc.js:248; pushed to parquet row groups). */
-  private val p3: Q = (s, d) =>
+  /** P3/P4 — height-range scan with the reference's startblock/endblock
+    * route parameters as REAL arguments (rpc.js:12-24, server.js:143-158),
+    * not pinned constants. The BETWEEN reaches the parquet scan's
+    * PushedFilters at any parameter setting — ParamSpec plan-asserts it for
+    * both registered parameterizations. */
+  def heightRange(startBlock: Long, endBlock: Long): Q = (s, d) =>
     Domain.commits(s, d)
-      .filter(col("stacks_block_height").between(100L, 200L))
+      .filter(col("stacks_block_height").between(startBlock, endBlock))
       .orderBy(col("stacks_block_height"), col("vtxindex"))
+
+  /** Oracle mirror generated from the same parameters. */
+  def heightRangeSql(startBlock: Long, endBlock: Long): String =
+    s"SELECT l_orderkey AS stacks_block_height, ${Domain.feeSql} AS burn_fee, " +
+      s"l_suppkey AS leader_key_address, l_linenumber AS vtxindex FROM lineitem " +
+      s"WHERE l_orderkey BETWEEN $startBlock AND $endBlock " +
+      "ORDER BY stacks_block_height, vtxindex"
+
+  private val p3 = heightRange(100L, 200L)
+  private val p3b = heightRange(40L, 900L)
 
   /** P6 — sentinel-prefix: newest snapshots up to and including the first one
     * with a sortition (rpc.js:510-515). Bounded to the newest 1000 so the
@@ -205,6 +219,7 @@ object RelationalCore {
     "s12_latest" -> s12,
     "p1_validity_filter" -> p1,
     "p3_height_range" -> p3,
+    "p3_height_range_wide" -> p3b,
     "p6_sentinel_prefix" -> p6,
     "j2_miners_per_block" -> j2,
     "j3_commits_join" -> j3,
@@ -247,8 +262,8 @@ object RelationalCore {
       "SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F' ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 1",
     "p1_validity_filter" ->
       "SELECT o_orderkey AS block_height, o_orderstatus AS status, CAST(round(o_totalprice * 100) AS BIGINT) AS total_burn_cents FROM orders WHERE o_orderstatus <> 'O' ORDER BY block_height",
-    "p3_height_range" ->
-      s"SELECT l_orderkey AS stacks_block_height, $fee AS burn_fee, l_suppkey AS leader_key_address, l_linenumber AS vtxindex FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200 ORDER BY stacks_block_height, vtxindex",
+    "p3_height_range" -> heightRangeSql(100L, 200L),
+    "p3_height_range_wide" -> heightRangeSql(40L, 900L),
     "p6_sentinel_prefix" ->
       """WITH top AS (SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey DESC LIMIT 1000),
         | ranked AS (SELECT o_orderkey, o_orderstatus, row_number() OVER (ORDER BY o_orderkey DESC) AS rn FROM top),

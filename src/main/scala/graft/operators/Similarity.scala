@@ -135,10 +135,30 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X4 — ANN recall gate (VERDICT r2 item 4): recall@10 of the LSH and
+    * IVF paths against the exact kNN baseline, AS A QUERY — the recall the
+    * CHANGELOG used to merely claim is now hash-compared per round. All
+    * three inputs are deterministic, so the recall is too. Scaled-integer
+    * basis points via ExactRatio (engine-portable rounding). */
+  private val x4: Q = (s, d) => {
+    val exact = x1(s, d).select(col("q_id"), col("neighbor_id"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    def recallOf(ann: Q, method: String): DataFrame =
+      ann(s, d).select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(total))
+        .select(lit(method).as("method"), col("hits"), col("total"),
+          graft.functions.ExactRatio.scaled(col("hits"), col("total"), 10000L)
+            .as("recall_bp"))
+    recallOf(x3, "ivf").unionByName(recallOf(x2, "lsh")).orderBy(col("method"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x1_knn_bruteforce" -> x1,
     "x2_ann_lsh" -> x2,
-    "x3_ann_ivf" -> x3
+    "x3_ann_ivf" -> x3,
+    "x4_ann_recall" -> x4
   )
 
   private def planeSql(j: Int): String =
@@ -153,7 +173,24 @@ object Similarity {
     s"(CASE WHEN list_sum(list_transform(range($Dim), i -> v[i+1] * (${planeSql(j)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
+  private lazy val x4Sql: String = {
+    val scaled = graft.functions.ExactRatio.scaledSql("hits", "total", 10000L)
+    s"""WITH e AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x1_knn_bruteforce")})),
+       | l AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2_ann_lsh")})),
+       | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
+       | t AS (SELECT count(*) AS total FROM e),
+       | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
+       | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id))
+       | SELECT 'ivf' AS method, hits, total, $scaled AS recall_bp FROM fh, t
+       | UNION ALL
+       | SELECT 'lsh' AS method, hits, total, $scaled AS recall_bp FROM lh, t
+       | ORDER BY method""".stripMargin
+  }
+
+  lazy val oracles: Map[String, String] =
+    oraclesBase + ("x4_ann_recall" -> x4Sql)
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "x1_knn_bruteforce" ->
       s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0),

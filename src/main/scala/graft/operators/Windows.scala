@@ -113,14 +113,15 @@ object Windows {
       .agg(max(col("cum_burn")).as("cum_burn"))
       .orderBy(col("address"), col("height"))
 
-  /** W5 — gap-fill over the trailing 1000 heights: dense height grid via
+  /** W5 — gap-fill over the trailing `latest` heights: dense height grid via
     * sequence+explode, left join, forward-fill with last(ignoreNulls)
-    * (mining_monitor_rpc.js:83-106). Grid size is miners × 1000, bounded. */
-  private val w5: Q = (s, d) => {
+    * (mining_monitor_rpc.js:83-106). `latest` is the reference's route
+    * parameter (rpc.js:13-21); grid size is miners × latest, bounded. */
+  def gapfill(latest: Long): Q = (s, d) => {
     val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
     val inWin = Domain.commits(s, d)
       .crossJoin(broadcast(hi))
-      .filter(col("stacks_block_height") > col("hi") - 1000L)
+      .filter(col("stacks_block_height") > col("hi") - latest)
     val perH = inWin
       .groupBy(col("leader_key_address").as("address"),
         col("stacks_block_height").as("height"))
@@ -132,7 +133,7 @@ object Windows {
     val grid = cum.select(col("address")).distinct()
       .crossJoin(broadcast(hi))
       .select(col("address"),
-        explode(sequence(col("hi") - 999L, col("hi"))).as("height"))
+        explode(sequence(col("hi") - (latest - 1L), col("hi"))).as("height"))
     val ffW = Window.partitionBy(col("address")).orderBy(col("height"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(cum, Seq("address", "height"), "left")
@@ -160,20 +161,53 @@ object Windows {
       .orderBy(col("stacks_block_height").desc)
   }
 
-  /** W7 — pagination: page 2, size 3, plus total count (server.js:153-154). */
-  private val w7: Q = (s, d) => {
-    val lb = Domain.commits(s, d)
+  /** The per-miner burn leaderboard both pagination forms serve. */
+  private def minerBurns(s: SparkSession, d: String): DataFrame =
+    Domain.commits(s, d)
       .groupBy(col("leader_key_address"))
       .agg(sum(col("burn_fee")).as("miner_burned"))
+
+  /** W7 — offset pagination with the reference's page/size route params as
+    * real arguments (server.js:153-154), plus the total count. The
+    * row_number runs over the POST-AGG leaderboard (bounded by miner
+    * cardinality); for unbounded serving use [[keysetPage]]. */
+  def pagination(page: Long, size: Long): Q = (s, d) => {
+    val lb = minerBurns(s, d)
     val total = lb.agg(count(lit(1)).as("total_miners"))
     lb.withColumn("rn",
         row_number().over(Window.orderBy(col("leader_key_address"))))
-      .filter(col("rn").between(4, 6))
+      .filter(col("rn").between((page - 1) * size + 1, page * size))
       .crossJoin(broadcast(total))
       .select(col("rn"), col("leader_key_address"), col("miner_burned"),
         col("total_miners"))
       .orderBy(col("rn"))
   }
+  private val w7 = pagination(2L, 3L)
+  private val w7b = pagination(3L, 4L)
+
+  def paginationSql(page: Long, size: Long): String =
+    s"""WITH lb AS (SELECT l_suppkey AS leader_key_address, CAST(sum($fee) AS BIGINT) AS miner_burned FROM lineitem GROUP BY 1),
+       | r AS (SELECT *, row_number() OVER (ORDER BY leader_key_address) AS rn FROM lb),
+       | t AS (SELECT count(*) AS total_miners FROM lb)
+       | SELECT rn, leader_key_address, miner_burned, total_miners FROM r, t
+       | WHERE rn BETWEEN ${(page - 1) * size + 1} AND ${page * size} ORDER BY rn""".stripMargin
+
+  /** W7k — KEYSET pagination (VERDICT r2 item 9): `address > after ORDER BY
+    * address LIMIT size`. The predicate prunes before any ranking, so a page
+    * fetch is O(page) work no matter how deep into the result set it is —
+    * the scale-safe serving pattern when miners number in the millions
+    * (row_number pagination re-ranks everything above the offset). */
+  def keysetPage(after: Long, size: Int): Q = (s, d) =>
+    minerBurns(s, d)
+      .filter(col("leader_key_address") > after)
+      .orderBy(col("leader_key_address"))
+      .limit(size)
+  private val w7k = keysetPage(33L, 3)
+
+  def keysetPageSql(after: Long, size: Int): String =
+    s"""SELECT l_suppkey AS leader_key_address, CAST(sum($fee) AS BIGINT) AS miner_burned
+       | FROM lineitem WHERE l_suppkey > $after GROUP BY 1
+       | ORDER BY leader_key_address LIMIT $size""".stripMargin
 
   /** W8 — gap-based sessionization over the event stream: a new session
     * starts after >30 min of user inactivity. The lag→flag→running-sum
@@ -204,6 +238,8 @@ object Windows {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  private val w5 = gapfill(1000L)
+
   val queries: Map[String, Q] = Map(
     "w8_sessionize" -> w8,
     "a6_lag_diff" -> a6,
@@ -212,7 +248,9 @@ object Windows {
     "a14_height_dedup" -> a14,
     "w5_gapfill" -> w5,
     "w6_head50" -> w6,
-    "w7_pagination" -> w7
+    "w7_pagination" -> w7,
+    "w7_page3" -> w7b,
+    "w7_keyset" -> w7k
   )
 
   private val fee = graft.Domain.feeSql
@@ -261,10 +299,8 @@ object Windows {
       s"""SELECT l_orderkey AS stacks_block_height, l_suppkey AS leader_key_address, $fee AS burn_fee FROM (
          | SELECT *, ${graft.Domain.winnerRnSql} AS rn FROM lineitem
          |) WHERE rn = 1 ORDER BY stacks_block_height DESC LIMIT 50""".stripMargin,
-    "w7_pagination" ->
-      s"""WITH lb AS (SELECT l_suppkey AS leader_key_address, CAST(sum($fee) AS BIGINT) AS miner_burned FROM lineitem GROUP BY 1),
-         | r AS (SELECT *, row_number() OVER (ORDER BY leader_key_address) AS rn FROM lb),
-         | t AS (SELECT count(*) AS total_miners FROM lb)
-         | SELECT rn, leader_key_address, miner_burned, total_miners FROM r, t WHERE rn BETWEEN 4 AND 6 ORDER BY rn""".stripMargin
+    "w7_pagination" -> paginationSql(2L, 3L),
+    "w7_page3" -> paginationSql(3L, 4L),
+    "w7_keyset" -> keysetPageSql(33L, 3)
   )
 }

@@ -35,13 +35,16 @@ object ForkWalk {
     md5(concat(lit(prefix), k.cast("string")))
 
   /** Derived block tree: main chain + 3-block side branches every 97th key,
-    * restricted to the trailing [tip-WalkWindow+1, tip] height range. */
-  private[plans] def chainTable(s: SparkSession, d: String): DataFrame = {
+    * restricted to the trailing [tip-window+1, tip] height range. `window`
+    * carries the reference's startblock/endblock parameterization
+    * (rpc.js:285-288) as a real argument. */
+  private[plans] def chainTable(s: SparkSession, d: String,
+                                window: Long = WalkWindow): DataFrame = {
     val o = Tables.orders(s, d)
     val hi = o.agg(max(col("o_orderkey")).as("hi"))
     val keys = o.select(col("o_orderkey").as("k"))
       .crossJoin(broadcast(hi))
-      .filter(col("k") > col("hi") - WalkWindow)
+      .filter(col("k") > col("hi") - window)
     val main = keys.select(
       h("m", col("k")).as("block_hash"),
       h("m", col("k") - 1).as("parent_hash"),
@@ -109,6 +112,63 @@ object ForkWalk {
       .select(col("height"), col("block_hash"))
       .orderBy(col("height"), col("block_hash"))
 
+  /** G2 — branch registry (rpc.js:311-318): every branch of the block tree
+    * as (tip, tip height, depth, root), where a tip is a block no other
+    * block points at, depth counts the blocks from the tip back to its
+    * in-window root, and root is that deepest reachable ancestor.
+    *
+    * Scale design: BINARY LIFTING. The 2^k-ancestor maps J_0..J_K are the
+    * same doubling tables the canonical walk builds (each only maps nodes
+    * whose full 2^k chain exists — J_0 joins blocks to blocks, so a
+    * window-edge parent pointer never fabricates a phantom node). All tips
+    * then lift TOGETHER, descending k: one left join per level moves every
+    * tip as far as 2^k if it can. K = ⌈log₂ maxDepth⌉ joins total for ALL
+    * branches at once — never a per-branch sequential walk. */
+  def branchRegistry(blocks: DataFrame, maxDepth: Long = WalkWindow + 3): DataFrame = {
+    val levels = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth - 1)))
+    val b = blocks.localCheckpoint(true)
+    // tips: no block claims them as parent
+    val tips = b.as("t")
+      .join(b.as("c"), col("t.block_hash") === col("c.parent_hash"), "left_anti")
+      .select(col("t.block_hash").as("tip_hash"), col("t.height").as("tip_height"))
+    // J_0 maps h -> parent only where the parent exists in-window
+    var jump = b.as("x")
+      .join(b.as("p"), col("x.parent_hash") === col("p.block_hash"))
+      .select(col("x.block_hash").as("h"), col("p.block_hash").as("a"))
+      .localCheckpoint(true)
+    var jumps = List(jump) // jumps.head = J_k (largest step)
+    for (_ <- 1 until levels) {
+      jump = jump.as("x")
+        .join(jump.as("y"), col("x.a") === col("y.h"))
+        .select(col("x.h").as("h"), col("y.a").as("a"))
+        .localCheckpoint(true)
+      jumps = jump :: jumps
+    }
+    // descending lift: frontier is one row per tip, never wider
+    var frontier = tips
+      .withColumn("cur", col("tip_hash"))
+      .withColumn("depth", lit(1L)) // count the tip itself
+    jumps.zipWithIndex.foreach { case (j, i) =>
+      val step = 1L << (levels - 1 - i)
+      frontier = frontier
+        .join(j.withColumnRenamed("h", "cur"), Seq("cur"), "left")
+        .withColumn("depth",
+          when(col("a").isNotNull, col("depth") + step).otherwise(col("depth")))
+        .withColumn("cur", coalesce(col("a"), col("cur")))
+        .drop("a")
+    }
+    frontier.select(col("tip_hash"), col("tip_height"), col("depth"),
+      col("cur").as("root_hash"))
+  }
+
+  /** G2 query — branch registry of the derived fork tree. Branch-tip
+    * heights can collide with main-chain heights, so the order key is
+    * (height desc, hash). */
+  private val g2: Q = (s, d) =>
+    branchRegistry(chainTable(s, d))
+      .orderBy(col("tip_height").desc, col("tip_hash"))
+
   /** Main chain with parents corrupted at every 1009th height — P2's input
     * needs genuine linkage breaks. */
   private[graft] def linkTable(s: SparkSession, d: String): DataFrame = {
@@ -171,6 +231,7 @@ object ForkWalk {
 
   val queries: Map[String, Q] = Map(
     "g1_fork_walk" -> g1,
+    "g2_branch_registry" -> g2,
     "p2_chain_filter" -> p2
   )
 
@@ -200,6 +261,21 @@ object ForkWalk {
          |   SELECT b.block_hash, b.parent_hash, b.height
          |   FROM blocks b JOIN walk w ON b.block_hash = w.parent_hash)
          | SELECT height, block_hash FROM walk ORDER BY height, block_hash""".stripMargin,
+    "g2_branch_registry" ->
+      s"""WITH RECURSIVE $chainSql,
+         | tips AS (SELECT b.block_hash AS tip_hash, b.height AS tip_height
+         |   FROM blocks b
+         |   WHERE NOT EXISTS (SELECT 1 FROM blocks c WHERE c.parent_hash = b.block_hash)),
+         | walk AS (
+         |   SELECT t.tip_hash, t.tip_height, b.block_hash AS cur, b.parent_hash,
+         |          CAST(1 AS BIGINT) AS depth
+         |   FROM tips t JOIN blocks b ON b.block_hash = t.tip_hash
+         |   UNION ALL
+         |   SELECT w.tip_hash, w.tip_height, b.block_hash, b.parent_hash, w.depth + 1
+         |   FROM walk w JOIN blocks b ON b.block_hash = w.parent_hash)
+         | SELECT tip_hash, tip_height, CAST(max(depth) AS BIGINT) AS depth,
+         |        max_by(cur, depth) AS root_hash
+         | FROM walk GROUP BY 1, 2 ORDER BY tip_height DESC, tip_hash""".stripMargin,
     "p2_chain_filter" ->
       s"""WITH c AS (
          |   SELECT md5('m' || CAST(o_orderkey AS VARCHAR)) AS block_hash,

@@ -60,6 +60,42 @@ class ForkWalkSpec extends SparkSpec {
     assert(mm.getLong(2) === mm.getLong(1) - mm.getLong(0) + 1)
   }
 
+  test("branch registry lists every branch with depth and shared root") {
+    // g <- a2 <- a3   and   g <- b2 <- b3 <- b4: two tips, one root
+    val blocks = tree(
+      ("g", "0", 1L),
+      ("a2", "g", 2L), ("a3", "a2", 3L),
+      ("b2", "g", 2L), ("b3", "b2", 3L), ("b4", "b3", 4L))
+    val rows = ForkWalk.branchRegistry(blocks)
+      .orderBy(col("tip_hash"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq === Seq(("a3", 3L, 3L, "g"), ("b4", 4L, 4L, "g")))
+  }
+
+  test("branch registry on a single block is that block rooted at itself") {
+    val rows = ForkWalk.branchRegistry(tree(("g", "0", 1L))).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(0) === "g")
+    assert(rows.head.getLong(2) === 1L)
+    assert(rows.head.getString(3) === "g")
+  }
+
+  test("g2 on testdata: the main chain registers tip-to-window-edge") {
+    val df = q("g2_branch_registry")
+    assert(df.count() >= 2L) // main tip + side branches
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0)
+    val mainTip = md5Hex(s"m$hi")
+    val row = df.filter(col("tip_hash") === mainTip).collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(1) === hi)          // tip height
+    assert(row.head.getLong(2) === 1000L)       // full walk window
+    assert(row.head.getString(3) === md5Hex(s"m${hi - 999}")) // window edge
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("p2 keeps exactly the suffix above the newest broken link") {
     val kept = q("p2_chain_filter")
     val all = ForkWalk.linkTable(spark, sf)

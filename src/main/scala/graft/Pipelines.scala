@@ -27,20 +27,31 @@ object Pipelines {
   def blockInfo(s: SparkSession, d: String): DataFrame =
     operators.Aggregations.queries("a8_block_rollup")(s, d)
 
-  /** The update() cycle: recompute all three and overwrite the cache dir.
-    * Idempotent — same contract as the reference's whole-key Redis SET.
-    * block_info (the only per-height relation) is partitioned by height
-    * bucket (SURVEY §7.6): readers with a height range prune partitions,
-    * and dynamic partition overwrite lets an incremental refresh rewrite
-    * only the buckets that changed instead of the whole relation. */
+  /** The update() cycle: recompute every dashboard relation and overwrite
+    * the cache dir (the reference recomputes all Redis keys per tick,
+    * server.js:280-331). Idempotent — same contract as the whole-key Redis
+    * SET. block_info (the only per-height relation) is partitioned by
+    * height bucket (SURVEY §7.6): readers with a height range prune
+    * partitions, and dynamic partition overwrite lets an incremental
+    * refresh rewrite only the buckets that changed instead of the whole
+    * relation. Every relation here is aggregate-sized (≈ #miners or
+    * #heights-in-window rows), never a copy of the fact table. */
   def refreshCache(s: SparkSession, sfDir: String, cacheDir: String): Unit = {
-    minerInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/miner_info")
-    miningInfo(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/mining_info")
+    def put(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$cacheDir/$name")
+    put(minerInfo(s, sfDir), "miner_info")
+    put(miningInfo(s, sfDir), "mining_info")
     blockInfo(s, sfDir)
       .withColumn("height_bucket", (col("stacks_block_height") / 1000L).cast("long"))
       .write.mode("overwrite")
       .partitionBy("height_bucket")
       .parquet(s"$cacheDir/block_info")
+    // dashboard composition relations (VERDICT r2 item 2)
+    put(operators.Windows.gapfill(1000L)(s, sfDir), "burn_fee_area")
+    put(functions.ScalarQueries.rrMinerInfo(None)(s, sfDir), "miner_info_rr")
+    put(functions.ScalarQueries.rrMinerInfo(Some(1000L))(s, sfDir), "miner_info_rr_1000")
+    put(functions.ScalarQueries.rrMinerInfo(Some(100L))(s, sfDir), "miner_info_rr_100")
+    put(operators.Aggregations.queries("a9_btc_total")(s, sfDir), "btc_total")
   }
 
   /** Incremental refresh of the block_info cache: recompute ONLY heights ≥
@@ -75,26 +86,103 @@ object Pipelines {
       java.nio.file.Files.readString(p).trim == "true"
   }
 
-  /** monitorIntegrate (§3.2): assemble the dashboard document from the
-    * cache — small aggregate reads, collected at the serving edge only
-    * (explicit limits; never an unbounded collect). */
+  /** monitorIntegrate (§3.2): assemble the FULL dashboard document from the
+    * cache, mirroring packMiningMonitorData (mining_monitor_rpc.js:151-161)
+    * plus the server's price/btc_total/btc_hash_power fields
+    * (server.js:268-275). Every read is cache-scale and every collect sits
+    * behind an explicit limit (SURVEY §7.6) — the serving edge is bounded
+    * no matter how big the fact tables are:
+    *   - currentStatus/minersBurnFee20: tail-20 heights of block_info
+    *   - minerTable: top-50 of mining_info
+    *   - burnFeeArea: the w5 gap-filled series, top-10 miners × window
+    *     (the reference emits ALL miners — unbounded at scale; documented
+    *     serving bound)
+    *   - winnerPie/rateOfReturn: all/r1000/r100 rr leaderboards, top-10 /
+    *     top-50 slices
+    *   - rateOfReturn carries real values (the reference's packRR ships
+    *     empty lists — superseded to intent, SURVEY §2.12 R4). */
   def dashboard(s: SparkSession, cacheDir: String): String = {
-    val miners = s.read.parquet(s"$cacheDir/miner_info")
-    val chain = s.read.parquet(s"$cacheDir/mining_info")
     val blocks = s.read.parquet(s"$cacheDir/block_info")
+    val chain = s.read.parquet(s"$cacheDir/mining_info")
+    val area = s.read.parquet(s"$cacheDir/burn_fee_area")
+    def rr(name: String) = s.read.parquet(s"$cacheDir/$name")
 
-    val status = blocks.agg(
-      round(avg(col("sum_burn_fees")), 3).as("avg_burn"),
-      round(avg(col("sum_miner_amount")), 3).as("avg_miners")).head()
-    val minerTable = chain.orderBy(col("stacks_block_height").desc).limit(50)
+    // currentStatus (mining_monitor_rpc.js:1-21): tail-20 series + averages
+    val b20 = blocks
+      .select(col("stacks_block_height"), col("sum_burn_fees"),
+        col("sum_miner_amount"), col("commit_value_list"))
+      .orderBy(col("stacks_block_height").desc).limit(20)
+      .collect().sortBy(_.getLong(0))
+    val tipHeight = b20.last.getLong(0)
+    val burn20 = b20.map(_.getLong(1))
+    val miner20 = b20.map(_.getLong(2))
+    def avg3(xs: Array[Long]): String =
+      if (xs.isEmpty) "0" else f"${xs.sum.toDouble / xs.length}%.3f"
+    val currentStatus =
+      s"""{"current_block":{"stacks_block_height":$tipHeight,""" +
+        s""""bitcoin_block":{"block_height":$tipHeight,"timestamp":1600000}},""" +
+        s""""current_burn_fee":{"data_20":[${burn20.mkString(",")}],"avg":${avg3(burn20)}},""" +
+        s""""current_miner":{"data_20":[${miner20.mkString(",")}],"avg":${avg3(miner20)}}}"""
+
+    // minerTable (mining_monitor_rpc.js:23-44): winner table + per-commit
+    // fees of the tail-20 heights (parsed back out of the nested rollup)
+    val table = chain.orderBy(col("stacks_block_height").desc).limit(50)
       .collect().map(r =>
-        s"""{"height":${r.getLong(0)},"miner":${r.getLong(1)},"fee":${r.getLong(2)}}""")
-    val topMiners = miners.orderBy(col("miner_burned").desc).limit(10)
-      .select(col("leader_key_address"), col("total_win"))
-      .collect().map(r => s"""{"address":${r.getLong(0)},"wins":${r.getLong(1)}}""")
+        s"""{"stacks_block_height":${r.getLong(0)},"leader_key_address":${r.getLong(1)},"burn_fee":${r.getLong(2)}}""")
+    val minersBurnFee20 = b20.flatMap { r =>
+      r.getString(3).split(";").filter(_.nonEmpty).map { c =>
+        val Array(_, fee, addr) = c.split(":")
+        s"""{"height":${r.getLong(0)},"address":$addr,"fee":$fee}"""
+      }
+    }
+    val minerTable =
+      s"""{"table":[${table.mkString(",")}],"minersBurnFee20":[${minersBurnFee20.mkString(",")}]}"""
 
-    s"""{"currentStatus":{"avgBurnFee":${status.getDouble(0)},"avgMinerCount":${status.getDouble(1)}},
-       |"minerTable":[${minerTable.mkString(",")}],
-       |"winnerPie":[${topMiners.mkString(",")}]}""".stripMargin.replace("\n", "")
+    // burnFeeArea (mining_monitor_rpc.js:46-113): gap-filled cumulative
+    // burn series, bounded to the top-10 miners of the window
+    val topAddrs = area.groupBy(col("address"))
+      .agg(max(col("cum_filled")).as("m"))
+      .orderBy(col("m").desc, col("address")).limit(10)
+      .select(col("address"))
+    val areaPts = area.join(broadcast(topAddrs), Seq("address"))
+      .orderBy(col("address"), col("height"))
+      .collect().map(r =>
+        s"""{"height":${r.getLong(1)},"burn_fee":${r.getLong(2)},"address":${r.getLong(0)}}""")
+    val burnFeeArea = s"""{"data":[${areaPts.mkString(",")}]}"""
+
+    // winnerPie + rateOfReturn (mining_monitor_rpc.js:115-148): the
+    // all/r1000/r100 triple from the rr leaderboards
+    def pieOf(name: String): String =
+      rr(name).filter(col("total_win") > 0)
+        .orderBy(col("total_win").desc, col("stx_address")).limit(10)
+        .collect().map(r =>
+          s"""{"address":"${r.getString(0)}","number":${r.getLong(2)},"RR":${r.getLong(7)}}""")
+        .mkString("[", ",", "]")
+    def rrOf(name: String): String =
+      rr(name).orderBy(col("rr_milli").desc, col("stx_address")).limit(50)
+        .collect().map(r =>
+          s"""{"address":"${r.getString(0)}","RR":${r.getLong(7)}}""")
+        .mkString("[", ",", "]")
+    val winnerPie =
+      s"""{"all":${pieOf("miner_info_rr")},"r1000":${pieOf("miner_info_rr_1000")},"r100":${pieOf("miner_info_rr_100")}}"""
+    val rateOfReturn =
+      s"""{"all":${rrOf("miner_info_rr")},"r1000":${rrOf("miner_info_rr_1000")},"r100":${rrOf("miner_info_rr_100")}}"""
+
+    // price / btc_total / btc_hash_power (server.js:268-275) via the
+    // S13–S15 enrichment seam + the cached a9 total
+    val pr = sources.Enrichment.prices(s).head()
+    val stx = pr.getLong(0).toDouble / 1000.0
+    val btc = pr.getLong(1) * 10000L
+    val hashPower = pr.getString(3)
+    val btcTotal = s.read.parquet(s"$cacheDir/btc_total").head().getDouble(0)
+
+    s"""{"currentStatus":$currentStatus,""" +
+      s""""minerTable":$minerTable,""" +
+      s""""burnFeeArea":$burnFeeArea,""" +
+      s""""winnerPie":$winnerPie,""" +
+      s""""rateOfReturn":$rateOfReturn,""" +
+      s""""price":{"btc":$btc,"stx":$stx},""" +
+      s""""btc_total":$btcTotal,""" +
+      s""""btc_hash_power":"$hashPower"}"""
   }
 }

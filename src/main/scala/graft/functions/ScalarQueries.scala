@@ -23,16 +23,31 @@ object ScalarQueries {
 
   /** F10/P9 — miner_info projection with rate-of-return economics
     * (utils.js:1-11, server.js:286-294): pure arithmetic on the leaderboard,
-    * dimension join broadcast. Constants from the reference (BASELINE.md).
+    * dimension join broadcast. The price/gas inputs come from the
+    * [[graft.sources.Enrichment]] one-row seam (S13–S15), joined broadcast —
+    * no literals in the expression; the zero-egress defaults reproduce the
+    * reference constants (BASELINE.md).
     *
-    * RR reduces to an EXACT integer rational: with stx=1.5 the rewards are
-    * 2466·1.5 = 3699 and 1000·1.5 = 1500 whole units, and cost = C·6/10⁴
-    * sats-scaled where C = mined·35000 + burned — so rr = earn/cost − 1 =
-    * (earn·10⁴ − 6C) / (6C), emitted milli-scaled with integer half-up
-    * (toward +∞ for the rare negative rr). round(double) of such rationals
-    * flips on exact half-boundaries between engines. */
-  private val f10: Q = (s, d) => {
-    val lb = Domain.commitsWithWinner(s, d)
+    * RR reduces to an EXACT integer rational: earn·1000 = bonus·2466·stxM +
+    * (win−bonus)·1000·stxM whole milli-units, cost numerator C·scale where
+    * C = mined·gas + burned — so rr = earn/cost − 1 =
+    * (earnMilli·10 − C·scale) / (C·scale), emitted milli-scaled with integer
+    * half-up (toward +∞ for the rare negative rr). round(double) of such
+    * rationals flips on exact half-boundaries between engines.
+    *
+    * `latest` restricts the economics to the trailing-N window (the
+    * server's miner_info100/1000 variants, server.js:304-331). */
+  def rrMinerInfo(latest: Option[Long]): Q = (s, d) => {
+    val base = Domain.commitsWithWinner(s, d)
+    val inWin = latest match {
+      case Some(n) =>
+        val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
+        base.crossJoin(broadcast(hi))
+          .filter(col("stacks_block_height") > col("hi") - n)
+          .drop("hi")
+      case None => base
+    }
+    val lb = inWin
       .groupBy(col("leader_key_address"))
       .agg(
         count(lit(1)).as("total_mined"),
@@ -43,13 +58,15 @@ object ScalarQueries {
           .as("actual_win_bonus"))
       .withColumn("actual_win", col("total_win"))
     val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-    val earn = col("actual_win_bonus") * 3699L +
-      (col("actual_win") - col("actual_win_bonus")) * 1500L
-    val costNum = (col("total_mined") * 35000L + col("miner_burned")) * 6L
+    val earnMilli = col("actual_win_bonus") * 2466L * col("stx_price_milli") +
+      (col("actual_win") - col("actual_win_bonus")) * 1000L * col("stx_price_milli")
+    val costNum = (col("total_mined") * col("gas_sats") + col("miner_burned")) *
+      col("btc_sat_scale")
     // shared exact half-up (negative rr floors toward -inf on both engines)
     val rrMilli = graft.functions.ExactRatio.scaled(
-      earn * 10000L - costNum, costNum, 1000L)
+      earnMilli * 10L - costNum, costNum, 1000L)
     lb.join(broadcast(sup), lb("leader_key_address") === sup("s_suppkey"))
+      .crossJoin(broadcast(graft.sources.Enrichment.prices(s)))
       .select(
         col("s_name").as("stx_address"),
         concat(lit("btc:"), col("s_name")).as("btc_address"),
@@ -58,6 +75,8 @@ object ScalarQueries {
         rrMilli.as("rr_milli"))
       .orderBy(col("stx_address"))
   }
+
+  private val f10: Q = rrMinerInfo(None)
 
   /** F12+F13 — txid prefix list → CSV per block (rpc.js:415): substring,
     * array transform, concat_ws; order pinned by vtxindex. */

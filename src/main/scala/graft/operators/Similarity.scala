@@ -37,10 +37,10 @@ object Similarity {
     * lambda here would knock the whole stage out of WSCG). */
   private def dvec(c: Column): Column = c.cast("array<double>")
 
-  /** Native codegen'd dot product (expressions.DotProduct, registered by
-    * GraftExtensions); falls back to the HOF form if the session lacks the
-    * extension (e.g. a driver-owned SparkSession). Same fold order → same
-    * IEEE doubles either way. */
+  /** Native codegen'd dot product (expressions.DotProduct). Callers MUST
+    * run GraftExtensions.ensure(session) first — [[vecs]] does — or
+    * call_function cannot resolve graft_dot (no HOF fallback; the fold
+    * order is pinned by the expression so results are IEEE-identical). */
   private[operators] def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 

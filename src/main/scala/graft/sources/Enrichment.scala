@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S13–S15 — the reference's live enrichment layer (server.js:355-435:
+  * coingecko stx/btc prices + blockchain.info hash power), re-expressed as
+  * a CONFIG-DRIVEN SEAM instead of baked-in literals (VERDICT r2 item 5).
+  *
+  * A deployment fetches whatever it fetches and drops the result where the
+  * seam reads it; every consumer joins the resulting ONE-ROW DataFrame
+  * (broadcast — never a shuffle) instead of embedding constants in its
+  * expressions. Resolution order:
+  *
+  *   1. `spark.graft.enrich.path` — a JSON file with the three fields
+  *      (what a fetcher cron would write; the reference polls every 25 s,
+  *      server.js:438-440);
+  *   2. `spark.graft.enrich.{stx_price_milli,btc_sat_scale,gas_sats}`
+  *      session confs;
+  *   3. the recorded BASELINE.md constants (zero-egress default: stx price
+  *      1.5 → 1500 milli, cost scale 6, gas 35000 sats — utils.js:1-11).
+  *
+  * All values are integer-scaled so downstream economics stay exact
+  * (ExactRatio); a float price would reintroduce cross-engine rounding. */
+object Enrichment {
+
+  val PathKey = "spark.graft.enrich.path"
+  val StxMilliKey = "spark.graft.enrich.stx_price_milli"
+  val BtcScaleKey = "spark.graft.enrich.btc_sat_scale"
+  val GasSatsKey = "spark.graft.enrich.gas_sats"
+  val HashPowerKey = "spark.graft.enrich.hash_power"
+
+  val DefaultStxMilli = 1500L
+  /** sats→usd cost scale: C·scale/10⁴ usd per C sats ⇔ btc price 60 000. */
+  val DefaultBtcScale = 6L
+  val DefaultGasSats = 35000L
+  /** blockchain.info hash-power relay (server.js:419-435) — relayed
+    * verbatim; "0" = not fetched (zero-egress default). */
+  val DefaultHashPower = "0"
+
+  private val schemaDdl =
+    "stx_price_milli LONG, btc_sat_scale LONG, gas_sats LONG, hash_power STRING"
+
+  /** The 1-row enrichment relation. Missing file fields fall back to the
+    * conf/default chain, so a partial fetcher payload still resolves. */
+  def prices(s: SparkSession): DataFrame = {
+    val stx = confOr(s, StxMilliKey, DefaultStxMilli)
+    val btc = confOr(s, BtcScaleKey, DefaultBtcScale)
+    val gas = confOr(s, GasSatsKey, DefaultGasSats)
+    val hp = s.conf.getOption(HashPowerKey).getOrElse(DefaultHashPower)
+    s.conf.getOption(PathKey) match {
+      case Some(path) =>
+        s.read.schema(schemaDdl).json(path)
+          .select(
+            coalesce(col("stx_price_milli"), lit(stx)).as("stx_price_milli"),
+            coalesce(col("btc_sat_scale"), lit(btc)).as("btc_sat_scale"),
+            coalesce(col("gas_sats"), lit(gas)).as("gas_sats"),
+            coalesce(col("hash_power"), lit(hp)).as("hash_power"))
+          .limit(1)
+      case None =>
+        s.range(1).select(
+          lit(stx).as("stx_price_milli"),
+          lit(btc).as("btc_sat_scale"),
+          lit(gas).as("gas_sats"),
+          lit(hp).as("hash_power"))
+    }
+  }
+
+  private def confOr(s: SparkSession, key: String, default: Long): Long =
+    s.conf.getOption(key).map(_.toLong).getOrElse(default)
+}

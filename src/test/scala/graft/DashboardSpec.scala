@@ -1,0 +1,80 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The full dashboard document (VERDICT r2 item 2): every section of the
+  * reference's packMiningMonitorData (mining_monitor_rpc.js:151-161) plus
+  * the server's price/btc_total/btc_hash_power fields (server.js:268-275),
+  * with the reference's field names. */
+class DashboardSpec extends SparkSpec {
+
+  private lazy val doc: JValue = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dash").toString
+    Pipelines.refreshCache(spark, sf, dir)
+    JsonMethods.parse(Pipelines.dashboard(spark, dir))
+  }
+
+  private def arr(v: JValue): List[JValue] =
+    v match { case JArray(xs) => xs; case other => fail(s"not an array: $other") }
+
+  test("document carries all five reference sections plus the server fields") {
+    val keys = doc.asInstanceOf[JObject].obj.map(_._1)
+    assert(keys === List("currentStatus", "minerTable", "burnFeeArea",
+      "winnerPie", "rateOfReturn", "price", "btc_total", "btc_hash_power"))
+  }
+
+  test("currentStatus: tip height + 20-point series with averages") {
+    val tip = (doc \ "currentStatus" \ "current_block" \ "stacks_block_height")
+    val hi = Tables.orders(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("o_orderkey")).head().getLong(0)
+    assert(tip === JInt(hi))
+    Seq("current_burn_fee", "current_miner").foreach { sec =>
+      val pts = arr(doc \ "currentStatus" \ sec \ "data_20")
+      assert(pts.nonEmpty && pts.length <= 20)
+      assert((doc \ "currentStatus" \ sec \ "avg") !== JNothing)
+    }
+  }
+
+  test("minerTable: 50-row winner table + tail-20 per-commit fees") {
+    val table = arr(doc \ "minerTable" \ "table")
+    assert(table.nonEmpty && table.length <= 50)
+    assert(table.forall(r => (r \ "stacks_block_height") != JNothing &&
+      (r \ "leader_key_address") != JNothing && (r \ "burn_fee") != JNothing))
+    val fees = arr(doc \ "minerTable" \ "minersBurnFee20")
+    assert(fees.nonEmpty)
+    assert(fees.forall(r => (r \ "height") != JNothing &&
+      (r \ "address") != JNothing && (r \ "fee") != JNothing))
+  }
+
+  test("burnFeeArea: dense gap-filled series per emitted miner") {
+    val pts = arr(doc \ "burnFeeArea" \ "data")
+    assert(pts.nonEmpty)
+    val byAddr = pts.groupBy(p => p \ "address")
+    assert(byAddr.size <= 10) // serving bound
+    // w5's grid is dense: every miner gets exactly the window's heights
+    val sizes = byAddr.values.map(_.length).toSet
+    assert(sizes.size === 1)
+    assert(pts.forall(p => (p \ "burn_fee") != JNothing))
+  }
+
+  test("winnerPie and rateOfReturn carry the all/r1000/r100 triple") {
+    Seq("winnerPie", "rateOfReturn").foreach { sec =>
+      val keys = (doc \ sec).asInstanceOf[JObject].obj.map(_._1)
+      assert(keys === List("all", "r1000", "r100"), sec)
+    }
+    val all = arr(doc \ "winnerPie" \ "all")
+    assert(all.nonEmpty && all.length <= 10)
+    assert(all.forall(r => (r \ "address") != JNothing &&
+      (r \ "number") != JNothing && (r \ "RR") != JNothing))
+    assert(arr(doc \ "rateOfReturn" \ "all").nonEmpty) // superseded stub
+  }
+
+  test("price/btc_total/hash_power come from the enrichment seam + a9") {
+    assert((doc \ "price" \ "btc") === JInt(60000))
+    assert((doc \ "price" \ "stx") === JDouble(1.5))
+    assert((doc \ "btc_total").isInstanceOf[JDouble] ||
+      (doc \ "btc_total").isInstanceOf[JDecimal])
+    assert((doc \ "btc_hash_power") === JString("0"))
+  }
+}

@@ -23,14 +23,31 @@ object ExactRatio {
   private val D38 = DecimalType(38, 0)
 
   /** den must be non-negative (counts/sums of non-negative integers);
-    * num may be negative. */
+    * num may be negative. Hybrid evaluation: rows whose intermediate
+    * num·2·scale+den provably fits a long take the pure 64-bit path (codegen
+    * integer ops — decimal arithmetic is ~10× slower and would tax every
+    * row for the rare huge one); only rows beyond the bound pay DECIMAL. */
   def scaled(num: Column, den: Column, scale: Long): Column = {
-    val n = num.cast(D38) * lit(2L * scale) + den.cast(D38)
-    val d = den.cast(D38) * lit(2L)
-    val q0 = call_function("div", n, d) // integral divide, truncates to 0
-    val r = n - q0.cast(D38) * d
+    def floorDiv(n: Column, d: Column): Column = {
+      val q0 = call_function("div", n, d) // integral divide, truncates to 0
+      val r = n - q0 * d
+      when(r < 0, q0 - 1L).otherwise(q0)
+    }
+    // |num|·2·scale ≤ MAX/2 and den ≤ MAX/4 ⇒ no long overflow anywhere
+    val numBound = Long.MaxValue / (4L * scale)
+    val denBound = Long.MaxValue / 4L
+    val longPath = floorDiv(num * (2L * scale) + den, den * 2L)
+    val decPath = {
+      val n = num.cast(D38) * lit(2L * scale) + den.cast(D38)
+      val d = den.cast(D38) * lit(2L)
+      val q0 = call_function("div", n, d)
+      val r = n - q0.cast(D38) * d
+      when(r < 0, q0 - 1L).otherwise(q0)
+    }
     when(den === 0L, 0L)
-      .otherwise(when(r < 0, q0 - 1L).otherwise(q0))
+      .otherwise(when(
+        num < numBound && num > -numBound && den < denBound, longPath)
+        .otherwise(decPath))
       .cast("long")
   }
 

@@ -196,35 +196,44 @@ object ForkWalk {
     val t = linkTable(s, d)
       .withColumn("bkt", floor(col("height") / bw).cast("long"))
     val byH = Window.partitionBy(col("bkt")).orderBy(col("height"))
-    val aboveLocal = Window.partitionBy(col("bkt")).orderBy(col("height").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // one row per bucket: last hash + "any broken above" carry, combined over
-    // the aggregated bucket relation only
-    val bktOrd = Window.orderBy(col("bkt"))
-    val bktOrdDesc = Window.orderBy(col("bkt").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = t
+    // ONE fact-table window stage: both the lag and the strictly-above
+    // suffix max share the same (bkt, height ASC) partitioning+sort — the
+    // suffix frame is (1 FOLLOWING, UNBOUNDED), not a second DESC sort.
+    // internal_broken only sees WITHIN-bucket links; boundary links are
+    // settled at the bucket level below.
+    val w = t
       .withColumn("local_prev", lag(col("block_hash"), 1).over(byH))
-    val boundary = t.groupBy(col("bkt"))
-      .agg(max_by(col("block_hash"), col("height")).as("last_hash"))
-      .withColumn("prev_bkt_hash", lag(col("last_hash"), 1).over(bktOrd))
-      .select(col("bkt"), col("prev_bkt_hash")) // null for the lowest bucket
-    // lazy checkpoint: `broken` feeds both the bucket carry agg and the
-    // final join — materialize its scan+window once, not twice
-    val broken = local.join(broadcast(boundary), Seq("bkt"))
-      .withColumn("prev_hash", coalesce(col("local_prev"), col("prev_bkt_hash")))
-      .withColumn("broken",
-        when(col("prev_hash").isNotNull &&
-          col("parent_hash") =!= col("prev_hash"), 1).otherwise(0))
-      .withColumn("local_above", max(col("broken")).over(aboveLocal))
-      .localCheckpoint(false)
-    val carryAbove = broken.groupBy(col("bkt"))
-      .agg(max(col("broken")).as("bkt_broken"))
-      .withColumn("carry_above", max(col("bkt_broken")).over(bktOrdDesc))
-      .select(col("bkt"), col("carry_above")) // null for the highest bucket
-    broken.join(broadcast(carryAbove), Seq("bkt"))
-      .withColumn("broken_above", greatest(col("local_above"), col("carry_above")))
-      .filter(col("broken_above").isNull || col("broken_above") === 0)
+      .withColumn("internal_broken",
+        when(col("local_prev").isNotNull &&
+          col("parent_hash") =!= col("local_prev"), 1).otherwise(0))
+      .withColumn("local_above", coalesce(max(col("internal_broken")).over(
+        byH.rowsBetween(1, Window.unboundedFollowing)), lit(0)))
+    // (w is consumed twice — bucket agg + final join. Measured: recomputing
+    // the scan+window beats caching it; the bucket agg's shuffle is one row
+    // per bucket either way.)
+    // bucket relation: partial-aggregated map-side, so the shuffle carries
+    // one row per bucket. A bucket's "any break" = any internal break OR
+    // its first link not matching the previous bucket's last hash; the
+    // carry for bucket k is then any break in buckets ABOVE k. (A bucket's
+    // own boundary break sits at its lowest row — below every other row in
+    // it — so it belongs to the carry of lower buckets only, matching the
+    // row-level semantics exactly.)
+    val bkts = w.groupBy(col("bkt")).agg(
+        max_by(col("block_hash"), col("height")).as("last_hash"),
+        min_by(col("parent_hash"), col("height")).as("first_parent"),
+        max(col("internal_broken")).as("internal_any"))
+      .withColumn("prev_last", lag(col("last_hash"), 1).over(Window.orderBy(col("bkt"))))
+      .withColumn("boundary_broken",
+        when(col("prev_last").isNotNull &&
+          col("first_parent") =!= col("prev_last"), 1).otherwise(0))
+      .withColumn("bkt_any", greatest(col("internal_any"), col("boundary_broken")))
+      .withColumn("carry_above", coalesce(max(col("bkt_any")).over(
+        Window.orderBy(col("bkt").desc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0)))
+      .select(col("bkt"), col("carry_above"))
+    // broadcast join + filter: no further shuffle of the fact rows
+    w.join(broadcast(bkts), Seq("bkt"))
+      .filter(greatest(col("local_above"), col("carry_above")) === 0)
       .select(col("height"), col("block_hash"))
       .orderBy(col("height"))
   }

@@ -99,6 +99,32 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X2b — MULTI-PROBE LSH: each query probes its own bucket plus the
+    * NPlanes buckets at Hamming distance 1 (flip one plane's bit) — the
+    * standard recall lever for hyperplane LSH (single-probe recall@10 is
+    * 0.16 here; see x4). Still a bucketed equi-join: the tiny query side
+    * explodes ×(NPlanes+1) and broadcasts; candidates never shuffle and
+    * each sees ≈(NPlanes+1)/2^NPlanes of the data instead of all of it. */
+  private val x2b: Q = (s, d) => {
+    val v = vecs(s, d).withColumn("bucket", bucket(col("v")))
+    val probes = array(
+      col("bucket") +: (0 until NPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1 << j))): _*)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), explode(probes).as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    v.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private val NCells = 16
 
   /** X3 — IVF-style ANN: vectors are assigned to the nearest of 16 codebook
@@ -151,12 +177,16 @@ object Similarity {
         .select(lit(method).as("method"), col("hits"), col("total"),
           graft.functions.ExactRatio.scaled(col("hits"), col("total"), 10000L)
             .as("recall_bp"))
-    recallOf(x3, "ivf").unionByName(recallOf(x2, "lsh")).orderBy(col("method"))
+    recallOf(x3, "ivf")
+      .unionByName(recallOf(x2, "lsh"))
+      .unionByName(recallOf(x2b, "lsh_mp"))
+      .orderBy(col("method"))
   }
 
   val queries: Map[String, Q] = Map(
     "x1_knn_bruteforce" -> x1,
     "x2_ann_lsh" -> x2,
+    "x2b_ann_multiprobe" -> x2b,
     "x3_ann_ivf" -> x3,
     "x4_ann_recall" -> x4
   )
@@ -177,13 +207,17 @@ object Similarity {
     val scaled = graft.functions.ExactRatio.scaledSql("hits", "total", 10000L)
     s"""WITH e AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x1_knn_bruteforce")})),
        | l AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2_ann_lsh")})),
+       | m AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2b_ann_multiprobe")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
+       | mh AS (SELECT count(*) AS hits FROM m JOIN e USING (q_id, neighbor_id)),
        | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id))
        | SELECT 'ivf' AS method, hits, total, $scaled AS recall_bp FROM fh, t
        | UNION ALL
        | SELECT 'lsh' AS method, hits, total, $scaled AS recall_bp FROM lh, t
+       | UNION ALL
+       | SELECT 'lsh_mp' AS method, hits, total, $scaled AS recall_bp FROM mh, t
        | ORDER BY method""".stripMargin
   }
 
@@ -226,6 +260,18 @@ object Similarity {
          | r AS (SELECT q_id, vec_id, bucket, cos_raw,
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, bucket
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "x2b_ann_multiprobe" ->
+      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         | v AS (SELECT vec_id, v, $vNormSql AS norm, $bucketSql AS bucket FROM v0),
+         | q0 AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, bucket FROM v WHERE vec_id < 5),
+         | q AS (SELECT q_id, qv, qnorm, p.probe AS bucket FROM q0,
+         |   UNNEST([bucket, ${(0 until NPlanes).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS p(probe)),
+         | c AS (SELECT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
+         |   FROM v a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.q_id),
+         | r AS (SELECT q_id, vec_id, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
          | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   )
 }

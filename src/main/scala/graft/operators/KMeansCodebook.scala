@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means for the IVF codebook (the piece x3 stubs as
+  * "fixed 16 lowest vec_ids" — VERDICT r2 caveat). Spherical variant:
+  * cells maximize cosine, centroids are per-dimension means.
+  *
+  * Scale shape: codebooks are trained OFFLINE on a bounded sample (every
+  * production IVF build does this — training on all 100 TB buys nothing),
+  * then applied MAP-SIDE as a broadcast table. Each iteration is one
+  * assignment pass (sample × broadcast codebook, argmax cosine) and one
+  * centroid update (posexplode → per-(cell, dim) partial-aggregated mean —
+  * the shuffle carries k·dim rows, not the sample). The k×dim result is
+  * driver-collected: that IS the broadcast artifact, a few KB.
+  *
+  * Determinism: seeds are the k lowest vec_ids; double-sum reorder across
+  * partitions can jitter means in the last ulp, so downstream checks
+  * compare aggregate quality, not exact assignments (this feeds the
+  * rows-only x3b query + spec, never a hash-compared oracle). */
+object KMeansCodebook {
+
+  /** Train on (vec_id, v: array<double>) rows; returns cell_id → centroid. */
+  def train(vectors: DataFrame, k: Int, iters: Int,
+            sampleCap: Long = 100000L): Seq[(Int, Seq[Double])] = {
+    val s = vectors.sparkSession
+    graft.GraftExtensions.ensure(s)
+    // deterministic bounded sample: lowest vec_ids (testdata is unordered
+    // random vectors, so this is an unbiased slice of them)
+    val sample = vectors.orderBy(col("vec_id")).limit(sampleCap.toInt)
+      .select(col("vec_id"), col("v")).localCheckpoint(true)
+    var centroids = sample.orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val cb = s.createDataFrame(centroids.map { case (id, c) => (id, c) })
+        .toDF("cell_id", "cv")
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("cell_id"))
+      val assigned = sample.crossJoin(broadcast(cb))
+        .withColumn("cos", call_function("graft_dot", col("v"), col("cv")))
+        .withColumn("rc", row_number().over(wCell))
+        .filter(col("rc") === 1)
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      // a cell can empty out; keep its previous centroid so k is stable
+      val byId = updated.toMap
+      centroids = centroids.map { case (id, c) => (id, byId.getOrElse(id, c)) }
+    }
+    centroids
+  }
+
+  /** The trained codebook as a broadcastable DataFrame (cell_id, cv, cnorm). */
+  def codebook(s: SparkSession, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    graft.GraftExtensions.ensure(s)
+    s.createDataFrame(centroids).toDF("cell_id", "cv")
+      .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
+  }
+
+  /** Convenience: train on the embeddings table of `d`. */
+  def forEmbeddings(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    codebook(s, train(v, k, iters))
+  }
+}

@@ -134,19 +134,24 @@ object Similarity {
     * derive identical cells; a production build would k-means it — the
     * plan shape (assign map-side, equi-join on cell, exact re-rank) is the
     * part that carries to 100 TB. */
-  private val x3: Q = (s, d) => {
-    val v = vecs(s, d)
-    val cb = v.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+  /** Shared IVF body over any (cell_id, cv, cnorm) codebook: assign
+    * map-side vs the broadcast codebook, equi-join queries to their
+    * `nprobe` nearest cells (the standard IVF recall lever — candidates
+    * always live in exactly one cell, so probing N cells never duplicates
+    * a pair), exact re-rank inside them. */
+  private[operators] def ivfBody(v: DataFrame, cb: DataFrame,
+                                 nprobe: Int = 1): DataFrame = {
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("cell_cos").desc, col("cell_id"))
-    val assigned = v.crossJoin(broadcast(cb))
+    def ranked(in: DataFrame) = in.crossJoin(broadcast(cb))
       .withColumn("cell_cos",
         dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
       .withColumn("rc", row_number().over(wCell))
+    val assigned = ranked(v)
       .filter(col("rc") === 1)
       .select(col("vec_id"), col("v"), col("norm"), col("cell_id"))
-    val q = assigned.filter(col("vec_id") < 5)
+    val q = ranked(v.filter(col("vec_id") < 5))
+      .filter(col("rc") <= nprobe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell_id"))
     val wRank = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
@@ -160,6 +165,21 @@ object Similarity {
         round(col("cos_raw"), 4).as("cos"), col("cell_id"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private val x3: Q = (s, d) => {
+    val v = vecs(s, d)
+    val cb = v.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+    ivfBody(v, cb)
+  }
+
+  /** X3b — IVF over a TRAINED codebook (KMeansCodebook, 3 Lloyd's
+    * iterations) with nprobe=2: k-means balances the cells (bounded
+    * per-cell candidate cost at scale) and the second probe buys recall.
+    * Rows-only at the gate (iterative float training has no tractable SQL
+    * mirror); KMeansSpec pins recall ≥ the fixed-cell x3. */
+  private val x3b: Q = (s, d) =>
+    ivfBody(vecs(s, d), KMeansCodebook.forEmbeddings(s, d, NCells, 3), nprobe = 2)
 
   /** X4 — ANN recall gate (VERDICT r2 item 4): recall@10 of the LSH and
     * IVF paths against the exact kNN baseline, AS A QUERY — the recall the
@@ -188,6 +208,7 @@ object Similarity {
     "x2_ann_lsh" -> x2,
     "x2b_ann_multiprobe" -> x2b,
     "x3_ann_ivf" -> x3,
+    "x3b_ann_ivf_trained" -> x3b,
     "x4_ann_recall" -> x4
   )
 

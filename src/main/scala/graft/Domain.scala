@@ -50,13 +50,29 @@ object Domain {
       .orderBy(col("burn_fee").desc, col("vtxindex").asc,
         col("leader_key_address").asc)
 
-  /** commits + is_winner flag. One shuffle on height; the window and any
-    * later per-height agg reuse the same hash partitioning. */
-  def commitsWithWinner(s: SparkSession, d: String): DataFrame =
-    commits(s, d).withColumn(
-      "is_winner",
-      row_number().over(winnerWindow) === 1
-    )
+  /** One row per height: the winning commit, as a HASH AGGREGATION instead
+    * of a window. max_by over the composite (fee, −vtxindex, −miner) key
+    * implements exactly [[winnerWindow]]'s argmax (struct comparison is
+    * lexicographic; the negations turn the ascending tie-breaks into max),
+    * but partial-aggregates map-side — the shuffle carries one candidate
+    * per (height, map partition) instead of sorting every commit through a
+    * WindowExec. Win counters derive from this relation (≈ #heights rows),
+    * never from a row-level is_winner flag over the fact table. */
+  def winners(s: SparkSession, d: String): DataFrame =
+    winnersOf(commits(s, d))
+
+  /** Argmax over any commits-shaped frame (pre-filter the input for range
+    * variants — the winner choice is per-height-local, so a height filter
+    * commutes with the argmax). */
+  def winnersOf(commitsDf: DataFrame): DataFrame =
+    commitsDf
+      .groupBy(col("stacks_block_height"))
+      .agg(max_by(
+        struct(col("leader_key_address"), col("burn_fee"), col("vtxindex")),
+        struct(col("burn_fee"), (-col("vtxindex")).as("nv"),
+          (-col("leader_key_address")).as("na"))).as("w"))
+      .select(col("stacks_block_height"), col("w.leader_key_address"),
+        col("w.burn_fee"), col("w.vtxindex"))
 
   /** Winner row_number as DuckDB SQL — the single shared definition used by
     * every oracle (ADVICE r1: one constant, not per-file re-derivations).

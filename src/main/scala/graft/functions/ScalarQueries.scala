@@ -38,24 +38,30 @@ object ScalarQueries {
     * `latest` restricts the economics to the trailing-N window (the
     * server's miner_info100/1000 variants, server.js:304-331). */
   def rrMinerInfo(latest: Option[Long]): Q = (s, d) => {
-    val base = Domain.commitsWithWinner(s, d)
-    val inWin = latest match {
+    def inWin(df: org.apache.spark.sql.DataFrame) = latest match {
       case Some(n) =>
         val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
-        base.crossJoin(broadcast(hi))
+        df.crossJoin(broadcast(hi))
           .filter(col("stacks_block_height") > col("hi") - n)
           .drop("hi")
-      case None => base
+      case None => df
     }
-    val lb = inWin
+    // two partial-aggregated per-miner rollups joined at miner cardinality
+    // (the winners relation replaces the old fact-table winner window)
+    val mined = inWin(Domain.commits(s, d))
       .groupBy(col("leader_key_address"))
       .agg(
         count(lit(1)).as("total_mined"),
-        sum(col("burn_fee")).as("miner_burned"),
-        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"),
-        sum(when(col("is_winner") &&
-          col("stacks_block_height") < Domain.BonusBoundary, 1L).otherwise(0L))
-          .as("actual_win_bonus"))
+        sum(col("burn_fee")).as("miner_burned"))
+    val wins = Domain.winnersOf(inWin(Domain.commits(s, d)))
+      .groupBy(col("leader_key_address"))
+      .agg(
+        count(lit(1)).as("total_win"),
+        sum(when(col("stacks_block_height") < Domain.BonusBoundary, 1L)
+          .otherwise(0L)).as("actual_win_bonus"))
+    val lb = mined.join(wins, Seq("leader_key_address"), "left")
+      .withColumn("total_win", coalesce(col("total_win"), lit(0L)))
+      .withColumn("actual_win_bonus", coalesce(col("actual_win_bonus"), lit(0L)))
       .withColumn("actual_win", col("total_win"))
     val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
     val earnMilli = col("actual_win_bonus") * 2466L * col("stx_price_milli") +

@@ -26,25 +26,31 @@ object Aggregations {
     * average_burn (milli-units) and normalized_wins (micro-units)
     * (rpc.js:433-434 — the reference's toFixed(3) presentation rounding,
     * re-expressed as exact scaled integers so both engines agree on every
-    * input). One shuffle on the group key. */
-  private val a1: Q = (s, d) =>
-    Domain.commitsWithWinner(s, d)
+    * input). Two partial-aggregated shuffles (commits → per-miner, winners
+    * → per-miner) joined at miner cardinality — no fact-table window. */
+  private val a1: Q = (s, d) => {
+    val base = Domain.commits(s, d)
       .groupBy(col("leader_key_address"))
-      .agg(
-        count(lit(1)).as("total_mined"),
-        sum(col("burn_fee")).as("miner_burned"),
-        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
+      .agg(count(lit(1)).as("total_mined"), sum(col("burn_fee")).as("miner_burned"))
+    val wins = Domain.winners(s, d)
+      .groupBy(col("leader_key_address"))
+      .agg(count(lit(1)).as("total_win"))
+    base.join(wins, Seq("leader_key_address"), "left")
+      .withColumn("total_win", coalesce(col("total_win"), lit(0L)))
       .withColumn("average_burn_milli",
         rationalScaled(col("miner_burned"), col("total_mined"), 1000L))
       // normalized_wins = won / average_burn = won·1000 / avg_milli
       .withColumn("normalized_wins_micro",
         rationalScaled(col("total_win") * 1000L, col("average_burn_milli"), 1000000L))
+      .select(col("leader_key_address"), col("total_mined"), col("miner_burned"),
+        col("total_win"), col("average_burn_milli"), col("normalized_wins_micro"))
       .orderBy(col("leader_key_address"))
+  }
 
-  /** A2 — canonical-fork wins with genesis-bonus split (rpc.js:301-305). */
+  /** A2 — canonical-fork wins with genesis-bonus split (rpc.js:301-305):
+    * a per-miner rollup of the winners relation. */
   private val a2: Q = (s, d) =>
-    Domain.commitsWithWinner(s, d)
-      .filter(col("is_winner"))
+    Domain.winners(s, d)
       .groupBy(col("leader_key_address"))
       .agg(
         count(lit(1)).as("actual_win"),
@@ -135,14 +141,20 @@ object Aggregations {
     * collect. `n` is the reference's `latest` route parameter. */
   def trailingLeaderboard(n: Long): Q = (s, d) => {
     val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
-    Domain.commitsWithWinner(s, d)
-      .crossJoin(broadcast(hi))
-      .filter(col("stacks_block_height") > col("hi") - n)
+    def inWin(df: org.apache.spark.sql.DataFrame) =
+      df.crossJoin(broadcast(hi))
+        .filter(col("stacks_block_height") > col("hi") - n)
+    val base = inWin(Domain.commits(s, d))
       .groupBy(col("leader_key_address"))
-      .agg(
-        count(lit(1)).as("total_mined"),
-        sum(col("burn_fee")).as("miner_burned"),
-        sum(when(col("is_winner"), 1L).otherwise(0L)).as("total_win"))
+      .agg(count(lit(1)).as("total_mined"), sum(col("burn_fee")).as("miner_burned"))
+    // filter BEFORE the argmax (winner choice is per-height-local, so the
+    // range filter commutes into it — prunes the heavy side first)
+    val wins = Domain.winnersOf(inWin(Domain.commits(s, d)))
+      .groupBy(col("leader_key_address"))
+      .agg(count(lit(1)).as("total_win"))
+    base.join(wins, Seq("leader_key_address"), "left")
+      .select(col("leader_key_address"), col("total_mined"), col("miner_burned"),
+        coalesce(col("total_win"), lit(0L)).as("total_win"))
       .orderBy(col("leader_key_address"))
   }
   private val a12 = trailingLeaderboard(100L)

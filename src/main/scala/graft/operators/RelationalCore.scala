@@ -117,10 +117,10 @@ object RelationalCore {
   }
 
   /** J8/P5 — winner resolution: the commit matching winning_block_txid,
-    * re-derived as per-height argmax (rpc.js:269; SURVEY §4 G1(b)). */
+    * re-derived as per-height argmax (rpc.js:269; SURVEY §4 G1(b)) — a
+    * max_by hash aggregation, not a window (Domain.winners). */
   private val j8: Q = (s, d) =>
-    Domain.commitsWithWinner(s, d)
-      .filter(col("is_winner"))
+    Domain.winners(s, d)
       .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
       .orderBy(col("stacks_block_height"))
 

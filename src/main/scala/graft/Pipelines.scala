@@ -113,11 +113,15 @@ object Pipelines {
         col("sum_miner_amount"), col("commit_value_list"))
       .orderBy(col("stacks_block_height").desc).limit(20)
       .collect().sortBy(_.getLong(0))
+    require(b20.nonEmpty,
+      "dashboard: block_info cache is empty — refreshCache must run against a non-empty source first")
     val tipHeight = b20.last.getLong(0)
     val burn20 = b20.map(_.getLong(1))
     val miner20 = b20.map(_.getLong(2))
+    // Locale.ROOT: the f-interpolator uses the default locale, which would
+    // emit comma decimals (invalid JSON) on comma-decimal JVMs
     def avg3(xs: Array[Long]): String =
-      if (xs.isEmpty) "0" else f"${xs.sum.toDouble / xs.length}%.3f"
+      String.format(java.util.Locale.ROOT, "%.3f", xs.sum.toDouble / xs.length)
     val currentStatus =
       s"""{"current_block":{"stacks_block_height":$tipHeight,""" +
         s""""bitcoin_block":{"block_height":$tipHeight,"timestamp":1600000}},""" +

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.DecimalType
   * (ADVICE r2). Both engines' integer division truncates toward zero, so
   * floor semantics for negative numerators (rr can be < 0) come from the
   * same explicit remainder adjustment on both sides.
+  *
+  * PRECONDITION: the CALLER's num/den expressions must evaluate in int64 —
+  * the widening here covers only the internal ·2·scale blowup. A caller
+  * expression that itself overflows int64 fails LOUDLY on both engines
+  * (Spark ANSI arithmetic and DuckDB BIGINT both raise; spec-verified),
+  * never silently.
   */
 object ExactRatio {
 

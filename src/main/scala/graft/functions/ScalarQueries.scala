@@ -38,9 +38,10 @@ object ScalarQueries {
     * `latest` restricts the economics to the trailing-N window (the
     * server's miner_info100/1000 variants, server.js:304-331). */
   def rrMinerInfo(latest: Option[Long]): Q = (s, d) => {
+    // hoisted: both rollups below share one hi subplan per query
+    lazy val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
     def inWin(df: org.apache.spark.sql.DataFrame) = latest match {
       case Some(n) =>
-        val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
         df.crossJoin(broadcast(hi))
           .filter(col("stacks_block_height") > col("hi") - n)
           .drop("hi")

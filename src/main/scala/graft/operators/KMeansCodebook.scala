@@ -63,10 +63,21 @@ object KMeansCodebook {
       .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
   }
 
-  /** Convenience: train on the embeddings table of `d`. */
+  /** Training is deterministic per (dir, k, iters), so centroids memoize —
+    * without this, every CONSTRUCTION of an x3b plan (e.g. plan-shape
+    * specs that never execute the query) would re-run the full training
+    * actions. The cached value is plain driver-side data, valid across
+    * sessions. */
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Seq[Double])]]()
+
+  /** Convenience: train on the embeddings table of `d` (memoized). */
   def forEmbeddings(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    codebook(s, train(v, k, iters))
+    val cs = trained.computeIfAbsent((d, k, iters), { _ =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      train(v, k, iters)
+    })
+    codebook(s, cs)
   }
 }

@@ -174,10 +174,11 @@ object Similarity {
   }
 
   /** X3b — IVF over a TRAINED codebook (KMeansCodebook, 3 Lloyd's
-    * iterations) with nprobe=2: k-means balances the cells (bounded
-    * per-cell candidate cost at scale) and the second probe buys recall.
-    * Rows-only at the gate (iterative float training has no tractable SQL
-    * mirror); KMeansSpec pins recall ≥ the fixed-cell x3. */
+    * iterations) with nprobe=2: k-means buys data-adaptive, balanced cells
+    * (bounded per-cell candidate cost on clustered real embeddings; on the
+    * isotropic testdata it is recall-neutral) and the second probe is the
+    * recall lever. Rows-only at the gate (iterative float training has no
+    * tractable SQL mirror); KMeansSpec pins an absolute recall floor. */
   private val x3b: Q = (s, d) =>
     ivfBody(vecs(s, d), KMeansCodebook.forEmbeddings(s, d, NCells, 3), nprobe = 2)
 

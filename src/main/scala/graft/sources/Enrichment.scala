@@ -41,13 +41,21 @@ object Enrichment {
   private val schemaDdl =
     "stx_price_milli LONG, btc_sat_scale LONG, gas_sats LONG, hash_power STRING"
 
-  /** The 1-row enrichment relation. Missing file fields fall back to the
-    * conf/default chain, so a partial fetcher payload still resolves. */
+  /** The 1-row enrichment relation. Missing file FIELDS fall back per
+    * column, and a missing file ROW (fetcher crashed mid-write, empty
+    * file) falls back to the conf/default row — the relation is one row by
+    * construction, never empty. Priority is explicit (src 0 beats src 1),
+    * not partition order. */
   def prices(s: SparkSession): DataFrame = {
     val stx = confOr(s, StxMilliKey, DefaultStxMilli)
     val btc = confOr(s, BtcScaleKey, DefaultBtcScale)
     val gas = confOr(s, GasSatsKey, DefaultGasSats)
     val hp = s.conf.getOption(HashPowerKey).getOrElse(DefaultHashPower)
+    val fallback = s.range(1).select(
+      lit(stx).as("stx_price_milli"),
+      lit(btc).as("btc_sat_scale"),
+      lit(gas).as("gas_sats"),
+      lit(hp).as("hash_power"))
     s.conf.getOption(PathKey) match {
       case Some(path) =>
         s.read.schema(schemaDdl).json(path)
@@ -57,12 +65,10 @@ object Enrichment {
             coalesce(col("gas_sats"), lit(gas)).as("gas_sats"),
             coalesce(col("hash_power"), lit(hp)).as("hash_power"))
           .limit(1)
-      case None =>
-        s.range(1).select(
-          lit(stx).as("stx_price_milli"),
-          lit(btc).as("btc_sat_scale"),
-          lit(gas).as("gas_sats"),
-          lit(hp).as("hash_power"))
+          .withColumn("src", lit(0))
+          .unionByName(fallback.withColumn("src", lit(1)))
+          .orderBy(col("src")).limit(1).drop("src")
+      case None => fallback
     }
   }
 

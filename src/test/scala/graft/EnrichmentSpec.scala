@@ -44,6 +44,19 @@ class EnrichmentSpec extends SparkSpec {
     } finally clearConfs()
   }
 
+  test("an empty enrichment file falls back to the default ROW, never empty") {
+    clearConfs()
+    val dir = java.nio.file.Files.createTempDirectory("enrich_empty").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "prices.json"), "")
+    try {
+      spark.conf.set(Enrichment.PathKey, s"$dir/prices.json")
+      val rows = Enrichment.prices(spark).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 1500L)
+    } finally clearConfs()
+  }
+
   test("file-backed seam overrides, missing fields fall back") {
     clearConfs()
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString

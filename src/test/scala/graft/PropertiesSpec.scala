@@ -26,6 +26,20 @@ class ExactRatioSpec extends SparkSpec {
     } ++ Seq((1L << 55, 3000L), (-(1L << 55) - 1, (1L << 20) + 7), (5L, 0L), (-7L, 2L))
   }
 
+  test("caller-side int64 overflow fails loudly, never silently wraps") {
+    // the helper's widening covers only its internal ·2·scale blowup; a
+    // caller num expression that overflows int64 must raise (ANSI), not
+    // feed a wrapped value into the 'exact' path
+    val df = spark.range(1).select(
+      (org.apache.spark.sql.functions.lit(Long.MaxValue) +
+        org.apache.spark.sql.functions.col("id") + 1L).as("num"))
+    assertThrows[Exception] {
+      df.select(graft.functions.ExactRatio.scaled(
+        org.apache.spark.sql.functions.col("num"),
+        org.apache.spark.sql.functions.lit(3L), 1000L)).collect()
+    }
+  }
+
   test("scaled matches BigInt half-up for values far beyond 2^53") {
     import org.apache.spark.sql.functions.col
     val ss = spark

@@ -154,12 +154,75 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Min-label propagation rounds for d6. Near-dup components are near-
+    * cliques (duplicates of one source), so diameters are tiny; 8 rounds
+    * covers diameter 8 with margin. At 100 TB with adversarial chain-shaped
+    * components the production form is large-star/small-star — the same
+    * per-round plan shape (one equi-join + one min-aggregate), just with
+    * edge rewriting; DedupSpec asserts the fixpoint actually converged. */
+  private val ClusterRounds = 8
+
+  /** D6 — near-dup CLUSTERING: d2's candidate pairs grouped into connected
+    * components with a deterministic canonical survivor (min doc_id per
+    * component). Pairs → clusters → survivors is the step a real dedup
+    * pipeline runs after candidate generation — without it, A~B and B~C
+    * would keep A and B (pairwise drops are order-dependent). Each round
+    * joins the symmetrized edge list to current labels and takes the
+    * neighborhood min — edges and labels are both tiny relative to the
+    * corpus (only docs that appear in pairs can change label). */
+  private val d6: Q = (s, d) => {
+    val pairs = d2(s, d).select(col("d1").as("x"), col("d2").as("y"))
+    val edges = pairs
+      .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true) // pairs are the expensive part; compute once
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to ClusterRounds) {
+      val nb = edges
+        .join(labels.select(col("doc_id").as("y"), col("label").as("ylabel")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("ylabel")).as("nlabel"))
+        .withColumnRenamed("x", "doc_id")
+      labels = labels.join(nb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PX4 — train/test DECONTAMINATION: flag test-split documents sharing
+    * any shingle with the train split (the standard n-gram-overlap check
+    * run before every evaluation). The split is deterministic (doc_id mod
+    * 10). Scale shape: explode to shingle grain, distinct the train side,
+    * one equi-join on the shingle — contamination checking at 100 TB IS a
+    * shingle-grain join, never a doc×doc compare. */
+  private val px4: Q = (s, d) => {
+    val ds = docShingles(s, d)
+    val test = ds.filter(col("doc_id") % 10 === 7)
+    val trainSh = ds.filter(col("doc_id") % 10 =!= 7)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val testSh = test.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hits = testSh.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    test.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
     "d4_ngram_jaccard" -> d4,
-    "d5_embedding_neardup" -> d5
+    "d5_embedding_neardup" -> d5,
+    "d6_neardup_clusters" -> d6,
+    "px4_decontaminate" -> px4
   )
 
   private val docShinglesSql =
@@ -211,6 +274,30 @@ object Dedup {
               10000L)} AS jaccard_bp
          |   FROM cand JOIN ds s1 ON cand.d1 = s1.doc_id JOIN ds s2 ON cand.d2 = s2.doc_id)
          | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin,
+    "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE $candSql,
+         | edges AS (SELECT d1 AS x, d2 AS y FROM cand UNION SELECT d2, d1 FROM cand),
+         | reach(x, y) AS (
+         |   SELECT x, y FROM edges
+         |   UNION
+         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         | lab AS (SELECT d.doc_id,
+         |     least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+         |   FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+         |   GROUP BY d.doc_id)
+         | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         | FROM lab ORDER BY doc_id""".stripMargin,
+    "px4_decontaminate" ->
+      s"""WITH ds AS ($docShinglesSql),
+         | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),
+         | train_sh AS (SELECT DISTINCT unnest(shingles) AS sh FROM ds WHERE doc_id % 10 <> 7),
+         | test_sh AS (SELECT doc_id, unnest(shingles) AS sh FROM test),
+         | hits AS (SELECT doc_id, count(*) AS n_contaminated
+         |   FROM test_sh JOIN train_sh USING (sh) GROUP BY 1)
+         | SELECT t.doc_id, CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+         |   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |   coalesce(h.n_contaminated, 0) > 0 AS contaminated
+         | FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
     "d5_embedding_neardup" ->
       s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          | v AS (SELECT vec_id, label, v,

@@ -52,6 +52,37 @@ class DedupSpec extends SparkSpec {
       .filter(col("l1") =!= col("l2") || col("cos") < 0.35)
     assert(bad.count() === 0L)
   }
+
+  test("d6 clustering converged: every candidate pair shares a cluster") {
+    // the REAL fixpoint check — stronger than running one extra round
+    val lab = q("d6_neardup_clusters").select("doc_id", "cluster_id")
+    val bad = q("d2_minhash_lsh")
+      .join(lab.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lab.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2"), "d2")
+      .filter(col("c1") =!= col("c2"))
+    assert(bad.count() === 0L)
+  }
+
+  test("d6 canonical doc is its cluster's minimum member") {
+    val lab = q("d6_neardup_clusters")
+    val minPerCluster = lab.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("min_doc"))
+    val bad = minPerCluster.filter(col("cluster_id") =!= col("min_doc"))
+    assert(bad.count() === 0L)
+    // canonical flag is exactly doc==cluster
+    assert(lab.filter(col("is_canonical") =!=
+      (col("doc_id") === col("cluster_id"))).count() === 0L)
+  }
+
+  test("px4 decontamination covers exactly the test split, flags are consistent") {
+    val out = q("px4_decontaminate")
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(out.count() === expect)
+    assert(out.filter(col("contaminated") =!=
+      (col("n_contaminated") > 0L)).count() === 0L)
+    assert(out.filter(col("n_contaminated") > col("n_shingles")).count() === 0L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -97,15 +97,19 @@ object Aggregations {
 
   /** A10 — trailing-20 burn-fee average + raw series (mining_monitor_rpc.js:2-5).
     * Deliberately groupBy-then-limit: groups are scalar sums, so one shuffle
-    * + TakeOrdered beats resolving the height set first (a pre-filter join
-    * costs 2 extra jobs and only pays when per-group work is heavy — w6's
-    * window — not for cheap aggregates; measured both ways). */
+    * + TakeOrdered loses to bounding the heights first once the fact table
+    * grows: the range filter evaluates map-side pre-shuffle, so the
+    * aggregation shuffles 20 groups instead of every height (re-measured
+    * at sf0.1 this round — the r1 measurement favoring groupBy-then-limit
+    * only held at sf0.001 job-overhead scale). The 20th-highest height
+    * comes from the snapshots table (1 row per block; every block has
+    * commits, the same containment w5/a12 rely on). */
   private val a10: Q = (s, d) => {
     val tail = Domain.commits(s, d)
+      .crossJoin(broadcast(tailLow(s, d, 20)))
+      .filter(col("stacks_block_height") >= col("lo"))
       .groupBy(col("stacks_block_height"))
       .agg(sum(col("burn_fee")).as("f"))
-      .orderBy(col("stacks_block_height").desc)
-      .limit(20)
     tail.agg(
       sum(col("f")).as("sum_f"),
       count(lit(1)).as("n_f"),
@@ -117,13 +121,20 @@ object Aggregations {
         col("data_20"))
   }
 
-  /** A11 — trailing-20 miner-count average + series (mining_monitor_rpc.js:7-8). */
+  /** The n-th-highest block height as a 1-row broadcast bound. */
+  private def tailLow(s: SparkSession, d: String, n: Int) =
+    Tables.orders(s, d)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey").desc).limit(n)
+      .agg(min(col("o_orderkey")).as("lo"))
+
+  /** A11 — trailing-20 miner-count average + series (mining_monitor_rpc.js:7-8;
+    * same bounded-heights shape as a10). */
   private val a11: Q = (s, d) => {
     val tail = Domain.commits(s, d)
+      .crossJoin(broadcast(tailLow(s, d, 20)))
+      .filter(col("stacks_block_height") >= col("lo"))
       .groupBy(col("stacks_block_height"))
       .agg(count(lit(1)).as("m"))
-      .orderBy(col("stacks_block_height").desc)
-      .limit(20)
     tail.agg(
       sum(col("m")).as("sum_m"),
       count(lit(1)).as("n_m"),

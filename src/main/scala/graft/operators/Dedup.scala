@@ -155,12 +155,15 @@ object Dedup {
   }
 
   /** Min-label propagation rounds for d6. Near-dup components are near-
-    * cliques (duplicates of one source), so diameters are tiny; 8 rounds
-    * covers diameter 8 with margin. At 100 TB with adversarial chain-shaped
+    * cliques (duplicates of one source), so diameters are tiny; 4 rounds
+    * covers diameter 4 and each round is a driver-blocking job, so the
+    * count is deliberately small. Under-convergence CANNOT pass silently:
+    * DedupSpec asserts every pair shares a cluster, and the oracle is the
+    * full transitive closure, so the per-round gate fails loudly if data
+    * ever grows a longer chain. At 100 TB with adversarial chain-shaped
     * components the production form is large-star/small-star — the same
-    * per-round plan shape (one equi-join + one min-aggregate), just with
-    * edge rewriting; DedupSpec asserts the fixpoint actually converged. */
-  private val ClusterRounds = 8
+    * per-round plan shape, just with edge rewriting. */
+  private val ClusterRounds = 4
 
   /** D6 — near-dup CLUSTERING: d2's candidate pairs grouped into connected
     * components with a deterministic canonical survivor (min doc_id per
@@ -175,8 +178,11 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint(true) // pairs are the expensive part; compute once
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // only docs that appear in a pair can change label — the propagation
+    // loop runs over the edge-node set (≈ 2·|pairs|), never the corpus;
+    // everything else is a singleton labeled by itself at the end
+    var labels = edges.select(col("x").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint(true)
     for (_ <- 1 to ClusterRounds) {
       val nb = edges
@@ -188,8 +194,13 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("is_canonical"))
+    // no broadcast hint: the dup-node set can be a large corpus fraction —
+    // AQE picks broadcast when it actually fits
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -185,13 +185,14 @@ object RelationalCore {
       .orderBy(col("block_hash"))
 
   /** J11 — local vs remote stage compare (server.js:233-242): two 1-row
-    * relations crossed, equality on height → canMine flag. */
+    * relations crossed, equality on height → canMine flag. The remote side
+    * comes through the S16–S17 probe seam (sources.PeerProbe) — unset, it
+    * resolves to the same derived table this oracle checks, so the gate
+    * covers the default path and ProbeSpec covers the injected one. */
   private val j11: Q = (s, d) => {
     val local = Tables.lineitem(s, d)
       .agg(max(col("l_orderkey")).as("local_height"))
-    val remote = Tables.orders(s, d)
-      .agg(max(col("o_orderkey")).as("remote_height"))
-    local.crossJoin(remote)
+    local.crossJoin(broadcast(graft.sources.PeerProbe.remoteHeight(s, d)))
       .withColumn("can_mine", col("local_height") === col("remote_height"))
   }
 

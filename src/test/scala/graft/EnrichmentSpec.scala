@@ -57,6 +57,22 @@ class EnrichmentSpec extends SparkSpec {
     } finally clearConfs()
   }
 
+  test("peer-probe seam: injected remote height flips can_mine") {
+    val key = graft.sources.PeerProbe.RemoteHeightKey
+    try {
+      spark.conf.unset(key)
+      val base = q("j11_stage_compare").head()
+      val local = base.getLong(0)
+      // the default path equals the derived remote table (oracle-gated)
+      spark.conf.set(key, local.toString)
+      assert(q("j11_stage_compare").head().getBoolean(2))
+      spark.conf.set(key, (local + 5).toString)
+      val probed = q("j11_stage_compare").head()
+      assert(probed.getLong(1) === local + 5)
+      assert(!probed.getBoolean(2))
+    } finally spark.conf.unset(key)
+  }
+
   test("file-backed seam overrides, missing fields fall back") {
     clearConfs()
     val dir = java.nio.file.Files.createTempDirectory("enrich").toString

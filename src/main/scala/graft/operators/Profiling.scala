@@ -46,7 +46,36 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
-  val queries: Map[String, Q] = Map("pr1_profile" -> pr1)
+  /** The profiled percentiles (discrete, type-1: smallest value whose
+    * cumulative count reaches ⌈p·n⌉ — integer-exact on both engines;
+    * interpolating forms differ in the last ulp between engines). */
+  private val Percentiles = Seq(50, 90, 99)
+
+  /** PR2 — document-length percentiles via a LENGTH HISTOGRAM: one scan
+    * aggregates to (#distinct lengths) rows, the cumulative runs over that
+    * aggregated histogram (bounded — the allowed post-agg window shape),
+    * and each percentile is the min length whose cumulative count clears
+    * its rank. The histogram form IS the 100 TB percentile plan: distinct
+    * lengths ≪ rows, and no sort ever sees the corpus. */
+  private val pr2: Q = (s, d) => {
+    val hist = Tables.documents(s, d)
+      .select(length(col("text")).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(cumW))
+      .crossJoin(broadcast(total))
+    val rows = Percentiles.map { p =>
+      cum.filter(col("cum") * 100L >= col("n") * p)
+        .agg(min(col("len")).as("len_value"))
+        .select(lit(p.toLong).as("percentile"), col("len_value"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("percentile"))
+  }
+
+  val queries: Map[String, Q] = Map("pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2)
 
   val oracles: Map[String, String] = Map(
     "pr1_profile" -> cols.map { c =>
@@ -54,6 +83,17 @@ object Profiling {
          | count(DISTINCT $c) AS n_distinct,
          | CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value
          | FROM lineitem""".stripMargin
-    }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    }.mkString("", " UNION ALL ", " ORDER BY column_name"),
+    "pr2_length_percentiles" -> {
+      val one = (p: Int) =>
+        s"""SELECT CAST($p AS BIGINT) AS percentile, min(len) AS len_value
+           | FROM c WHERE cum * 100 >= n * $p""".stripMargin
+      s"""WITH h AS (SELECT CAST(len(text) AS BIGINT) AS len, count(*) AS cnt
+         |   FROM documents GROUP BY 1),
+         | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         | c AS (SELECT len, CAST(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, n FROM h, t)
+         | ${Percentiles.map(one).mkString(" UNION ALL ")}
+         | ORDER BY percentile""".stripMargin
+    }
   )
 }

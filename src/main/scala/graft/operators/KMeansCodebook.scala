@@ -48,7 +48,12 @@ object KMeansCodebook {
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("cv"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .collect().map(r => (r.getInt(0),
+          // quantize to a 1e-9 grid: double-sum merge order varies with
+          // shuffle-fetch order between RUNS (ulp-level), and an ulp can
+          // flip a near-tie assignment — rounding makes the trained
+          // codebook (and so x3b's output) run-stable
+          r.getSeq[Double](1).map(x => math.rint(x * 1e9) / 1e9))).toSeq
       // a cell can empty out; keep its previous centroid so k is stable
       val byId = updated.toMap
       centroids = centroids.map { case (id, c) => (id, byId.getOrElse(id, c)) }

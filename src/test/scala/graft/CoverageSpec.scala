@@ -70,4 +70,17 @@ class CoverageSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"partition-less window over unbounded input in: ${offenders.mkString(", ")}")
   }
+
+  /** Companion invariant: every cross join in the repo is a deliberate
+    * 1-row broadcast (bounds, totals, seams) that plans as a broadcast
+    * nested-loop — an unhinted CartesianProductExec would mean two big
+    * sides multiplying, which no query here should ever do. */
+  test("no registered query plans an un-broadcast cartesian product") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      q(name).queryExecution.executedPlan.toString
+        .contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProductExec in: ${offenders.mkString(", ")}")
+  }
 }

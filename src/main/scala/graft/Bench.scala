@@ -5,11 +5,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
-    // Warm the JVM/codegen/scan paths once so the first timed query isn't
-    // charged several seconds of session startup (r1: first query +4s).
+    // Warm the JVM/codegen/scan paths once per FAMILY (agg, join+window,
+    // text HOF, vector expression) so the first timed query of each isn't
+    // charged JIT/codegen warmup (r1: first query +4s; r3: family-first
+    // queries +1-2s each). Warmup time is not part of any query's timing.
     // Guarded: a warmup failure must not prevent the contractual JSON line.
-    try SparkEntry.queries.get("a5_tx_count").foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    Seq("a5_tx_count", "j8_winner_commit", "tx2_quality_score", "x1_knn_bruteforce")
+      .foreach { w =>
+        try SparkEntry.queries.get(w).foreach(fn => fn(spark, sfDir).count())
+        catch { case _: Throwable => () }
+      }
     // dev loop: an optional comma-separated arg restricts to named queries
     // (isolated timings — full-run numbers carry ±2x cross-query noise)
     val only = args.headOption.map(_.split(",").toSet)

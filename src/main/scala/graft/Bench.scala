@@ -12,8 +12,13 @@ object Bench {
     // Guarded: a warmup failure must not prevent the contractual JSON line.
     Seq("a5_tx_count", "j8_winner_commit", "tx2_quality_score", "x1_knn_bruteforce")
       .foreach { w =>
-        try SparkEntry.queries.get(w).foreach(fn => fn(spark, sfDir).count())
-        catch { case _: Throwable => () }
+        // loud on stderr (never stdout — the JSON line contract), so a
+        // renamed warm query or a warmup crash is visible in run logs
+        // instead of silently re-skewing family-first timings
+        if (!SparkEntry.queries.contains(w))
+          System.err.println(s"warmup query missing: $w")
+        else try SparkEntry.queries(w)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
       }
     // dev loop: an optional comma-separated arg restricts to named queries
     // (isolated timings — full-run numbers carry ±2x cross-query noise)

@@ -96,7 +96,7 @@ object Aggregations {
       .agg(round(sum(col("burn_fee")) / lit(1e8), 2).as("btc_total"))
 
   /** A10 — trailing-20 burn-fee average + raw series (mining_monitor_rpc.js:2-5).
-    * Deliberately groupBy-then-limit: groups are scalar sums, so one shuffle
+    * Bounded-heights pre-filter: groupBy-then-limit's one shuffle
     * + TakeOrdered loses to bounding the heights first once the fact table
     * grows: the range filter evaluates map-side pre-shuffle, so the
     * aggregation shuffles 20 groups instead of every height (re-measured

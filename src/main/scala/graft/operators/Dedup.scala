@@ -173,7 +173,26 @@ object Dedup {
     * joins the symmetrized edge list to current labels and takes the
     * neighborhood min — edges and labels are both tiny relative to the
     * corpus (only docs that appear in pairs can change label). */
+  /** d6's propagation loop runs Spark actions at plan-construction time
+    * (like k-means training); memoize the checkpointed label frame per
+    * (session, dir) so plan-only consumers (plan invariants, repeated
+    * spec calls) don't re-run the LSH join + rounds. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private val d6: Q = (s, d) => {
+    val labels = clusterCache.computeIfAbsent((s, d), { _ => clusterLabels(s, d) })
+    // no broadcast hint: the dup-node set can be a large corpus fraction —
+    // AQE picks broadcast when it actually fits
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = d2(s, d).select(col("d1").as("x"), col("d2").as("y"))
     val edges = pairs
       .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
@@ -194,14 +213,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
     }
-    // no broadcast hint: the dup-node set can be a large corpus fraction —
-    // AQE picks broadcast when it actually fits
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** PX4 — train/test DECONTAMINATION: flag test-split documents sharing
@@ -285,6 +297,10 @@ object Dedup {
               10000L)} AS jaccard_bp
          |   FROM cand JOIN ds s1 ON cand.d1 = s1.doc_id JOIN ds s2 ON cand.d2 = s2.doc_id)
          | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin,
+    // Oracle tractability bound (same contract as the fork-walk oracle's
+    // WalkWindow): the recursive closure materializes O(family²) rows, fine
+    // for the testdata's small duplicate families; the Spark side never
+    // materializes a closure at any scale.
     "d6_neardup_clusters" ->
       s"""WITH RECURSIVE $candSql,
          | edges AS (SELECT d1 AS x, d2 AS y FROM cand UNION SELECT d2, d1 FROM cand),

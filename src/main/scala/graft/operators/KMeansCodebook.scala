@@ -42,18 +42,20 @@ object KMeansCodebook {
         .withColumn("cos", call_function("graft_dot", col("v"), col("cv")))
         .withColumn("rc", row_number().over(wCell))
         .filter(col("rc") === 1)
+      // decimal mean, not double: decimal addition is exactly associative
+      // and commutative, so the aggregate is IDENTICAL whatever order
+      // shuffle fetches merge partials in — double sums vary in the last
+      // ulp between runs, and an ulp can flip a near-tie assignment,
+      // making the codebook (and so x3b's output) session-dependent
       val updated = assigned
         .select(col("cell_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cell_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(avg(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double").as("m"))
         .groupBy(col("cell_id"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("cv"))
-        .collect().map(r => (r.getInt(0),
-          // quantize to a 1e-9 grid: double-sum merge order varies with
-          // shuffle-fetch order between RUNS (ulp-level), and an ulp can
-          // flip a near-tie assignment — rounding makes the trained
-          // codebook (and so x3b's output) run-stable
-          r.getSeq[Double](1).map(x => math.rint(x * 1e9) / 1e9))).toSeq
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       // a cell can empty out; keep its previous centroid so k is stable
       val byId = updated.toMap
       centroids = centroids.map { case (id, c) => (id, byId.getOrElse(id, c)) }

@@ -60,6 +60,10 @@ object Profiling {
   private val pr2: Q = (s, d) => {
     val hist = Tables.documents(s, d)
       .select(length(col("text")).cast("long").as("len"))
+      // NULL text would order NULLS FIRST on Spark but LAST on DuckDB,
+      // shifting every cumulative count — percentiles are over non-null
+      // lengths by definition on both sides
+      .filter(col("len").isNotNull)
       .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
     val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -89,7 +93,7 @@ object Profiling {
         s"""SELECT CAST($p AS BIGINT) AS percentile, min(len) AS len_value
            | FROM c WHERE cum * 100 >= n * $p""".stripMargin
       s"""WITH h AS (SELECT CAST(len(text) AS BIGINT) AS len, count(*) AS cnt
-         |   FROM documents GROUP BY 1),
+         |   FROM documents WHERE text IS NOT NULL GROUP BY 1),
          | t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
          | c AS (SELECT len, CAST(sum(cnt) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, n FROM h, t)
          | ${Percentiles.map(one).mkString(" UNION ALL ")}

@@ -71,10 +71,13 @@ class CoverageSpec extends SparkSpec {
       s"partition-less window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
-  /** Companion invariant: every cross join in the repo is a deliberate
-    * 1-row broadcast (bounds, totals, seams) that plans as a broadcast
-    * nested-loop — an unhinted CartesianProductExec would mean two big
-    * sides multiplying, which no query here should ever do. */
+  /** Companion invariant: every cross join visible in a registered plan is
+    * a deliberate 1-row broadcast (bounds, totals, seams) that plans as a
+    * broadcast nested-loop — an unhinted CartesianProductExec would mean
+    * two big sides multiplying. Scope: the FINAL plan only; joins that run
+    * eagerly inside localCheckpoint loops (fork walk, d6 rounds, k-means)
+    * are not visible here and rely on their builders' explicit
+    * equi-join/broadcast shapes. */
   test("no registered query plans an un-broadcast cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       q(name).queryExecution.executedPlan.toString

@@ -34,14 +34,19 @@ object KMeansCodebook {
     var centroids = sample.orderBy(col("vec_id")).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 1 to iters) {
-      val cb = s.createDataFrame(centroids.map { case (id, c) => (id, c) })
-        .toDF("cell_id", "cv")
-      val wCell = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cos").desc, col("cell_id"))
-      val assigned = sample.crossJoin(broadcast(cb))
-        .withColumn("cos", call_function("graft_dot", col("v"), col("cv")))
-        .withColumn("rc", row_number().over(wCell))
-        .filter(col("rc") === 1)
+      // centroids are driver-side data → embed them as an array-of-struct
+      // LITERAL and assign each sample row with a row-local argmax fold
+      // (array_max over (cos, -cell_id) ≡ ORDER BY cos DESC, cell_id ASC).
+      // The old crossJoin + row_number form shuffled and sorted k×sample
+      // rows per iteration to compute this per-row-local value (r3 finding;
+      // same fix as Similarity.ivfBody).
+      val cellArr = typedlit(centroids.map { case (id, c) => (id, c) })
+      val assigned = sample
+        .withColumn("scores", transform(cellArr, c =>
+          struct(call_function("graft_dot", col("v"), c.getField("_2")).as("cos"),
+            (-c.getField("_1")).as("neg_id"))))
+        .withColumn("best", array_max(col("scores")))
+        .withColumn("cell_id", -col("best.neg_id"))
       // decimal mean, not double: decimal addition is exactly associative
       // and commutative, so the aggregate is IDENTICAL whatever order
       // shuffle fetches merge partials in — double sums vary in the last

@@ -135,25 +135,46 @@ object Similarity {
     * plan shape (assign map-side, equi-join on cell, exact re-rank) is the
     * part that carries to 100 TB. */
   /** Shared IVF body over any (cell_id, cv, cnorm) codebook: assign
-    * map-side vs the broadcast codebook, equi-join queries to their
+    * ROW-LOCALLY vs the broadcast codebook, equi-join queries to their
     * `nprobe` nearest cells (the standard IVF recall lever — candidates
     * always live in exactly one cell, so probing N cells never duplicates
-    * a pair), exact re-rank inside them. */
+    * a pair), exact re-rank inside them.
+    *
+    * The codebook collapses to ONE broadcast row holding the sorted cell
+    * array, so cell assignment is a per-row fold over 16 broadcast structs
+    * — no 16× fact expansion, no shuffle, no Window over the vector set
+    * (the r3 finding: the old crossJoin + row_number form shuffled and
+    * sorted 16n rows keyed by vec_id to compute a row-local argmax).
+    * argmax = array_max over (cos, -cell_id) structs — lexicographic
+    * struct comparison ≡ ORDER BY cos DESC, cell_id ASC, so the DuckDB
+    * oracle's row_number form picks the identical cell. */
   private[operators] def ivfBody(v: DataFrame, cb: DataFrame,
                                  nprobe: Int = 1): DataFrame = {
-    val wCell = Window.partitionBy("vec_id")
-      .orderBy(col("cell_cos").desc, col("cell_id"))
-    def ranked(in: DataFrame) = in.crossJoin(broadcast(cb))
-      .withColumn("cell_cos",
-        dot(col("v"), col("cv")) / (col("norm") * col("cnorm")))
-      .withColumn("rc", row_number().over(wCell))
-    val assigned = ranked(v)
-      .filter(col("rc") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cell_id"))
-    val q = ranked(v.filter(col("vec_id") < 5))
-      .filter(col("rc") <= nprobe)
+    // sort_array pins the nondeterministic collect_list order
+    val cells = cb.agg(sort_array(collect_list(
+      struct(col("cell_id"), col("cv"), col("cnorm")))).as("cells"))
+    // scores materialized in their own projection: `best` and the probe
+    // slice each reference it once, so the interpreted HOF is evaluated
+    // once per row (multi-use refs would re-run all 16 dots per reference)
+    val scored = v.crossJoin(broadcast(cells))
+      .withColumn("scores", transform(col("cells"), c =>
+        struct(
+          (dot(col("v"), c.getField("cv")) /
+            (col("norm") * c.getField("cnorm"))).as("cos"),
+          (-c.getField("cell_id")).as("neg_id"))))
+      .drop("cells")
+    val assigned = scored
+      .withColumn("best", array_max(col("scores")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (-col("best.neg_id")).as("cell_id"))
+    // queries probe their nprobe best cells: ascending struct sort, take
+    // the tail — same total order as the assignment argmax
+    val q = scored.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("cell_id"))
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(col("scores")), -nprobe, nprobe)).as("probe"))
+      .select(col("q_id"), col("qv"), col("qnorm"),
+        (-col("probe.neg_id")).as("cell_id"))
     val wRank = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
     assigned.join(broadcast(q), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))

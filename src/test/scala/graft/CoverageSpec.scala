@@ -71,6 +71,22 @@ class CoverageSpec extends SparkSpec {
       s"partition-less window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
+  /** Scale invariant (VERDICT r3 item 1): IVF cell assignment must be
+    * row-local (a fold over the broadcast codebook array), never a Window
+    * keyed by vec_id — that form shuffles and sorts k× the vector set to
+    * compute a per-row argmax. The surviving windows in these plans
+    * partition by q_id (per-query top-k over bounded candidates). */
+  test("IVF assignment plans no window over the vector set") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("x3_ann_ivf", "x3b_ann_ivf_trained", "x4_ann_recall")) {
+      val bad = q(name).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.exists(
+          _.references.exists(_.name == "vec_id")) => w
+      }
+      assert(bad.isEmpty, s"$name windows over the vector set (vec_id)")
+    }
+  }
+
   /** Companion invariant: every cross join visible in a registered plan is
     * a deliberate 1-row broadcast (bounds, totals, seams) that plans as a
     * broadcast nested-loop — an unhinted CartesianProductExec would mean

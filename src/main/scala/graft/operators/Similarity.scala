@@ -6,15 +6,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (north-star ops, SURVEY.md
-  * §7.5): brute-force cosine top-k as the exact baseline, and a
-  * random-hyperplane LSH-bucketed variant as the scale path.
+  * §7.5): brute-force cosine top-k as the exact baseline, and LSH / IVF
+  * bucketed variants as the scale paths.
   *
-  * The LSH planes are a fixed ±1 matrix derived from md5 (driver-side,
+  * Every ANN variant is structured as CANDIDATE GENERATION (a bucketed
+  * equi-join — never all-pairs) followed by the shared exact re-rank
+  * ([[rerank]]): x4 gates each variant's recall@10 AND its candidate-set
+  * size, so the recall/cost trade of every path is hash-compared per round
+  * instead of claimed.
+  *
+  * The LSH planes are fixed ±1 matrices derived from md5 (driver-side,
   * deterministic) and embedded as literals into BOTH the Spark plan and the
   * DuckDB oracle SQL, so the two engines bucket identically. At 100 TB the
   * bucket signature is a map-side expression; the candidate join shuffles
   * on (bucket) instead of comparing all pairs — recall trades against the
-  * number of planes (here 4 planes → 16 buckets).
+  * number of planes (here 4 planes → 16 buckets) and, for the OR-amplified
+  * form, the number of independent tables.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -59,53 +66,57 @@ object Similarity {
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
   }
 
-  /** X1 — exact brute-force cosine top-k for query vectors (vec_id < 5):
-    * the correctness baseline every ANN variant is judged against. One
-    * broadcast of the tiny query side; candidates never shuffle. */
-  private val x1: Q = (s, d) => {
+  /** Shared exact re-rank: per-query top-k over candidate pairs carrying
+    * (q_id, vec_id, cos_raw [, extra]). The window partitions by q_id —
+    * bounded by candidates-per-query, never the corpus. */
+  private def rerank(cand: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(Seq(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos")) ++ extra.map(col): _*)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact candidate set: every (query, other-vector) pair. One broadcast
+    * of the tiny query side; candidates never shuffle. */
+  private def candX1(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
     v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
-  /** X2 — LSH-bucketed ANN: queries only compare against candidates in the
-    * SAME hyperplane bucket (16 buckets), then exact cosine + top-k within
-    * the bucket. The equi-join on bucket is the 100 TB plan shape — O(n/16)
-    * candidates per query instead of O(n). */
-  private val x2: Q = (s, d) => {
+  /** X1 — exact brute-force cosine top-k for query vectors (vec_id < 5):
+    * the correctness baseline every ANN variant is judged against. */
+  private val x1: Q = (s, d) => rerank(candX1(s, d))
+
+  /** X2 candidates — single-table LSH: queries only compare against
+    * candidates in the SAME hyperplane bucket (16 buckets). The equi-join
+    * on bucket is the 100 TB plan shape — O(n/16) candidates per query
+    * instead of O(n). */
+  private def candX2(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", bucket(col("v")))
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), col("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
     v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"), col("bucket"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
-  /** X2b — MULTI-PROBE LSH: each query probes its own bucket plus the
-    * NPlanes buckets at Hamming distance 1 (flip one plane's bit) — the
-    * standard recall lever for hyperplane LSH (single-probe recall@10 is
-    * 0.16 here; see x4). Still a bucketed equi-join: the tiny query side
-    * explodes ×(NPlanes+1) and broadcasts; candidates never shuffle and
-    * each sees ≈(NPlanes+1)/2^NPlanes of the data instead of all of it. */
-  private val x2b: Q = (s, d) => {
+  private val x2: Q = (s, d) => rerank(candX2(s, d), Seq("bucket"))
+
+  /** X2b candidates — MULTI-PROBE LSH: each query probes its own bucket
+    * plus the NPlanes buckets at Hamming distance 1 (flip one plane's bit).
+    * Still a bucketed equi-join: the tiny query side explodes ×(NPlanes+1)
+    * and broadcasts; candidates never shuffle, and a candidate lives in
+    * exactly one bucket so no pair repeats. */
+  private def candX2b(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d).withColumn("bucket", bucket(col("v")))
     val probes = array(
       col("bucket") +: (0 until NPlanes).map(j =>
@@ -113,32 +124,64 @@ object Similarity {
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"), explode(probes).as("bucket"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
     v.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
+
+  private val x2b: Q = (s, d) => rerank(candX2b(s, d))
+
+  /** OR-amplification parameters (VERDICT r3 item 2): OrTables independent
+    * hash tables of OrPlanes planes each. Fewer planes per table = higher
+    * per-table collision probability; OR-ing candidates across tables
+    * amplifies recall (1-(1-p^P)^L) at the cost of indexing each vector L
+    * times — the standard storage/recall trade of production LSH. */
+  private val OrTables = 8
+  private val OrPlanes = 3
+
+  /** Independent plane families per table: component i of plane (t, j) is
+    * derived from md5("or:t:j:i") — disjoint from the single-table family. */
+  private[operators] val orPlanes: Seq[Seq[Seq[Double]]] =
+    (0 until OrTables).map(t => (0 until OrPlanes).map(j => (0 until Dim).map(i =>
+      if (md5hex(s"or:$t:$j:$i").head >= '8') 1.0 else -1.0)))
+
+  /** Bucket of vector v in table t (row-local, 2^OrPlanes buckets). */
+  private def orBucket(t: Int, v: Column): Column =
+    (0 until OrPlanes).map { j =>
+      when(dot(v, typedlit(orPlanes(t)(j))) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** X2c candidates — OR-AMPLIFIED LSH: the index side materializes each
+    * vector in all OrTables tables (posexplode ×L — the map-side expansion
+    * every multi-table LSH index pays), the equi-join runs on (table,
+    * bucket), and duplicate pairs collapse in ONE partial-aggregated
+    * groupBy on the pair key (cos is computed pre-dedup so the aggregate
+    * is max of identical values — no array shuffle). */
+  private def candX2c(s: SparkSession, d: String): DataFrame = {
+    val idx = vecs(s, d).select(col("vec_id"), col("v"), col("norm"),
+      posexplode(array((0 until OrTables).map(t => orBucket(t, col("v"))): _*))
+        .as(Seq("tid", "bucket")))
+    val q = idx.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("tid"), col("bucket"))
+    idx.join(broadcast(q), Seq("tid", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("cos_raw")).as("cos_raw"))
+  }
+
+  private val x2c: Q = (s, d) => rerank(candX2c(s, d))
 
   private val NCells = 16
 
-  /** X3 — IVF-style ANN: vectors are assigned to the nearest of 16 codebook
-    * cells, and queries search ONLY their own cell — the coarse-quantization
-    * scale path (Σ O(|cell|·queries-in-cell) instead of O(n) per query).
-    * The codebook here is fixed (the 16 lowest vec_ids) so both engines
-    * derive identical cells; a production build would k-means it — the
-    * plan shape (assign map-side, equi-join on cell, exact re-rank) is the
-    * part that carries to 100 TB. */
-  /** Shared IVF body over any (cell_id, cv, cnorm) codebook: assign
+  /** IVF candidates over any (cell_id, cv, cnorm) codebook: assign
     * ROW-LOCALLY vs the broadcast codebook, equi-join queries to their
     * `nprobe` nearest cells (the standard IVF recall lever — candidates
     * always live in exactly one cell, so probing N cells never duplicates
-    * a pair), exact re-rank inside them.
+    * a pair).
     *
     * The codebook collapses to ONE broadcast row holding the sorted cell
     * array, so cell assignment is a per-row fold over 16 broadcast structs
@@ -148,8 +191,8 @@ object Similarity {
     * argmax = array_max over (cos, -cell_id) structs — lexicographic
     * struct comparison ≡ ORDER BY cos DESC, cell_id ASC, so the DuckDB
     * oracle's row_number form picks the identical cell. */
-  private[operators] def ivfBody(v: DataFrame, cb: DataFrame,
-                                 nprobe: Int = 1): DataFrame = {
+  private[operators] def ivfCands(v: DataFrame, cb: DataFrame,
+                                  nprobe: Int = 1): DataFrame = {
     // sort_array pins the nondeterministic collect_list order
     val cells = cb.agg(sort_array(collect_list(
       struct(col("cell_id"), col("cv"), col("cnorm")))).as("cells"))
@@ -175,23 +218,24 @@ object Similarity {
         explode(slice(array_sort(col("scores")), -nprobe, nprobe)).as("probe"))
       .select(col("q_id"), col("qv"), col("qnorm"),
         (-col("probe.neg_id")).as("cell_id"))
-    val wRank = Window.partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id"))
     assigned.join(broadcast(q), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos"), col("cell_id"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X3's fixed codebook (the 16 lowest vec_ids, so both engines derive
+    * identical cells); x3b k-means-trains it instead. */
+  private def fixedCodebook(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
+
+  /** X3 — IVF-style ANN: the plan shape (assign map-side, equi-join on
+    * cell, exact re-rank) is the coarse-quantization scale path
+    * (Σ O(|cell|·queries-in-cell) instead of O(n) per query). */
   private val x3: Q = (s, d) => {
     val v = vecs(s, d)
-    val cb = v.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("norm").as("cnorm"))
-    ivfBody(v, cb)
+    rerank(ivfCands(v, fixedCodebook(v)), Seq("cell_id"))
   }
 
   /** X3b — IVF over a TRAINED codebook (KMeansCodebook, 3 Lloyd's
@@ -201,27 +245,36 @@ object Similarity {
     * recall lever. Rows-only at the gate (iterative float training has no
     * tractable SQL mirror); KMeansSpec pins an absolute recall floor. */
   private val x3b: Q = (s, d) =>
-    ivfBody(vecs(s, d), KMeansCodebook.forEmbeddings(s, d, NCells, 3), nprobe = 2)
+    rerank(ivfCands(vecs(s, d),
+      KMeansCodebook.forEmbeddings(s, d, NCells, 3), nprobe = 2), Seq("cell_id"))
 
-  /** X4 — ANN recall gate (VERDICT r2 item 4): recall@10 of the LSH and
-    * IVF paths against the exact kNN baseline, AS A QUERY — the recall the
-    * CHANGELOG used to merely claim is now hash-compared per round. All
-    * three inputs are deterministic, so the recall is too. Scaled-integer
+  /** X4 — ANN recall/cost gate (VERDICT r2 item 4 + r3 item 2): recall@10
+    * AND candidate-set size of each ANN path against the exact kNN
+    * baseline, AS A QUERY — both the quality and the cost of every
+    * approximate path are hash-compared per round instead of claimed. All
+    * inputs are deterministic, so both metrics are too. Scaled-integer
     * basis points via ExactRatio (engine-portable rounding). */
   private val x4: Q = (s, d) => {
     val exact = x1(s, d).select(col("q_id"), col("neighbor_id"))
     val total = exact.agg(count(lit(1)).as("total"))
-    def recallOf(ann: Q, method: String): DataFrame =
-      ann(s, d).select(col("q_id"), col("neighbor_id"))
+    def recallOf(cand: DataFrame, method: String): DataFrame = {
+      val nCand = cand.select(col("q_id"), col("vec_id")).distinct()
+        .agg(count(lit(1)).as("cand_pairs"))
+      rerank(cand).select(col("q_id"), col("neighbor_id"))
         .join(exact, Seq("q_id", "neighbor_id"))
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(total))
+        .crossJoin(broadcast(nCand))
         .select(lit(method).as("method"), col("hits"), col("total"),
           graft.functions.ExactRatio.scaled(col("hits"), col("total"), 10000L)
-            .as("recall_bp"))
-    recallOf(x3, "ivf")
-      .unionByName(recallOf(x2, "lsh"))
-      .unionByName(recallOf(x2b, "lsh_mp"))
+            .as("recall_bp"),
+          col("cand_pairs"))
+    }
+    val v = vecs(s, d)
+    recallOf(ivfCands(v, fixedCodebook(v)), "ivf")
+      .unionByName(recallOf(candX2(s, d), "lsh"))
+      .unionByName(recallOf(candX2b(s, d), "lsh_mp"))
+      .unionByName(recallOf(candX2c(s, d), "lsh_or"))
       .orderBy(col("method"))
   }
 
@@ -229,6 +282,7 @@ object Similarity {
     "x1_knn_bruteforce" -> x1,
     "x2_ann_lsh" -> x2,
     "x2b_ann_multiprobe" -> x2b,
+    "x2c_ann_or" -> x2c,
     "x3_ann_ivf" -> x3,
     "x3b_ann_ivf_trained" -> x3b,
     "x4_ann_recall" -> x4
@@ -236,6 +290,8 @@ object Similarity {
 
   private def planeSql(j: Int): String =
     planes(j).map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+  private def orPlaneSql(t: Int, j: Int): String =
+    orPlanes(t)(j).map(p => if (p > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
   private val dotQSql =
     s"list_sum(list_transform(range($Dim), i -> a.v[i+1] * q.qv[i+1]))"
@@ -245,22 +301,91 @@ object Similarity {
   private val bucketSql = (0 until NPlanes).map { j =>
     s"(CASE WHEN list_sum(list_transform(range($Dim), i -> v[i+1] * (${planeSql(j)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
+  private def orBucketSql(t: Int): String = (0 until OrPlanes).map { j =>
+    s"(CASE WHEN list_sum(list_transform(range($Dim), i -> v[i+1] * (${orPlaneSql(t, j)})[i+1])) > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Shared v0/v CTE prefix (vectors with norms). */
+  private val vCte =
+    s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0)""".stripMargin
+
+  /** The OR-LSH index/query/candidate CTE chain (through `c`: deduped
+    * candidate pairs with cos). Reused by the x2c oracle and x4's
+    * candidate count. */
+  private val orCandCte =
+    s"""$vCte,
+       | bk AS (SELECT vec_id, v, norm,
+       |   [${(0 until OrTables).map(orBucketSql).mkString(", ")}] AS bks FROM v),
+       | idx AS (SELECT vec_id, v, norm, t.tid, bks[t.tid+1] AS bucket
+       |   FROM bk, (SELECT unnest(range($OrTables)) AS tid) t),
+       | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, tid, bucket
+       |   FROM idx WHERE vec_id < 5),
+       | c AS (SELECT DISTINCT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
+       |   FROM idx a JOIN q ON a.tid = q.tid AND a.bucket = q.bucket
+       |   WHERE a.vec_id <> q.q_id)""".stripMargin
+
+  /** Standalone candidate-pair queries (q_id, vec_id), one per ANN method
+    * — x4's oracle counts them as subqueries (DuckDB allows WITH inside a
+    * FROM subquery). */
+  private lazy val candPairSql: Map[String, String] = Map(
+    "ivf" ->
+      s"""WITH $vCte,
+         | cb AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM v WHERE vec_id < $NCells),
+         | asg0 AS (SELECT v.vec_id, v.v, v.norm, cb.cell_id,
+         |   list_sum(list_transform(range($Dim), i -> v.v[i+1] * cb.cv[i+1])) / (v.norm * cb.cnorm) AS cell_cos
+         |   FROM v CROSS JOIN cb),
+         | asg AS (SELECT vec_id, v, norm, cell_id FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc FROM asg0) WHERE rc = 1),
+         | q AS (SELECT vec_id AS q_id, cell_id FROM asg WHERE vec_id < 5)
+         | SELECT q.q_id, a.vec_id FROM asg a JOIN q ON a.cell_id = q.cell_id
+         | WHERE a.vec_id <> q.q_id""".stripMargin,
+    "lsh" ->
+      s"""WITH $vCte,
+         | vb AS (SELECT vec_id, $bucketSql AS bucket FROM v),
+         | q AS (SELECT vec_id AS q_id, bucket FROM vb WHERE vec_id < 5)
+         | SELECT q.q_id, a.vec_id FROM vb a JOIN q ON a.bucket = q.bucket
+         | WHERE a.vec_id <> q.q_id""".stripMargin,
+    "lsh_mp" ->
+      s"""WITH $vCte,
+         | vb AS (SELECT vec_id, $bucketSql AS bucket FROM v),
+         | q AS (SELECT q_id, p.probe AS bucket FROM
+         |   (SELECT vec_id AS q_id, bucket FROM vb WHERE vec_id < 5),
+         |   UNNEST([bucket, ${(0 until NPlanes).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS p(probe)),
+         | c AS (SELECT q.q_id, a.vec_id FROM vb a JOIN q ON a.bucket = q.bucket
+         |   WHERE a.vec_id <> q.q_id)
+         | SELECT q_id, vec_id FROM c""".stripMargin,
+    "lsh_or" ->
+      s"""WITH $orCandCte
+         | SELECT q_id, vec_id FROM c""".stripMargin
+  )
 
   private lazy val x4Sql: String = {
     val scaled = graft.functions.ExactRatio.scaledSql("hits", "total", 10000L)
+    def row(method: String, out: String) =
+      s"""SELECT '$method' AS method, hits, total, $scaled AS recall_bp, cand_pairs
+         | FROM ${out}h, t, ${out}c""".stripMargin
     s"""WITH e AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x1_knn_bruteforce")})),
        | l AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2_ann_lsh")})),
        | m AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2b_ann_multiprobe")})),
+       | o AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2c_ann_or")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
        | mh AS (SELECT count(*) AS hits FROM m JOIN e USING (q_id, neighbor_id)),
-       | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id))
-       | SELECT 'ivf' AS method, hits, total, $scaled AS recall_bp FROM fh, t
+       | oh AS (SELECT count(*) AS hits FROM o JOIN e USING (q_id, neighbor_id)),
+       | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id)),
+       | lc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh")}))),
+       | mc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_mp")}))),
+       | oc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_or")}))),
+       | fc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf")})))
+       | ${row("ivf", "f")}
        | UNION ALL
-       | SELECT 'lsh' AS method, hits, total, $scaled AS recall_bp FROM lh, t
+       | ${row("lsh", "l")}
        | UNION ALL
-       | SELECT 'lsh_mp' AS method, hits, total, $scaled AS recall_bp FROM mh, t
+       | ${row("lsh_mp", "m")}
+       | UNION ALL
+       | ${row("lsh_or", "o")}
        | ORDER BY method""".stripMargin
   }
 
@@ -269,8 +394,7 @@ object Similarity {
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "x1_knn_bruteforce" ->
-      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0),
+      s"""WITH $vCte,
          | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM v WHERE vec_id < 5),
          | c AS (SELECT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
          |   FROM v a CROSS JOIN q WHERE a.vec_id <> q.q_id),
@@ -279,8 +403,7 @@ object Similarity {
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
          | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "x3_ann_ivf" ->
-      s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         | v AS (SELECT vec_id, v, $vNormSql AS norm FROM v0),
+      s"""WITH $vCte,
          | cb AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM v WHERE vec_id < $NCells),
          | asg0 AS (SELECT v.vec_id, v.v, v.norm, cb.cell_id,
          |   list_sum(list_transform(range($Dim), i -> v.v[i+1] * cb.cv[i+1])) / (v.norm * cb.cnorm) AS cell_cos
@@ -312,6 +435,12 @@ object Similarity {
          |   UNNEST([bucket, ${(0 until NPlanes).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS p(probe)),
          | c AS (SELECT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
          |   FROM v a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q.q_id),
+         | r AS (SELECT q_id, vec_id, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "x2c_ann_or" ->
+      s"""WITH $orCandCte,
          | r AS (SELECT q_id, vec_id, cos_raw,
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos

@@ -154,34 +154,83 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
-  /** Min-label propagation rounds for d6. Near-dup components are near-
-    * cliques (duplicates of one source), so diameters are tiny; 4 rounds
-    * covers diameter 4 and each round is a driver-blocking job, so the
-    * count is deliberately small. Under-convergence CANNOT pass silently:
-    * DedupSpec asserts every pair shares a cluster, and the oracle is the
-    * full transitive closure, so the per-round gate fails loudly if data
-    * ever grows a longer chain. At 100 TB with adversarial chain-shaped
-    * components the production form is large-star/small-star — the same
-    * per-round plan shape, just with edge rewriting. */
-  private val ClusterRounds = 4
+  /** Connected components by alternating LARGE-STAR/SMALL-STAR rounds
+    * (the MapReduce CC algorithm of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond" — provably convergent regardless of
+    * component diameter, replacing r3's fixed-4-round min-label
+    * propagation which silently under-merged chains of diameter > 4).
+    *
+    *   large-star(u): attach every neighbor v > u to m = min(N(u) ∪ u)
+    *   small-star(u): direct edges large→small, attach every smaller
+    *                  neighbor (and u itself) to m
+    *
+    * Each round is two equi-join + partial-aggregated groupBy jobs over
+    * the EDGE set (≈ 2·|pairs|, never the corpus), eagerly checkpointed
+    * (lazy chained-AQE replanning measured slower on the fork walk). The
+    * loop runs to the FIXED POINT — every edge points at its component
+    * root — so under-convergence cannot ship: the convergence check is
+    * part of the computation, not a spec-only invariant (ADVICE r3).
+    *
+    * Input: undirected pairs (x, y); output: (doc_id, label) for every
+    * non-root node, label = component minimum (roots label themselves
+    * via the caller's coalesce). */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("y").as("x"), col("x").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("x"), col("y")).as("x"),
+          least(col("x"), col("y")).as("y"))
+        .filter(col("x") =!= col("y")).distinct()
+      val mins = dir.groupBy("x").agg(min(col("y")).as("m"))
+      dir.join(mins, "x")
+        .select(col("y").as("x"), col("m").as("y"))
+        .unionByName(mins.select(col("x"), col("m").as("y")))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+    }
+    var e = pairs.select(col("x"), col("y"))
+      .filter(col("x") =!= col("y")).distinct().localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    // star rounds converge in O(log²) of the largest component; 50 is a
+    // loud safety net, not a silent truncation (require below)
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $rounds rounds")
+    e.select(col("x").as("doc_id"), col("y").as("label"))
+  }
 
   /** D6 — near-dup CLUSTERING: d2's candidate pairs grouped into connected
     * components with a deterministic canonical survivor (min doc_id per
     * component). Pairs → clusters → survivors is the step a real dedup
     * pipeline runs after candidate generation — without it, A~B and B~C
-    * would keep A and B (pairwise drops are order-dependent). Each round
-    * joins the symmetrized edge list to current labels and takes the
-    * neighborhood min — edges and labels are both tiny relative to the
-    * corpus (only docs that appear in pairs can change label). */
-  /** d6's propagation loop runs Spark actions at plan-construction time
-    * (like k-means training); memoize the checkpointed label frame per
+    * would keep A and B (pairwise drops are order-dependent). */
+  /** d6's star loop runs Spark actions at plan-construction time (like
+    * k-means training); memoize the checkpointed label frame per
     * (session, dir) so plan-only consumers (plan invariants, repeated
-    * spec calls) don't re-run the LSH join + rounds. */
+    * spec calls) don't re-run the LSH join + rounds. Entries of stopped
+    * sessions are purged on access — their localCheckpoint RDDs die with
+    * the session, and the map must not pin dead sessions in a long-lived
+    * JVM (ADVICE r3). */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private val d6: Q = (s, d) => {
-    val labels = clusterCache.computeIfAbsent((s, d), { _ => clusterLabels(s, d) })
+    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val labels = clusterCache.computeIfAbsent((s, d), { _ =>
+      connectedComponents(d2(s, d).select(col("d1").as("x"), col("d2").as("y")))
+    })
     // no broadcast hint: the dup-node set can be a large corpus fraction —
     // AQE picks broadcast when it actually fits
     Tables.documents(s, d).select(col("doc_id"))
@@ -190,30 +239,6 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
-  }
-
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2(s, d).select(col("d1").as("x"), col("d2").as("y"))
-    val edges = pairs
-      .unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint(true) // pairs are the expensive part; compute once
-    // only docs that appear in a pair can change label — the propagation
-    // loop runs over the edge-node set (≈ 2·|pairs|), never the corpus;
-    // everything else is a singleton labeled by itself at the end
-    var labels = edges.select(col("x").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint(true)
-    for (_ <- 1 to ClusterRounds) {
-      val nb = edges
-        .join(labels.select(col("doc_id").as("y"), col("label").as("ylabel")), Seq("y"))
-        .groupBy(col("x")).agg(min(col("ylabel")).as("nlabel"))
-        .withColumnRenamed("x", "doc_id")
-      labels = labels.join(nb, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-    }
-    labels
   }
 
   /** PX4 — train/test DECONTAMINATION: flag test-split documents sharing

@@ -75,17 +75,20 @@ object KMeansCodebook {
       .withColumn("cnorm", sqrt(call_function("graft_dot", col("cv"), col("cv"))))
   }
 
-  /** Training is deterministic per (dir, k, iters), so centroids memoize —
-    * without this, every CONSTRUCTION of an x3b plan (e.g. plan-shape
-    * specs that never execute the query) would re-run the full training
-    * actions. The cached value is plain driver-side data, valid across
-    * sessions. */
+  /** Training is deterministic per (dir, k, iters, data), so centroids
+    * memoize — without this, every CONSTRUCTION of an x3b plan (e.g.
+    * plan-shape specs that never execute the query) would re-run the full
+    * training actions. The cached value is plain driver-side data, valid
+    * across sessions. The key carries the source file's mtime fingerprint:
+    * regenerating testdata at the same path invalidates the entry instead
+    * of serving a stale codebook (ADVICE r3). */
   private val trained =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Seq[(Int, Seq[Double])]]()
 
   /** Convenience: train on the embeddings table of `d` (memoized). */
   def forEmbeddings(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
-    val cs = trained.computeIfAbsent((d, k, iters), { _ =>
+    val fp = new java.io.File(s"$d/embeddings.parquet").lastModified
+    val cs = trained.computeIfAbsent((d, k, iters, fp), { _ =>
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       train(v, k, iters)

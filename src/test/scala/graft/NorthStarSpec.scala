@@ -74,6 +74,22 @@ class DedupSpec extends SparkSpec {
       (col("doc_id") === col("cluster_id"))).count() === 0L)
   }
 
+  test("connected components merge a diameter-8 chain (golden, VERDICT r3 item 3)") {
+    // 0-1-2-...-8: min-label propagation needs 8 rounds to carry label 0 to
+    // node 8, so the r3 fixed-4-round form under-merged exactly this shape;
+    // the large-star/small-star loop must converge regardless of diameter.
+    val chain = spark.createDataFrame((0L until 8L).map(i => (i, i + 1))).toDF("x", "y")
+    val labels = operators.Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 8L).forall(labels(_) == 0L), s"chain labels: $labels")
+    // disjoint components must not bleed labels into each other, and
+    // reversed/duplicate input edges must not matter
+    val two = operators.Dedup.connectedComponents(spark.createDataFrame(
+      Seq((12L, 11L), (11L, 10L), (21L, 20L), (20L, 21L))).toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two == Map(11L -> 10L, 12L -> 10L, 21L -> 20L), s"got $two")
+  }
+
   test("px4 decontamination covers exactly the test split, flags are consistent") {
     val out = q("px4_decontaminate")
     val expect = Tables.documents(spark, sf)

@@ -5,28 +5,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
-    // Warm the JVM/codegen/scan paths once per FAMILY (agg, join+window,
-    // text HOF, vector expression) so the first timed query of each isn't
-    // charged JIT/codegen warmup (r1: first query +4s; r3: family-first
-    // queries +1-2s each). Warmup time is not part of any query's timing.
-    // Guarded: a warmup failure must not prevent the contractual JSON line.
-    Seq("a5_tx_count", "j8_winner_commit", "tx2_quality_score", "x1_knn_bruteforce")
-      .foreach { w =>
-        // loud on stderr (never stdout — the JSON line contract), so a
-        // renamed warm query or a warmup crash is visible in run logs
-        // instead of silently re-skewing family-first timings
-        if (!SparkEntry.queries.contains(w))
-          System.err.println(s"warmup query missing: $w")
-        else try SparkEntry.queries(w)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
-      }
     // dev loop: an optional comma-separated arg restricts to named queries
     // (isolated timings — full-run numbers carry ±2x cross-query noise)
     val only = args.headOption.map(_.split(",").toSet)
     // deterministic name order: run-to-run comparability beats hash order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val chosen = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    // Warm the JVM/codegen/scan paths once per FAMILY so the first timed
+    // query of each isn't charged JIT/codegen warmup (r1: first query +4s;
+    // r3: family-first queries +1-2s each). Families and their warm query
+    // are DERIVED from the registry (first name per letter prefix), so a
+    // renamed query can never silently re-skew family-first timings
+    // (ADVICE r3; the old form hard-coded four names). Warmup time is not
+    // part of any query's timing; failures are loud on stderr only (never
+    // stdout — the JSON line contract).
+    chosen.map(_._1).groupBy(_.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+      .map(_._2.head).foreach { w =>
+        try SparkEntry.queries(w)(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
+      }
+    val results = chosen.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -34,7 +32,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full record to a repo file too: the round artifact must
+    // not depend on stdout surviving truncation (BENCH_r03.json lost its
+    // total and 15 per-query entries to a cut-off stdout tail — VERDICT r3
+    // item 4). Full runs only — subset dev runs would overwrite the real
+    // record with partial numbers.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "BENCH_LATEST.json")), line + "\n")
+      catch { case e: Throwable => System.err.println(s"bench record write failed: $e") }
     spark.stop()
   }
 }

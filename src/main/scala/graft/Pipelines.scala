@@ -27,6 +27,16 @@ object Pipelines {
   def blockInfo(s: SparkSession, d: String): DataFrame =
     operators.Aggregations.queries("a8_block_rollup")(s, d)
 
+  /** chain_tip — tip height plus its burnchain timestamp (epoch seconds),
+    * derived from the snapshots table (ADVICE r3: the dashboard's
+    * bitcoin_block.timestamp was an inlined constant; the reference takes
+    * it from the burnchain tip block). One-row aggregate, cache-scale. */
+  def chainTip(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      max(col("o_orderkey")).as("tip_height"),
+      unix_timestamp(max_by(col("o_orderdate"), col("o_orderkey")))
+        .as("tip_ts"))
+
   /** The update() cycle: recompute every dashboard relation and overwrite
     * the cache dir (the reference recomputes all Redis keys per tick,
     * server.js:280-331). Idempotent — same contract as the whole-key Redis
@@ -52,6 +62,7 @@ object Pipelines {
     put(functions.ScalarQueries.rrMinerInfo(Some(1000L))(s, sfDir), "miner_info_rr_1000")
     put(functions.ScalarQueries.rrMinerInfo(Some(100L))(s, sfDir), "miner_info_rr_100")
     put(operators.Aggregations.queries("a9_btc_total")(s, sfDir), "btc_total")
+    put(chainTip(s, sfDir), "chain_tip")
   }
 
   /** Incremental refresh of the block_info cache: recompute ONLY heights ≥
@@ -118,25 +129,38 @@ object Pipelines {
     val tipHeight = b20.last.getLong(0)
     val burn20 = b20.map(_.getLong(1))
     val miner20 = b20.map(_.getLong(2))
+    // the burnchain tip timestamp comes from the chain_tip cache relation,
+    // not an inlined constant (ADVICE r3)
+    val tipTs = s.read.parquet(s"$cacheDir/chain_tip")
+      .select(col("tip_ts")).head().getLong(0)
     // Locale.ROOT: the f-interpolator uses the default locale, which would
     // emit comma decimals (invalid JSON) on comma-decimal JVMs
     def avg3(xs: Array[Long]): String =
       String.format(java.util.Locale.ROOT, "%.3f", xs.sum.toDouble / xs.length)
     val currentStatus =
       s"""{"current_block":{"stacks_block_height":$tipHeight,""" +
-        s""""bitcoin_block":{"block_height":$tipHeight,"timestamp":1600000}},""" +
+        s""""bitcoin_block":{"block_height":$tipHeight,"timestamp":$tipTs}},""" +
         s""""current_burn_fee":{"data_20":[${burn20.mkString(",")}],"avg":${avg3(burn20)}},""" +
         s""""current_miner":{"data_20":[${miner20.mkString(",")}],"avg":${avg3(miner20)}}}"""
 
     // minerTable (mining_monitor_rpc.js:23-44): winner table + per-commit
-    // fees of the tail-20 heights (parsed back out of the nested rollup)
-    val table = chain.orderBy(col("stacks_block_height").desc).limit(50)
+    // fees of the tail-20 heights (parsed back out of the nested rollup).
+    // Positional reads only ever follow an explicit select-by-name, so
+    // upstream column reorder cannot silently misreport a field.
+    val table = chain
+      .select(col("stacks_block_height"), col("leader_key_address"), col("burn_fee"))
+      .orderBy(col("stacks_block_height").desc).limit(50)
       .collect().map(r =>
         s"""{"stacks_block_height":${r.getLong(0)},"leader_key_address":${r.getLong(1)},"burn_fee":${r.getLong(2)}}""")
     val minersBurnFee20 = b20.flatMap { r =>
       r.getString(3).split(";").filter(_.nonEmpty).map { c =>
-        val Array(_, fee, addr) = c.split(":")
-        s"""{"height":${r.getLong(0)},"address":$addr,"fee":$fee}"""
+        c.split(":") match {
+          case Array(_, fee, addr) =>
+            s"""{"height":${r.getLong(0)},"address":$addr,"fee":$fee}"""
+          case parts => sys.error(
+            s"dashboard: malformed commit_value_list cell '$c' " +
+              s"(${parts.length} fields, expected vtx:fee:miner) at height ${r.getLong(0)}")
+        }
       }
     }
     val minerTable =
@@ -149,23 +173,29 @@ object Pipelines {
       .orderBy(col("m").desc, col("address")).limit(10)
       .select(col("address"))
     val areaPts = area.join(broadcast(topAddrs), Seq("address"))
+      .select(col("address"), col("height"), col("cum_filled"))
       .orderBy(col("address"), col("height"))
       .collect().map(r =>
         s"""{"height":${r.getLong(1)},"burn_fee":${r.getLong(2)},"address":${r.getLong(0)}}""")
     val burnFeeArea = s"""{"data":[${areaPts.mkString(",")}]}"""
 
     // winnerPie + rateOfReturn (mining_monitor_rpc.js:115-148): the
-    // all/r1000/r100 triple from the rr leaderboards
+    // all/r1000/r100 triple from the rr leaderboards. select-by-name before
+    // every positional read (ADVICE r3: a column swap at same type in
+    // rrMinerInfo would have silently misreported RR at the serving edge)
     def pieOf(name: String): String =
       rr(name).filter(col("total_win") > 0)
+        .select(col("stx_address"), col("actual_win"), col("rr_milli"),
+          col("total_win"))
         .orderBy(col("total_win").desc, col("stx_address")).limit(10)
         .collect().map(r =>
-          s"""{"address":"${r.getString(0)}","number":${r.getLong(2)},"RR":${r.getLong(7)}}""")
+          s"""{"address":"${r.getString(0)}","number":${r.getLong(1)},"RR":${r.getLong(2)}}""")
         .mkString("[", ",", "]")
     def rrOf(name: String): String =
-      rr(name).orderBy(col("rr_milli").desc, col("stx_address")).limit(50)
+      rr(name).select(col("stx_address"), col("rr_milli"))
+        .orderBy(col("rr_milli").desc, col("stx_address")).limit(50)
         .collect().map(r =>
-          s"""{"address":"${r.getString(0)}","RR":${r.getLong(7)}}""")
+          s"""{"address":"${r.getString(0)}","RR":${r.getLong(1)}}""")
         .mkString("[", ",", "]")
     val winnerPie =
       s"""{"all":${pieOf("miner_info_rr")},"r1000":${pieOf("miner_info_rr_1000")},"r100":${pieOf("miner_info_rr_100")}}"""
@@ -174,11 +204,14 @@ object Pipelines {
 
     // price / btc_total / btc_hash_power (server.js:268-275) via the
     // S13–S15 enrichment seam + the cached a9 total
-    val pr = sources.Enrichment.prices(s).head()
+    val pr = sources.Enrichment.prices(s)
+      .select(col("stx_price_milli"), col("btc_sat_scale"), col("hash_power"))
+      .head()
     val stx = pr.getLong(0).toDouble / 1000.0
     val btc = pr.getLong(1) * 10000L
-    val hashPower = pr.getString(3)
-    val btcTotal = s.read.parquet(s"$cacheDir/btc_total").head().getDouble(0)
+    val hashPower = pr.getString(2)
+    val btcTotal = s.read.parquet(s"$cacheDir/btc_total")
+      .select(col("btc_total")).head().getDouble(0)
 
     s"""{"currentStatus":$currentStatus,""" +
       s""""minerTable":$minerTable,""" +

@@ -70,6 +70,26 @@ class DashboardSpec extends SparkSpec {
     assert(arr(doc \ "rateOfReturn" \ "all").nonEmpty) // superseded stub
   }
 
+  test("rateOfReturn values match the rr relation read by name (reorder-proof)") {
+    import org.apache.spark.sql.functions.col
+    // recompute the top rr row independently, selecting columns BY NAME —
+    // if dashboard() read a swapped same-type column (the r3 nit), the
+    // emitted RR would differ from this value
+    val expect = functions.ScalarQueries.rrMinerInfo(None)(spark, sf)
+      .select(col("stx_address"), col("rr_milli"))
+      .orderBy(col("rr_milli").desc, col("stx_address")).limit(1).head()
+    val first = arr(doc \ "rateOfReturn" \ "all").head
+    assert((first \ "address") === JString(expect.getString(0)))
+    assert((first \ "RR") === JInt(BigInt(expect.getLong(1))))
+  }
+
+  test("bitcoin_block timestamp derives from the burnchain tip, not a constant") {
+    val ts = doc \ "currentStatus" \ "current_block" \ "bitcoin_block" \ "timestamp"
+    val expect = Pipelines.chainTip(spark, sf)
+      .select("tip_ts").head().getLong(0)
+    assert(ts === JInt(BigInt(expect)))
+  }
+
   test("price/btc_total/hash_power come from the enrichment seam + a9") {
     assert((doc \ "price" \ "btc") === JInt(60000))
     assert((doc \ "price" \ "stx") === JDouble(1.5))

@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object PeerProbe {
 
   val RemoteHeightKey = "spark.graft.probe.remote_height"
+  val InfoPathKey = "spark.graft.probe.blockchaininfo_path"
 
   def remoteHeight(s: SparkSession, d: String): DataFrame =
     s.conf.getOption(RemoteHeightKey) match {
@@ -25,5 +26,37 @@ object PeerProbe {
         s.range(1).select(lit(v.toLong).as("remote_height"))
       case None =>
         Tables.orders(s, d).agg(max(col("o_orderkey")).as("remote_height"))
+    }
+
+  private val infoSchemaDdl =
+    "chain STRING, blocks LONG, headers LONG, bestblockhash STRING, " +
+      "difficulty DOUBLE, mediantime LONG"
+
+  /** S16 — the `GET /blockchaininfo` document relay (rpc.js:558-580 fetches
+    * the burnchain node's getblockchaininfo; server.js:246-249 returns it
+    * verbatim). The FETCH is a deployment concern: a poller writes the
+    * node's JSON where `spark.graft.probe.blockchaininfo_path` points and
+    * the seam relays its fields verbatim as a 1-row broadcastable relation.
+    * Unset, the document is DERIVED deterministically from the snapshots
+    * table (blocks/headers = the same remote-height derivation j11 gates,
+    * mediantime = the tip's burnchain timestamp, bestblockhash = a
+    * deterministic digest of the tip height), so the zero-egress default is
+    * oracle-checkable like the rest of the probe seam. */
+  def blockchainInfo(s: SparkSession, d: String): DataFrame =
+    s.conf.getOption(InfoPathKey) match {
+      case Some(path) =>
+        s.read.schema(infoSchemaDdl).json(path).limit(1)
+      case None =>
+        val tip = Tables.orders(s, d).agg(
+          unix_timestamp(max_by(col("o_orderdate"), col("o_orderkey")))
+            .as("mediantime"))
+        remoteHeight(s, d).crossJoin(broadcast(tip))
+          .select(
+            lit("main").as("chain"),
+            col("remote_height").as("blocks"),
+            col("remote_height").as("headers"),
+            md5(concat(lit("block:"), col("remote_height"))).as("bestblockhash"),
+            lit(0.0).as("difficulty"),
+            col("mediantime"))
     }
 }

@@ -195,9 +195,19 @@ object Aggregations {
       countDistinct(col("stacks_block_height")).as("exact_heights"),
       approx_count_distinct(col("stacks_block_height"), 0.02).as("approx_heights"))
 
+  /** A16's EXACT half as its own oracle-gated query (VERDICT r3 item 8):
+    * the sketch columns are inherently engine-specific (spec-bounded in
+    * CoverageSpec), but the exact counts they approximate are not — gate
+    * them so a16's baseline is hash-compared, not merely row-counted. */
+  private val a16x: Q = (s, d) =>
+    Domain.commits(s, d).agg(
+      countDistinct(col("leader_key_address")).as("exact_miners"),
+      countDistinct(col("stacks_block_height")).as("exact_heights"))
+
   val queries: Map[String, Q] = Map(
     "a15_salted_leaderboard" -> a15,
     "a16_approx_distinct" -> a16,
+    "a16_exact_distinct" -> a16x,
     "a1_leaderboard" -> a1,
     "a2_canonical_wins" -> a2,
     "a3_global_totals" -> a3,
@@ -214,6 +224,9 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a16_exact_distinct" ->
+      """SELECT count(DISTINCT l_suppkey) AS exact_miners,
+        |   count(DISTINCT l_orderkey) AS exact_heights FROM lineitem""".stripMargin,
     "a15_salted_leaderboard" ->
       s"""SELECT l_suppkey AS leader_key_address, count(*) AS total_mined,
          |   CAST(sum($fee) AS BIGINT) AS miner_burned

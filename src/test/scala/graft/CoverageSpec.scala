@@ -20,6 +20,9 @@ class CoverageSpec extends SparkSpec {
     val (eh, ah) = (r.getLong(2), r.getLong(3))
     assert(math.abs(am - em).toDouble / em <= 0.05)
     assert(math.abs(ah - eh).toDouble / eh <= 0.05)
+    // the oracle-gated exact half agrees with a16's own exact columns
+    val x = q("a16_exact_distinct").head()
+    assert((x.getLong(0), x.getLong(1)) === ((em, eh)))
   }
 
   test("tx5 vocab: tf >= df, descending tf, at most 100 terms") {
@@ -54,16 +57,23 @@ class CoverageSpec extends SparkSpec {
     * cardinality / k, not fact rows). Every total-order prefix query (a6,
     * a7, p2) must use the bucketed two-pass form instead. */
   test("no registered query windows over the raw fact table without PARTITION BY") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
+    // A window input is BOUNDED iff its own chain reaches an aggregation or
+    // limit before any leaf; a join is bounded only if EVERY branch is —
+    // collecting over the whole subtree (the r3 form) would let a raw fact
+    // table joined to some aggregated bound slip through on the bound's
+    // Aggregate (ADVICE r3).
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case j: Join => j.children.forall(bounded)
+      case u if u.children.length == 1 => bounded(u.children.head)
+      case other if other.children.nonEmpty => other.children.forall(bounded)
+      case _ => false // leaf relation: unbounded
+    }
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = q(name).queryExecution.optimizedPlan
       val bad = plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collect {
-            case a: Aggregate => a
-            case g: GlobalLimit => g
-            case l: LocalLimit => l
-          }.isEmpty => w
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
       }
       if (bad.nonEmpty) Seq(name) else Nil
     }

@@ -85,14 +85,20 @@ object KMeansCodebook {
   private val trained =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long), Seq[(Int, Seq[Double])]]()
 
-  /** Convenience: train on the embeddings table of `d` (memoized). */
-  def forEmbeddings(s: SparkSession, d: String, k: Int, iters: Int): DataFrame = {
+  /** The memoized trained centroids for the embeddings table of `d` —
+    * driver-side data, the artifact a consumer embeds as literals
+    * (Similarity.ivfCands) or broadcasts. */
+  def centroidsFor(s: SparkSession, d: String, k: Int,
+                   iters: Int): Seq[(Int, Seq[Double])] = {
     val fp = new java.io.File(s"$d/embeddings.parquet").lastModified
-    val cs = trained.computeIfAbsent((d, k, iters, fp), { _ =>
+    trained.computeIfAbsent((d, k, iters, fp), { _ =>
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       train(v, k, iters)
     })
-    codebook(s, cs)
   }
+
+  /** Convenience: train on the embeddings table of `d` (memoized). */
+  def forEmbeddings(s: SparkSession, d: String, k: Int, iters: Int): DataFrame =
+    codebook(s, centroidsFor(s, d, k, iters))
 }

@@ -224,13 +224,17 @@ object Dedup {
     * the session, and the map must not pin dead sessions in a long-lived
     * JVM (ADVICE r3). */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cachedLabels(s: SparkSession, d: String, tag: String)
+                          (pairs: => DataFrame): DataFrame = {
+    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    clusterCache.computeIfAbsent((s, d, tag), { _ => connectedComponents(pairs) })
+  }
 
   private val d6: Q = (s, d) => {
-    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val labels = clusterCache.computeIfAbsent((s, d), { _ =>
-      connectedComponents(d2(s, d).select(col("d1").as("x"), col("d2").as("y")))
-    })
+    val labels = cachedLabels(s, d, "lsh")(
+      d2(s, d).select(col("d1").as("x"), col("d2").as("y")))
     // no broadcast hint: the dup-node set can be a large corpus fraction —
     // AQE picks broadcast when it actually fits
     Tables.documents(s, d).select(col("doc_id"))
@@ -239,6 +243,24 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** D7 — EMBEDDING near-dup clustering: the same pairs→components→
+    * canonical step as d6, over d5's label-blocked cosine pairs instead of
+    * the LSH candidates — the semantic-dedup pipeline (embed → block →
+    * pair → cluster → keep one per cluster) end to end. Reuses
+    * [[connectedComponents]]; the oracle is the full transitive closure of
+    * d5's pair set. */
+  private val d7: Q = (s, d) => {
+    val labels = cachedLabels(s, d, "emb")(
+      d5(s, d).select(col("v1").as("x"), col("v2").as("y")))
+      .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** PX4 — train/test DECONTAMINATION: flag test-split documents sharing
@@ -270,6 +292,7 @@ object Dedup {
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
     "d6_neardup_clusters" -> d6,
+    "d7_embedding_clusters" -> d7,
     "px4_decontaminate" -> px4
   )
 
@@ -302,6 +325,16 @@ object Dedup {
 
   private val dotSql =
     "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))"
+
+  /** d5's full pair query — its own oracle, and the edge set d7 closes. */
+  private val d5PairSql =
+    s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | v AS (SELECT vec_id, label, v,
+       |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm FROM v0),
+       | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |   round($dotSql / (a.norm * b.norm), 4) AS cos
+       |   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+       | SELECT v1, v2, cos FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -339,6 +372,22 @@ object Dedup {
          |   GROUP BY d.doc_id)
          | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          | FROM lab ORDER BY doc_id""".stripMargin,
+    // same oracle-tractability bound as d6: the recursive closure is
+    // O(family²) on the testdata's small duplicate families; the Spark
+    // side never materializes a closure at any scale
+    "d7_embedding_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT v1, v2 FROM ($d5PairSql)),
+         | edges AS (SELECT v1 AS x, v2 AS y FROM p UNION SELECT v2, v1 FROM p),
+         | reach(x, y) AS (
+         |   SELECT x, y FROM edges
+         |   UNION
+         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         | lab AS (SELECT em.vec_id,
+         |     least(em.vec_id, coalesce(min(r.y), em.vec_id)) AS cluster_id
+         |   FROM embeddings em LEFT JOIN reach r ON r.x = em.vec_id
+         |   GROUP BY em.vec_id)
+         | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+         | FROM lab ORDER BY vec_id""".stripMargin,
     "px4_decontaminate" ->
       s"""WITH ds AS ($docShinglesSql),
          | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),
@@ -350,13 +399,6 @@ object Dedup {
          |   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |   coalesce(h.n_contaminated, 0) > 0 AS contaminated
          | FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
-    "d5_embedding_neardup" ->
-      s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         | v AS (SELECT vec_id, label, v,
-         |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm FROM v0),
-         | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-         |   round($dotSql / (a.norm * b.norm), 4) AS cos
-         |   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-         | SELECT v1, v2, cos FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+    "d5_embedding_neardup" -> d5PairSql
   )
 }

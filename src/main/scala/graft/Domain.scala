@@ -90,4 +90,15 @@ object Domain {
   val BonusReward = 2466.0
   val BaseReward = 1000.0
   val GasSats = 35000.0
+
+  /** Tip height + its burnchain timestamp (epoch seconds) from the
+    * snapshots table — the ONE definition of "the chain tip" shared by the
+    * dashboard's chain_tip cache relation and the peer-probe's derived
+    * blockchaininfo document (the reference takes both from the burnchain
+    * tip block). One-row aggregate. */
+  def chainTip(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).agg(
+      max(col("o_orderkey")).as("tip_height"),
+      unix_timestamp(max_by(col("o_orderdate"), col("o_orderkey")))
+        .as("tip_ts"))
 }

@@ -30,12 +30,9 @@ object Pipelines {
   /** chain_tip — tip height plus its burnchain timestamp (epoch seconds),
     * derived from the snapshots table (ADVICE r3: the dashboard's
     * bitcoin_block.timestamp was an inlined constant; the reference takes
-    * it from the burnchain tip block). One-row aggregate, cache-scale. */
-  def chainTip(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).agg(
-      max(col("o_orderkey")).as("tip_height"),
-      unix_timestamp(max_by(col("o_orderdate"), col("o_orderkey")))
-        .as("tip_ts"))
+    * it from the burnchain tip block). One shared definition with the
+    * peer-probe's derived blockchaininfo document (Domain.chainTip). */
+  def chainTip(s: SparkSession, d: String): DataFrame = Domain.chainTip(s, d)
 
   /** The update() cycle: recompute every dashboard relation and overwrite
     * the cache dir (the reference recomputes all Redis keys per tick,
@@ -72,7 +69,7 @@ object Pipelines {
     * not the whole history. Requires partitionOverwriteMode=dynamic (set
     * per-write here, not globally). */
   def refreshBlockInfoIncremental(s: SparkSession, sfDir: String,
-                                  cacheDir: String, fromHeight: Long): Unit =
+                                  cacheDir: String, fromHeight: Long): Unit = {
     blockInfo(s, sfDir)
       // refresh from the START of fromHeight's bucket: dynamic overwrite
       // replaces whole partitions, so a mid-bucket threshold would rewrite
@@ -83,6 +80,11 @@ object Pipelines {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("height_bucket")
       .parquet(s"$cacheDir/block_info")
+    // the tip moved, so its timestamp did too — an incremental cycle must
+    // keep chain_tip current or the dashboard would pair a new
+    // block_height with an older tip's timestamp (self-review r4)
+    chainTip(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/chain_tip")
+  }
 
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
     * shipped — `fs` never imported — implemented as evidently intended):
@@ -130,7 +132,11 @@ object Pipelines {
     val burn20 = b20.map(_.getLong(1))
     val miner20 = b20.map(_.getLong(2))
     // the burnchain tip timestamp comes from the chain_tip cache relation,
-    // not an inlined constant (ADVICE r3)
+    // not an inlined constant (ADVICE r3); fail descriptively on cache
+    // dirs written before this relation existed
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$cacheDir/chain_tip")),
+      s"dashboard: $cacheDir has no chain_tip relation — re-run refreshCache (cache layout predates the derived tip timestamp)")
     val tipTs = s.read.parquet(s"$cacheDir/chain_tip")
       .select(col("tip_ts")).head().getLong(0)
     // Locale.ROOT: the f-interpolator uses the default locale, which would

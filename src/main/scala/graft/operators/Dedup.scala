@@ -224,16 +224,21 @@ object Dedup {
     * the session, and the map must not pin dead sessions in a long-lived
     * JVM (ADVICE r3). */
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Long), DataFrame]()
 
-  private def cachedLabels(s: SparkSession, d: String, tag: String)
-                          (pairs: => DataFrame): DataFrame = {
+  /** Memoized labels keyed by (session, dir, edge-set tag, SOURCE MTIME) —
+    * regenerating the source parquet at the same path invalidates the
+    * entry instead of serving stale clusters (same fingerprint contract as
+    * the codebook caches); stopped sessions are purged on access. */
+  private def cachedLabels(s: SparkSession, d: String, tag: String,
+                           srcFile: String)(pairs: => DataFrame): DataFrame = {
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    clusterCache.computeIfAbsent((s, d, tag), { _ => connectedComponents(pairs) })
+    val fp = new java.io.File(s"$d/$srcFile").lastModified
+    clusterCache.computeIfAbsent((s, d, tag, fp), { _ => connectedComponents(pairs) })
   }
 
   private val d6: Q = (s, d) => {
-    val labels = cachedLabels(s, d, "lsh")(
+    val labels = cachedLabels(s, d, "lsh", "documents.parquet")(
       d2(s, d).select(col("d1").as("x"), col("d2").as("y")))
     // no broadcast hint: the dup-node set can be a large corpus fraction —
     // AQE picks broadcast when it actually fits
@@ -252,7 +257,7 @@ object Dedup {
     * [[connectedComponents]]; the oracle is the full transitive closure of
     * d5's pair set. */
   private val d7: Q = (s, d) => {
-    val labels = cachedLabels(s, d, "emb")(
+    val labels = cachedLabels(s, d, "emb", "embeddings.parquet")(
       d5(s, d).select(col("v1").as("x"), col("v2").as("y")))
       .withColumnRenamed("doc_id", "vec_id")
     Tables.embeddings(s, d).select(col("vec_id"))

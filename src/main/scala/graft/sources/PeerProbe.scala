@@ -42,21 +42,29 @@ object PeerProbe {
     * mediantime = the tip's burnchain timestamp, bestblockhash = a
     * deterministic digest of the tip height), so the zero-egress default is
     * oracle-checkable like the rest of the probe seam. */
-  def blockchainInfo(s: SparkSession, d: String): DataFrame =
+  def blockchainInfo(s: SparkSession, d: String): DataFrame = {
+    // derived default: blocks/headers = the same remote-height derivation
+    // j11 gates, mediantime = the shared chain-tip timestamp (Domain.chainTip)
+    val derived = remoteHeight(s, d)
+      .crossJoin(broadcast(
+        graft.Domain.chainTip(s, d).select(col("tip_ts").as("mediantime"))))
+      .select(
+        lit("main").as("chain"),
+        col("remote_height").as("blocks"),
+        col("remote_height").as("headers"),
+        md5(concat(lit("block:"), col("remote_height"))).as("bestblockhash"),
+        lit(0.0).as("difficulty"),
+        col("mediantime"))
     s.conf.getOption(InfoPathKey) match {
       case Some(path) =>
+        // a poller that crashed mid-write leaves an empty file: union the
+        // derived row behind the file row so the relation is one row by
+        // construction, never empty (same contract as Enrichment.prices)
         s.read.schema(infoSchemaDdl).json(path).limit(1)
-      case None =>
-        val tip = Tables.orders(s, d).agg(
-          unix_timestamp(max_by(col("o_orderdate"), col("o_orderkey")))
-            .as("mediantime"))
-        remoteHeight(s, d).crossJoin(broadcast(tip))
-          .select(
-            lit("main").as("chain"),
-            col("remote_height").as("blocks"),
-            col("remote_height").as("headers"),
-            md5(concat(lit("block:"), col("remote_height"))).as("bestblockhash"),
-            lit(0.0).as("difficulty"),
-            col("mediantime"))
+          .withColumn("src", lit(0))
+          .unionByName(derived.withColumn("src", lit(1)))
+          .orderBy(col("src")).limit(1).drop("src")
+      case None => derived
     }
+  }
 }

@@ -134,6 +134,13 @@ class EnrichmentSpec extends SparkSpec {
       assert(r.getString(3) === "abc123")
       assert(r.getDouble(4) === 7.5)
       assert(r.getLong(5) === 1234567L)
+      // a poller that crashed mid-write (empty file) must fall back to the
+      // derived row — the relation is one row by construction, never empty
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "info.json"), "")
+      val rows = graft.sources.PeerProbe.blockchainInfo(spark, sf).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(1) === hi)
     } finally spark.conf.unset(key)
   }
 

@@ -74,9 +74,37 @@ object Multimodal {
       .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
 
+  /** Synthetic video table: the same opaque payload with frame-count/fps
+    * metadata derived from hex digits (n_frames 1..256, fps 1..16). */
+  private[operators] def videos(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(
+        col("doc_id"), col("h"),
+        expr("1 + 16 * (instr('0123456789abcdef', substring(h, 5, 1)) - 1) + " +
+          "(instr('0123456789abcdef', substring(h, 6, 1)) - 1)").cast("int").as("n_frames"),
+        expr("1 + (instr('0123456789abcdef', substring(h, 7, 1)) - 1)")
+          .cast("int").as("fps"))
+
+  /** MM3 — FRAME SAMPLING: one frame per second (every fps-th index) as a
+    * metadata-only expansion — sequence() + explode computes the sampled
+    * (video, frame_idx) set ROW-LOCALLY with the payload untouched, which
+    * is the 100 TB shape: sampling decides WHAT to decode before any byte
+    * of video is read, and the sampled set then drives an mm2-style
+    * partition-batched decode (frame_fp stands in for the fetched frame).
+    * Oracle-gated — the sample is pure metadata arithmetic. */
+  private val mm3: Q = (s, d) =>
+    videos(s, d)
+      .select(col("doc_id"), col("h"), col("n_frames"), col("fps"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("fps"))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("fps"), col("frame_idx"),
+        md5(concat(col("h"), lit(":"), col("frame_idx").cast("string"))).as("frame_fp"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, Q] = Map(
     "mm1_media_metadata" -> mm1,
-    "mm2_decode_features" -> mm2
+    "mm2_decode_features" -> mm2,
+    "mm3_frame_sample" -> mm3
   )
 
   private def dig(pos: Int) = s"(instr('0123456789abcdef', substring(h, $pos, 1)) - 1)"
@@ -89,7 +117,16 @@ object Multimodal {
          |   CAST(1 + 16 * ${dig(1)} + ${dig(2)} AS INTEGER) AS width,
          |   CAST(1 + 16 * ${dig(3)} + ${dig(4)} AS INTEGER) AS height,
          |   octet_length(from_hex(h)) AS size_bytes
-         | FROM m WHERE 1 + 16 * ${dig(1)} + ${dig(2)} > 64 ORDER BY doc_id""".stripMargin
+         | FROM m WHERE 1 + 16 * ${dig(1)} + ${dig(2)} > 64 ORDER BY doc_id""".stripMargin,
     // mm2 intentionally has no oracle: the decode stage is a stub.
+    "mm3_frame_sample" ->
+      s"""WITH v AS (SELECT doc_id, h,
+         |     CAST(1 + 16 * ${dig(5)} + ${dig(6)} AS INTEGER) AS n_frames,
+         |     CAST(1 + ${dig(7)} AS INTEGER) AS fps
+         |   FROM (SELECT doc_id, md5(text) AS h FROM documents))
+         | SELECT doc_id, n_frames, fps, f.frame_idx,
+         |   md5(h || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
+         | FROM v, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, fps)) AS frame_idx) f
+         | ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -28,4 +28,18 @@ class MultimodalSpec extends SparkSpec {
     assert(q("mm2_decode_features").count() ===
       Tables.documents(spark, sf).count())
   }
+
+  test("mm3 frame sampling is the exact per-video arithmetic progression") {
+    val df = q("mm3_frame_sample")
+    // every sampled index is on the fps grid and in range
+    assert(df.filter(col("frame_idx") % col("fps") =!= 0 ||
+      col("frame_idx") < 0 || col("frame_idx") >= col("n_frames")).count() === 0L)
+    // per-video count = ceil(n_frames / fps), one row per video
+    val per = df.groupBy("doc_id", "n_frames", "fps")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(per.filter(col("n") =!=
+      org.apache.spark.sql.functions.expr("(n_frames + fps - 1) div fps")).count() === 0L)
+    assert(per.count() === Tables.documents(spark, sf).count())
+  }
 }

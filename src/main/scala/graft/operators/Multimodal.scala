@@ -101,10 +101,33 @@ object Multimodal {
         md5(concat(col("h"), lit(":"), col("frame_idx").cast("string"))).as("frame_fp"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  private val FitBox = 224L
+
+  /** MM4 — RESIZE PLANNING: aspect-preserving fit of every image into a
+    * 224×224 box as EXACT integer arithmetic (long side → 224, short side
+    * → half-up of short·224/long via the shared ExactRatio, so both
+    * engines round identically). Like mm3 this is the metadata half of the
+    * operation — the plan computes every target geometry row-locally
+    * without touching a payload byte; the pixel work is the mm2-style
+    * batched stub's job. Oracle-gated. */
+  private val mm4: Q = (s, d) => {
+    val landscape = col("width") >= col("height")
+    val short224 = (lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =>
+      graft.functions.ExactRatio.scaled(lo.cast("long") * FitBox, hi.cast("long"), 1L)
+    media(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        when(landscape, lit(FitBox))
+          .otherwise(short224(col("width"), col("height"))).as("out_w"),
+        when(landscape, short224(col("height"), col("width")))
+          .otherwise(lit(FitBox)).as("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm1_media_metadata" -> mm1,
     "mm2_decode_features" -> mm2,
-    "mm3_frame_sample" -> mm3
+    "mm3_frame_sample" -> mm3,
+    "mm4_resize_plan" -> mm4
   )
 
   private def dig(pos: Int) = s"(instr('0123456789abcdef', substring(h, $pos, 1)) - 1)"
@@ -127,6 +150,17 @@ object Multimodal {
          | SELECT doc_id, n_frames, fps, f.frame_idx,
          |   md5(h || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
          | FROM v, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, fps)) AS frame_idx) f
-         | ORDER BY doc_id, frame_idx""".stripMargin
+         | ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm4_resize_plan" ->
+      s"""WITH m AS (SELECT doc_id,
+         |     CAST(1 + 16 * ${dig(1)} + ${dig(2)} AS INTEGER) AS width,
+         |     CAST(1 + 16 * ${dig(3)} + ${dig(4)} AS INTEGER) AS height
+         |   FROM (SELECT doc_id, md5(text) AS h FROM documents))
+         | SELECT doc_id, width, height,
+         |   CASE WHEN width >= height THEN 224
+         |        ELSE ${graft.functions.ExactRatio.scaledSql("width * 224", "height", 1L)} END AS out_w,
+         |   CASE WHEN width >= height THEN ${graft.functions.ExactRatio.scaledSql("height * 224", "width", 1L)}
+         |        ELSE 224 END AS out_h
+         | FROM m ORDER BY doc_id""".stripMargin
   )
 }

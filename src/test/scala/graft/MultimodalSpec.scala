@@ -42,4 +42,18 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.functions.expr("(n_frames + fps - 1) div fps")).count() === 0L)
     assert(per.count() === Tables.documents(spark, sf).count())
   }
+
+  test("mm4 resize plan: long side pinned to 224, aspect preserved within rounding") {
+    val df = q("mm4_resize_plan")
+    assert(df.count() === Tables.documents(spark, sf).count())
+    assert(df.filter(greatest(col("out_w"), col("out_h")) =!= 224L).count() === 0L)
+    assert(df.filter(col("out_w") < 1L || col("out_h") < 1L).count() === 0L)
+    // half-up rounding of the short side: |out_short·long − short·224| ≤ long/2
+    val bad = df.withColumn("err", abs(
+      when(col("width") >= col("height"),
+        col("out_h") * col("width") - col("height") * 224L)
+        .otherwise(col("out_w") * col("height") - col("width") * 224L)))
+      .filter(col("err") * 2L > greatest(col("width"), col("height")).cast("long"))
+    assert(bad.count() === 0L)
+  }
 }

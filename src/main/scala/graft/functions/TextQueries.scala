@@ -145,6 +145,26 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PX5 — corpus prep with NEAR-DUP-canonical survivors: px1 with the
+    * exact-dedup survivor set replaced by d6's cluster canonicals, i.e.
+    * the filter pass a real pretraining pipeline runs once near-dup
+    * clustering exists (A~B~C keeps only the component minimum, where
+    * exact dedup would keep all three non-identical variants). Composes
+    * the d6 component machinery into the text pipeline; the oracle
+    * composes the closure SQL the same way. */
+  private val px5: Q = (s, d) => {
+    val canon = graft.operators.Dedup.queries("d6_neardup_clusters")(s, d)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    Tables.documents(s, d)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
+        qualityBp.as("quality_bp"))
+      .filter(col("quality_bp") >= 5500L)
+      .join(canon, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TX6 — corpus-LM fluency (simplified KenLM idea): how common are a
     * document's bigrams in the whole corpus? Two-pass: corpus bigram counts
     * (shuffle on bigram), then per-doc mean corpus-count of its bigrams —
@@ -227,6 +247,7 @@ object TextQueries {
     "tx6_bigram_fluency" -> tx6,
     "tx7_repetition" -> tx7,
     "px1_corpus_prep" -> px1,
+    "px5_canonical_prep" -> px5,
     "px2_stratified_sample" -> px2,
     "px3_token_budget" -> px3,
     "tx2_quality_score" -> tx2,
@@ -306,6 +327,14 @@ object TextQueries {
          | m0 AS (${qfSql(" WHERE lang = 'en'")}),
          | m AS (SELECT doc_id, n AS n_tokens, $qualityBpSql AS quality_bp FROM m0)
          | SELECT m.doc_id, m.n_tokens, m.quality_bp FROM m JOIN surv ON m.doc_id = surv.doc_id
+         | WHERE m.quality_bp >= 5500 ORDER BY m.doc_id""".stripMargin,
+    "px5_canonical_prep" ->
+      s"""WITH canon AS (SELECT doc_id FROM
+         |     (${graft.operators.Dedup.oracles("d6_neardup_clusters")})
+         |   WHERE is_canonical),
+         | m0 AS (${qfSql(" WHERE lang = 'en'")}),
+         | m AS (SELECT doc_id, n AS n_tokens, $qualityBpSql AS quality_bp FROM m0)
+         | SELECT m.doc_id, m.n_tokens, m.quality_bp FROM m JOIN canon ON m.doc_id = canon.doc_id
          | WHERE m.quality_bp >= 5500 ORDER BY m.doc_id""".stripMargin,
     "tx5_vocab" ->
       s"""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -250,6 +250,22 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("px5 is px1 with near-dup canonicals: subset of filters, only canonicals kept") {
+    val px5 = q("px5_canonical_prep")
+    val px1 = q("px1_corpus_prep")
+    // same quality/lang filters → px5 ⊆ px1 ∪ (near-dup canonicals px1's
+    // exact-survivor rule dropped); every px5 doc is a d6 canonical
+    val canon = q("d6_neardup_clusters").filter(col("is_canonical"))
+      .select(col("doc_id"))
+    assert(px5.join(canon, Seq("doc_id")).count() === px5.count())
+    // near-dup dedup is at least as aggressive as exact dedup
+    assert(px5.count() <= px1.count())
+    // and strictly drops any non-canonical px1 kept
+    val nonCanonIn1 = px1.select(col("doc_id"))
+      .exceptAll(canon).count()
+    assert(px1.count() - px5.count() === nonCanonIn1)
+  }
+
   test("tx1 token stats: distinct <= total tokens, avg length positive") {
     val df = q("tx1_token_stats")
     assert(df.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0L)

@@ -213,13 +213,16 @@ object TextQueries {
     * engines reproduce exactly. Spark's sampleBy is seeded-random and
     * neither portable nor re-runnable; hash sampling is both, and at 100 TB
     * it needs no shuffle at all (row-local predicate). */
+  /** Deterministic 0..255 draw from the doc id (first two md5 hex digits) —
+    * the portable hash-sampling primitive px2/px6 share. */
+  private val bucket256 = expr(
+    "16 * (instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) + " +
+      "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)")
+
   private val px2: Q = (s, d) => {
-    val bucket = expr(
-      "16 * (instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) + " +
-        "(instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1)")
     val quota = when(col("lang") === "en", 205).otherwise(77) // 80% / 30% of 256
     Tables.documents(s, d)
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", bucket256)
       .filter(col("bucket") < quota)
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
@@ -241,7 +244,33 @@ object TextQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** PX6 — MIXTURE-WEIGHTED resampling: resample the corpus toward a
+    * TARGET source mixture (even-numbered sources weighted 3×) under a
+    * half-corpus budget. The per-source keep-rate is DERIVED from the
+    * actual source counts in one tiny aggregation (|sources| rows,
+    * broadcast back), so the same query rebalances any skewed corpus; the
+    * keep decision itself is the px2 deterministic hash bucket — row-local,
+    * re-runnable, no shuffle of the fact table. All arithmetic is integer
+    * (256ths), so both engines compute the identical rate. */
+  private val px6: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w",
+        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 3L).otherwise(1L))
+    val tot = per.agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("w_sum"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("rate_256", least(lit(256L),
+        expr("(256 * n_total * w) div (2 * w_sum * n_s)")))
+      .select(col("source"), col("rate_256"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket256)
+      .filter(col("bucket") < col("rate_256"))
+      .select(col("doc_id"), col("source"), col("rate_256"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "px6_mixture_sample" -> px6,
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
     "tx6_bigram_fluency" -> tx6,
@@ -289,7 +318,23 @@ object TextQueries {
       | THEN list_transform(range(len(tk)-2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
       | ELSE [array_to_string(tk, ' ')] END""".stripMargin
 
+  private val bucket256Sql =
+    """16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) +
+      |   (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "px6_mixture_sample" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_s,
+         |   CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END AS w
+         |  FROM documents GROUP BY 1),
+         | tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total, CAST(sum(w) AS BIGINT) AS w_sum FROM per),
+         | rates AS (SELECT source,
+         |   CAST(least(256, (256 * n_total * w) // (2 * w_sum * n_s)) AS BIGINT) AS rate_256
+         |  FROM per, tot),
+         | b AS (SELECT doc_id, source, $bucket256Sql AS bucket FROM documents)
+         | SELECT b.doc_id, b.source, rates.rate_256
+         | FROM b JOIN rates ON b.source = rates.source
+         | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
     "px2_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |   16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) +

@@ -204,7 +204,27 @@ object Aggregations {
       countDistinct(col("leader_key_address")).as("exact_miners"),
       countDistinct(col("stacks_block_height")).as("exact_heights"))
 
+  /** Pivot column set — pinned literals, NOT discovered from the data:
+    * pivot without explicit values runs a distinct-scan job first and bakes
+    * a data-dependent schema into the plan. */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** A17 — PIVOT: per-user event-type counts as columns (the wide-format
+    * export step of a behavioral pipeline). With pinned values Spark plans
+    * this as ONE hash aggregate of count-if columns — a single shuffle on
+    * user_id with map-side partials, identical to hand-written conditional
+    * aggregation (which is exactly what the oracle spells). */
+  private val a17: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
+    "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
     "a16_approx_distinct" -> a16,
     "a16_exact_distinct" -> a16x,
@@ -224,6 +244,14 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a17_event_pivot" -> {
+      val cols = EventTypes
+        .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")
+        .mkString(",\n        |   ")
+      s"""SELECT user_id,
+         |   $cols
+         | FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+    },
     "a16_exact_distinct" ->
       """SELECT count(DISTINCT l_suppkey) AS exact_miners,
         |   count(DISTINCT l_orderkey) AS exact_heights FROM lineitem""".stripMargin,

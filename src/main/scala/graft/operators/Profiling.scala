@@ -79,9 +79,36 @@ object Profiling {
     rows.reduce(_.unionByName(_)).orderBy(col("percentile"))
   }
 
-  val queries: Map[String, Q] = Map("pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2)
+  /** PR3 — GROUPING-SETS profile: doc counts and char volume at every
+    * (source × lang) rollup level in ONE pass. Grouping sets are the
+    * standard OLAP cube primitive; Spark plans the rollup as a single
+    * Expand + hash Aggregate — one shuffle with map-side partials, never a
+    * re-scan per level (k separate GROUP BYs would read the corpus k
+    * times). The gid is computed as grouping(source)·2 + grouping(lang) on
+    * BOTH engines rather than relying on each engine's grouping_id bit
+    * convention. */
+  private val pr3: Q = (s, d) =>
+    Tables.documents(s, d)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        (grouping(col("source")).cast("long") * 2 +
+          grouping(col("lang")).cast("long")).as("gid"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("n_docs"), col("chars"), col("gid"))
+      .orderBy(col("gid"), col("source"), col("lang"))
+
+  val queries: Map[String, Q] = Map(
+    "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
+    "pr3_rollup_profile" -> pr3)
 
   val oracles: Map[String, String] = Map(
+    "pr3_rollup_profile" ->
+      """SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid
+        | FROM documents GROUP BY ROLLUP (source, lang)
+        | ORDER BY gid, source, lang""".stripMargin,
     "pr1_profile" -> cols.map { c =>
       s"""SELECT '$c' AS column_name, count(*) - count($c) AS n_nulls,
          | count(DISTINCT $c) AS n_distinct,

@@ -207,7 +207,41 @@ object RelationalCore {
         col("c.vtxindex").as("vtxindex"), col("c.burn_fee").as("burn_fee"))
       .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
 
+  /** J13 — RANGE (interval-overlap) JOIN: urgent-order promotion windows
+    * [o_orderdate, +14 d) matched against every lineitem shipped inside
+    * them, aggregated per window. A raw inequality join has no equi-key, so
+    * Spark would plan a broadcast-nested-loop — |intervals| × |probes| work.
+    * The scale form is BUCKETED: quantize time into fixed-width buckets,
+    * explode each interval to the buckets it covers (≤2 at this width),
+    * equi-join probes on the bucket key, then re-check the exact range.
+    * The shuffle is keyed by bucket — linear in each side — and the count/
+    * sum aggregate takes map-side partials. Bucket width is the tuning
+    * knob: wider ⇒ fewer interval replicas but looser pre-filter. */
+  private val j13: Q = (s, d) => {
+    val dayUs = 86400000000L
+    val bucketUs = 32L * dayUs
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("win_start_us"))
+      .withColumn("win_end_us", col("win_start_us") + lit(14L * dayUs))
+      .withColumn("bkt", explode(sequence(
+        floor(col("win_start_us") / bucketUs).cast("long"),
+        floor(col("win_end_us") / bucketUs).cast("long"))))
+    val probes = Tables.lineitem(s, d)
+      .select(col("l_quantity"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      .withColumn("bkt", floor(col("ship_us") / bucketUs).cast("long"))
+    iv.join(probes, Seq("bkt"))
+      .filter(col("ship_us") >= col("win_start_us") && col("ship_us") < col("win_end_us"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .orderBy(col("win_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j13_range_join" -> j13,
     "s1_full_scan" -> s1,
     "s10_top3" -> s10,
     "j4_grouped_payments" -> j4,
@@ -232,6 +266,14 @@ object RelationalCore {
   private val fee = Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "j13_range_join" ->
+      s"""WITH iv AS (SELECT o_orderkey AS win_id, epoch_us(o_orderdate) AS s_us,
+         |   epoch_us(o_orderdate) + ${14L * 86400000000L} AS e_us
+         |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0)
+         | SELECT win_id, count(*) AS n_ship,
+         |   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+         | FROM iv JOIN lineitem ON epoch_us(l_shipdate) >= s_us AND epoch_us(l_shipdate) < e_us
+         | GROUP BY 1 ORDER BY win_id""".stripMargin,
     "s1_full_scan" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "s10_top3" ->

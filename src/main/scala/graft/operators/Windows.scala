@@ -238,10 +238,71 @@ object Windows {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** W9 — AS-OF JOIN (latest-at-or-before event-time match): each purchase
+    * event joins the same user's most recent view at-or-before its
+    * timestamp — the attribution query every behavioral/time-series
+    * pipeline runs, and an operator Spark has no builtin for. The naive
+    * form is an inequality join (planned as a nested loop) or a per-probe
+    * subquery; the scale-correct composition is UNION-TAG: union both
+    * sides on the join key, shuffle ONCE partitioned by key ordered by
+    * (ts, kind, id), and carry the latest quote forward with
+    * last(ignoreNulls). Quotes sort before probes at equal ts, so ties
+    * count as "at-or-before"; event_id makes the carried quote
+    * total-ordered. Cost at 100 TB = one sort-shuffle on user_id — the
+    * sessionizer's shape, independent of match distance. `toleranceUs`
+    * bounds the match age (None = unbounded), the standard asof-join
+    * tolerance knob in time-series engines. */
+  def asofJoin(toleranceUs: Option[Long]): Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inTol = toleranceUs.map(t => col("gap_us") <= t).getOrElse(col("gap_us").isNotNull)
+    ev
+      .withColumn("q", last(
+        when(col("kind") === 0, struct(col("event_id").as("vid"), col("ts").as("vts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("q.vts").cast("timestamp")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(inTol, col("q.vid")).as("view_event_id"),
+        when(inTol, col("gap_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def asofJoinSql(toleranceUs: Option[Long]): String = {
+    val cond = toleranceUs.map(t => s"gap_us <= $t").getOrElse("gap_us IS NOT NULL")
+    s"""WITH t AS (SELECT event_id, user_id, ts,
+       |   CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       | m AS (SELECT *,
+       |   last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS vid,
+       |   last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS vts
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | g AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, vid,
+       |   CAST(epoch_us(ts) - epoch_us(vts) AS BIGINT) AS gap_us FROM m WHERE kind = 1)
+       | SELECT purchase_id, user_id, purchase_ts,
+       |   CASE WHEN $cond THEN vid END AS view_event_id,
+       |   CASE WHEN $cond THEN gap_us END AS gap_us
+       | FROM g ORDER BY purchase_id""".stripMargin
+  }
+
+  private val w9 = asofJoin(None)
+  private val w9t = asofJoin(Some(3600000000L)) // 1-hour tolerance
+
   private val w5 = gapfill(1000L)
 
   val queries: Map[String, Q] = Map(
     "w8_sessionize" -> w8,
+    "w9_asof_join" -> w9,
+    "w9_asof_1h" -> w9t,
     "a6_lag_diff" -> a6,
     "a7_running_max" -> a7,
     "a13_cumsum_by_miner" -> a13,
@@ -256,6 +317,8 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w9_asof_join" -> asofJoinSql(None),
+    "w9_asof_1h" -> asofJoinSql(Some(3600000000L)),
     "w8_sessionize" ->
       """WITH w AS (SELECT user_id, event_id, ts, value,
         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-4 join/OLAP additions: as-of join (union-tag form), bucketed
+  * range join, mixture sampling, rollup, pivot. Each scale-shaped query is
+  * checked against the naive formulation it replaces — the brute-force
+  * inequality join / per-level re-aggregation — so the fast plan is proven
+  * equal to the obvious one, not merely to the DuckDB oracle. */
+class JoinShapesSpec extends SparkSpec {
+
+  test("w9 as-of join equals the brute-force latest-view-at-or-before join") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("vid"), col("ts").as("vts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    // naive: inequality join, then argmax by (vts, vid) per purchase
+    val naive = purch.join(views,
+        purch("user_id") === views("v_uid") && views("vts") <= purch("ts"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(max_by(col("vid"), struct(col("vts"), col("vid"))).as("view_event_id"))
+    val fast = q("w9_asof_join").select(col("purchase_id"), col("view_event_id"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("w9 tolerance form nulls matches older than the bound, keeps the rest") {
+    val all = q("w9_asof_join")
+    val tol = q("w9_asof_1h")
+    val j = all.select(col("purchase_id"), col("view_event_id").as("v_all"),
+        col("gap_us").as("g_all"))
+      .join(tol.select(col("purchase_id"), col("view_event_id").as("v_tol"),
+        col("gap_us").as("g_tol")), Seq("purchase_id"))
+    assert(j.filter(col("g_all") <= 3600000000L &&
+      !(col("v_tol") <=> col("v_all"))).isEmpty)
+    assert(j.filter((col("g_all").isNull || col("g_all") > 3600000000L) &&
+      col("v_tol").isNotNull).isEmpty)
+    // the tolerance bites on this data: some matches survive, some drop
+    assert(tol.filter(col("view_event_id").isNotNull).count() > 0)
+    assert(tol.filter(col("view_event_id").isNull).count() >
+      all.filter(col("view_event_id").isNull).count())
+  }
+
+  test("j13 bucketed range join equals the naive inequality join") {
+    val dayUs = 86400000000L
+    val iv = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"))
+      .withColumn("e_us", col("s_us") + lit(14L * dayUs))
+    val probes = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    val naive = iv.join(probes,
+        col("ship_us") >= col("s_us") && col("ship_us") < col("e_us"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_ship"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    val fast = q("j13_range_join")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  test("j13 joins on the bucket key, not a nested loop over intervals") {
+    val plan = q("j13_range_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join fell back to a nested loop")
+  }
+
+  test("px6 keep-rates hit the target mixture and the sample is deterministic") {
+    val out = q("px6_mixture_sample")
+    val kept = out.groupBy(col("source")).agg(count(lit(1)).as("k"))
+      .withColumn("even", substring(col("source"), 4, 10).cast("long") % 2 === 0)
+    val Seq(evenK, oddK) = Seq(true, false).map(e =>
+      kept.filter(col("even") === e).agg(sum(col("k"))).head().getLong(0))
+    // target weights 3:1 over equal-sized sources; hash draw is ±noise
+    val ratio = evenK.toDouble / oddK
+    assert(ratio > 2.0 && ratio < 4.5, s"even/odd kept ratio $ratio not near 3")
+    // half-corpus budget, within hash-sampling noise
+    val total = Tables.documents(spark, sf).count()
+    val frac = out.count().toDouble / total
+    assert(frac > 0.4 && frac < 0.6, s"kept fraction $frac not near 0.5")
+    // deterministic: a second run is row-identical
+    assert(q("px6_mixture_sample").exceptAll(out).isEmpty)
+  }
+
+  test("pr3 rollup levels are mutually consistent") {
+    val out = q("pr3_rollup_profile").cache()
+    val leaf = out.filter(col("gid") === 0)
+    val mid = out.filter(col("gid") === 1)
+    val top = out.filter(col("gid") === 3)
+    assert(top.count() === 1)
+    val n = Tables.documents(spark, sf).count()
+    assert(top.head().getLong(2) === n)
+    assert(leaf.agg(sum(col("n_docs"))).head().getLong(0) === n)
+    assert(mid.agg(sum(col("n_docs"))).head().getLong(0) === n)
+    out.unpersist()
+  }
+
+  test("a17 pivot cells sum to the per-type event counts") {
+    val out = q("a17_event_pivot")
+    val byType = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (t <- Seq("click", "error", "purchase", "signup", "view"))
+      assert(out.agg(sum(col(t))).head().getLong(0) === byType(t), s"column $t")
+  }
+}

@@ -223,7 +223,30 @@ object Aggregations {
         EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
       .orderBy(col("user_id"))
 
+  /** A18 — CUBE: event counts and value volume at EVERY (event_type ×
+    * day-of-week) grouping level in one pass — pr3's rollup plus the
+    * cross levels rollup misses (dow-only totals). Spark plans the cube
+    * as one Expand (4 replicas per row) + a single hash aggregate with
+    * map-side partials — never k re-scans. The gid is derived from
+    * grouping() on both engines rather than each engine's grouping_id bit
+    * convention; dow uses Spark's 1=Sunday convention (the oracle shifts
+    * DuckDB's 0-based dow to match). value_cents is an exact scaled
+    * integer (doubles don't hash-compare across engines). */
+  private val a18: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"),
+        (grouping(col("event_type")).cast("long") * 2 +
+          grouping(col("dow")).cast("long")).as("gid"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("n_events"), col("value_cents"), col("gid"))
+      .orderBy(col("gid"), col("event_type"), col("dow"))
+
   val queries: Map[String, Q] = Map(
+    "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
     "a16_approx_distinct" -> a16,
@@ -244,6 +267,15 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a18_event_cube" ->
+      """SELECT coalesce(event_type, '(all)') AS event_type,
+        |   coalesce(dow, -1) AS dow, count(*) AS n_events,
+        |   CAST(sum(cents) AS BIGINT) AS value_cents,
+        |   CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid
+        | FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        | GROUP BY CUBE (event_type, dow)
+        | ORDER BY gid, event_type, dow""".stripMargin,
     "a17_event_pivot" -> {
       val cols = EventTypes
         .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS $t")

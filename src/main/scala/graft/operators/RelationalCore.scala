@@ -240,7 +240,43 @@ object RelationalCore {
       .orderBy(col("win_id"))
   }
 
+  /** J14 — LEFT-SEMI join: registered leader keys that actually placed a
+    * qualifying commit (the membership filter implied by the reference's
+    * key→commit linkage, rpc.js:137-148 — "does this key appear at all?").
+    * A semi join is the scale-correct form of `IN (subquery)`: the probe
+    * side streams, the build side reduces to DISTINCT KEYS before the
+    * hash table (no fact-row multiplication, no payload columns shuffled),
+    * and AQE broadcasts the key set when it fits. */
+  private val j14: Q = (s, d) => {
+    val hits = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(hits, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** J15 — LEFT-ANTI join: customers with NO urgent order — the set-level
+    * inverse of J7's per-row missing-key flag (rpc.js:140-147 skips
+    * commits whose leader key is absent; the anti join asks which keys
+    * are never referenced — orphan detection). Same scale shape as J14:
+    * the filter runs BEFORE the join, so the anti side reduces to the
+    * distinct keys of the qualifying subset pre-hash. (The unfiltered
+    * form is vacuous on this data — every customer has some order — so
+    * the gate would hash an empty set.) */
+  private val j15: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
   val queries: Map[String, Q] = Map(
+    "j14_semi_join" -> j14,
+    "j15_anti_join" -> j15,
     "j13_range_join" -> j13,
     "s1_full_scan" -> s1,
     "s10_top3" -> s10,
@@ -266,6 +302,16 @@ object RelationalCore {
   private val fee = Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "j14_semi_join" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier s
+        | WHERE EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        | ORDER BY s_suppkey""".stripMargin,
+    "j15_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin,
     "j13_range_join" ->
       s"""WITH iv AS (SELECT o_orderkey AS win_id, epoch_us(o_orderdate) AS s_us,
          |   epoch_us(o_orderdate) + ${14L * 86400000000L} AS e_us

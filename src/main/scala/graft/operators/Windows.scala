@@ -299,7 +299,28 @@ object Windows {
 
   private val w5 = gapfill(1000L)
 
+  /** W10 — NTILE quantile bucketing: each commit's fee quartile WITHIN its
+    * height (which quarter of this block's fee distribution a bid sits in
+    * — the per-auction percentile a fee-market analysis wants). The window
+    * partitions by height, so partitions stay block-sized at any corpus
+    * scale — ntile over an unpartitioned corpus would be the forbidden
+    * global-window shape (pr2's histogram form covers the corpus-wide
+    * percentile question instead). Order is total (fee, vtxindex, miner)
+    * — ntile assigns by position, so a non-total order would make bucket
+    * boundaries nondeterministic between engines. */
+  private val w10: Q = (s, d) => {
+    val w = Window.partitionBy(col("stacks_block_height"))
+      .orderBy(col("burn_fee"), col("vtxindex"), col("leader_key_address"))
+    graft.Domain.commits(s, d)
+      .withColumn("fee_quartile", ntile(4).over(w).cast("long"))
+      .select(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("fee_quartile"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("fee_quartile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w10_fee_quartile" -> w10,
     "w8_sessionize" -> w8,
     "w9_asof_join" -> w9,
     "w9_asof_1h" -> w9t,
@@ -317,6 +338,13 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w10_fee_quartile" ->
+      s"""SELECT l_orderkey AS stacks_block_height, l_linenumber AS vtxindex,
+         |   $fee AS burn_fee,
+         |   CAST(ntile(4) OVER (PARTITION BY l_orderkey
+         |     ORDER BY $fee, l_linenumber, l_suppkey) AS BIGINT) AS fee_quartile
+         | FROM lineitem
+         | ORDER BY stacks_block_height, vtxindex, burn_fee, fee_quartile""".stripMargin,
     "w9_asof_join" -> asofJoinSql(None),
     "w9_asof_1h" -> asofJoinSql(Some(3600000000L)),
     "w8_sessionize" ->

@@ -96,6 +96,60 @@ class JoinShapesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("j14 semi join equals inner-join-then-distinct and plans as LeftSemi") {
+    val hits = Tables.lineitem(spark, sf).filter(col("l_quantity") > 45)
+      .select(col("l_suppkey"))
+    val naive = Tables.supplier(spark, sf)
+      .join(hits, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey")).distinct()
+    val fast = q("j14_semi_join")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    assert(fast.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "semi join lost its LeftSemi form (a rewrite to inner would duplicate rows)")
+  }
+
+  test("j15 anti join is the complement of the matching semi join") {
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val semi = Tables.customer(spark, sf)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = q("j15_anti_join")
+    assert(anti.count() > 0, "anti join is vacuous on this data — gate hashes nothing")
+    assert(anti.count() + semi.count() === Tables.customer(spark, sf).count())
+    assert(anti.join(semi.select(col("c_custkey")), Seq("c_custkey")).isEmpty)
+  }
+
+  test("a18 cube levels are mutually consistent") {
+    val out = q("a18_event_cube").cache()
+    val n = Tables.events(spark, sf).count()
+    for (g <- Seq(0L, 1L, 2L))
+      assert(out.filter(col("gid") === g).agg(sum(col("n_events")))
+        .head().getLong(0) === n, s"gid=$g level does not sum to the corpus")
+    val top = out.filter(col("gid") === 3)
+    assert(top.count() === 1 && top.head().getAs[Long]("n_events") === n)
+    // the cross level rollup misses: dow-only rows exist (event_type = all)
+    assert(out.filter(col("gid") === 2 && col("event_type") === "(all)").count() === 7)
+    out.unpersist()
+  }
+
+  test("w10 quartiles are balanced and monotone in fee within each height") {
+    val out = q("w10_fee_quartile").cache()
+    assert(out.filter(col("fee_quartile") < 1 || col("fee_quartile") > 4).isEmpty)
+    // bucket sizes within a height differ by at most 1 (ntile contract)
+    val sizes = out.groupBy(col("stacks_block_height"), col("fee_quartile"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("stacks_block_height"))
+      .agg((max(col("sz")) - min(col("sz"))).as("spread"))
+    assert(sizes.filter(col("spread") > 1).isEmpty)
+    // monotone: a higher-fee commit never lands in a lower quartile
+    val a = out.as("a"); val b = out.as("b")
+    assert(a.join(b,
+      col("a.stacks_block_height") === col("b.stacks_block_height") &&
+        col("a.burn_fee") < col("b.burn_fee") &&
+        col("a.fee_quartile") > col("b.fee_quartile")).isEmpty)
+    out.unpersist()
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

@@ -268,6 +268,69 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** 32-bit SimHash over DISTINCT SHINGLES — d3's digit-vote rule extended
+    * to all 32 md5 hex positions, but voting on shingles, not tokens:
+    * token votes are dominated by the shared vocabulary, so unrelated
+    * long documents land within a few bits of each other (measured: a
+    * token-vote signature put 3.4% of ALL doc pairs at hamming ≤ 3 —
+    * no separation). Distinct shingles are doc-specific, so unrelated
+    * docs vote near-independently (expected hamming 16) while near-dups
+    * share most shingles (hamming ≲ 3) — measured separation: 234
+    * qualifying pairs at sf0.1, background starting at hamming 5. */
+  private def simhash32: Column =
+    (1 to 32).map(p =>
+      when(bitVote(col("shingles"), p) > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val SimBands = 4
+  private val SimBandBits = 8
+  private val SimHamMax = 3
+
+  /** D8 candidate pairs — SIMHASH BANDING: split the 32-bit signature into
+    * 4 bytes; docs sharing any byte are candidates, verified by exact
+    * Hamming distance ≤ 3 (one codegen'd bit_count(xor), no arrays). By
+    * pigeonhole the banding is EXACT for this threshold — ≤3 differing
+    * bits can spoil at most 3 of the 4 bands, so every qualifying pair
+    * shares a band and none is missed (spec-asserted against the
+    * all-pairs compare). Same LSH economics as d2: the band equi-join
+    * replaces O(n²) signature compares with Σ|bucket|² work, and the
+    * signature is one integer — the cheapest near-dup index that exists
+    * (4 bytes/doc at 100 TB vs 8 minhashes or a shingle set). */
+  private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
+    docShingles(s, d).select(col("doc_id"), simhash32.as("sh"))
+
+  private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashFrame(s, d)
+    val bands = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftright(col("sh"), b * SimBandBits) % lit(1 << SimBandBits)): _*))
+        .as(Seq("band_idx", "bv")))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= SimHamMax)
+  }
+
+  /** D8 — SimHash near-dup clustering: the third candidate modality
+    * (token-vote bit signatures) through the same pairs → connected
+    * components → canonical-survivor tail as d6 (LSH shingles) and d7
+    * (embedding cosine). Three modalities share one clusterer because at
+    * scale the clusterer is modality-blind — only candidate generation
+    * changes. */
+  private val d8: Q = (s, d) => {
+    val labels = cachedLabels(s, d, "simhash", "documents.parquet")(
+      d8Pairs(s, d).select(col("d1").as("x"), col("d2").as("y")))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PX4 — train/test DECONTAMINATION: flag test-split documents sharing
     * any shingle with the train split (the standard n-gram-overlap check
     * run before every evaluation). The split is deterministic (doc_id mod
@@ -298,6 +361,7 @@ object Dedup {
     "d5_embedding_neardup" -> d5,
     "d6_neardup_clusters" -> d6,
     "d7_embedding_clusters" -> d7,
+    "d8_simhash_clusters" -> d8,
     "px4_decontaminate" -> px4
   )
 
@@ -393,6 +457,32 @@ object Dedup {
          |   GROUP BY em.vec_id)
          | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
          | FROM lab ORDER BY vec_id""".stripMargin,
+    // same closure-oracle tractability bound as d6/d7
+    "d8_simhash_clusters" -> {
+      val sh32 = (1 to 32).map { p =>
+        s"(CASE WHEN list_sum(list_transform(shingles, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+         | sh AS (SELECT doc_id, $sh32 AS sh FROM ($docShinglesSql)),
+         | bands AS (SELECT doc_id, sh, b.band_idx,
+         |     (sh >> (b.band_idx * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS bv
+         |   FROM sh, (SELECT unnest(range($SimBands)) AS band_idx) b),
+         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS s1, b.sh AS s2
+         |   FROM bands a JOIN bands b
+         |   ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         | p AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= $SimHamMax),
+         | edges AS (SELECT d1 AS x, d2 AS y FROM p UNION SELECT d2, d1 FROM p),
+         | reach(x, y) AS (
+         |   SELECT x, y FROM edges
+         |   UNION
+         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         | lab AS (SELECT d.doc_id,
+         |     least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+         |   FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+         |   GROUP BY d.doc_id)
+         | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         | FROM lab ORDER BY doc_id""".stripMargin
+    },
     "px4_decontaminate" ->
       s"""WITH ds AS ($docShinglesSql),
          | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),

@@ -104,6 +104,34 @@ class DedupSpec extends SparkSpec {
     assert(two == Map(11L -> 10L, 12L -> 10L, 21L -> 20L), s"got $two")
   }
 
+  test("d8 banded candidates are EXACT for hamming <= 3 (pigeonhole, vs all-pairs)") {
+    val sh = operators.Dedup.simhashFrame(spark, sf).cache()
+    val a = sh.as("a"); val b = sh.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+    val banded = operators.Dedup.d8Pairs(spark, sf)
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty,
+      "banding missed or invented a qualifying pair")
+    assert(brute.count() > 0, "threshold never fires on this data — vacuous gate")
+    sh.unpersist()
+  }
+
+  test("d8 clusters close the simhash pair set with min-member canonicals") {
+    val out = q("d8_simhash_clusters").cache()
+    val lbl = out.select(col("doc_id"), col("cluster_id"))
+    val pairs = operators.Dedup.d8Pairs(spark, sf)
+    // endpoints of every verified pair share a cluster
+    val l1 = lbl.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1")
+    val l2 = lbl.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2")
+    assert(pairs.join(l1, "d1").join(l2, "d2").filter(col("c1") =!= col("c2")).isEmpty)
+    // label is the component minimum; canonical iff self-labeled
+    assert(out.filter(col("cluster_id") > col("doc_id")).isEmpty)
+    assert(out.filter(col("is_canonical") =!= (col("doc_id") === col("cluster_id"))).isEmpty)
+    out.unpersist()
+  }
+
   test("px4 decontamination covers exactly the test split, flags are consistent") {
     val out = q("px4_decontaminate")
     val expect = Tables.documents(spark, sf)

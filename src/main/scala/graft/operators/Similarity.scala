@@ -252,6 +252,92 @@ object Similarity {
       KMeansCodebook.centroidsFor(s, d, NCells, 3)
         .map { case (id, cv) => (id.toLong, cv) }, nprobe = 2), Seq("cell_id"))
 
+  private val PqM = 8       // subspaces
+  private val PqSub = 8     // dims per subspace (PqM · PqSub = Dim)
+  private val PqTop = 50    // approx-scored survivors per query
+
+  /** PQ codebook: subspace m's centroid for code k = the m-th slice of
+    * fixed-codebook cell k's vector, with its squared norm. Sorted by id so
+    * code values index the literal arrays positionally (ids are 0..15 —
+    * required below). */
+  private def pqCodebook(s: SparkSession, d: String): Seq[Seq[(Long, Seq[Double], Double)]] = {
+    val cells = fixedCodebook(s, d).sortBy(_._1)
+    require(cells.map(_._1) == (0L until NCells.toLong),
+      s"PQ codes index positionally; expected ids 0..${NCells - 1}")
+    (0 until PqM).map { m =>
+      cells.map { case (id, cv) =>
+        val c = cv.slice(m * PqSub, (m + 1) * PqSub)
+        (id, c, c.map(x => x * x).sum)
+      }
+    }
+  }
+
+  /** X5 candidates — IVF-PQ (ADC): the 100 TB memory/bandwidth path.
+    * Vectors are PRODUCT-QUANTIZED row-locally — per subspace, the code is
+    * an unrolled argmax of 2·⟨v_sub, c⟩ − ‖c‖² (≡ argmin L2, same
+    * statically-unrolled greatest() shape as the IVF assignment) — so each
+    * vector's index entry is PqM small ints + one reconstruction norm, not
+    * 64 doubles. Queries probe their 2 nearest IVF cells and carry a
+    * per-subspace LOOKUP TABLE of partial dots (PqM×16 doubles on the
+    * broadcast side); the candidate join then scores approximately by PqM
+    * array lookups per pair — the asymmetric-distance computation — with
+    * NO full-width dot product and no vector payload in the join. Only
+    * the PqTop approx survivors per query fetch their true vector back
+    * (a point-lookup join) for the exact re-rank, so exact-distance work
+    * drops from |cell| to PqTop per query. */
+  private def pqCands(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val cells = fixedCodebook(s, d)
+    val withNorm = cells.map { case (id, cv) =>
+      (id, cv, math.sqrt(cv.map(x => x * x).sum)) }
+    def cellScore(c: (Long, Seq[Double], Double)): Column =
+      struct(
+        (dot(col("v"), typedlit(c._2)) / (col("norm") * lit(c._3))).as("cos"),
+        lit(-c._1).as("neg_id"))
+    val sub = pqCodebook(s, d)
+    def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
+      struct(
+        (lit(2.0) * dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))
+          - lit(c._3)).as("s"),
+        lit(-c._1).as("nc"))
+    // index side: cell + codes + reconstruction norm — all row-local
+    val assigned = v
+      .withColumn("best", greatest(withNorm.map(cellScore): _*))
+      .withColumn("cell_id", -col("best.neg_id"))
+      .select(Seq(col("vec_id"), col("cell_id")) ++
+        (0 until PqM).map(m =>
+          (-greatest(sub(m).map(c => encScore(m, c)): _*).getField("nc"))
+            .cast("int").as(s"code$m")): _*)
+      .withColumn("recon_sq", (0 until PqM).map(m =>
+        element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
+    // query side (5 rows, broadcast): 2 probe cells + the ADC lookup tables
+    val q = v.filter(col("vec_id") < 5)
+      .withColumn("scores", array(withNorm.map(cellScore): _*))
+      .select(Seq(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"),
+        explode(slice(array_sort(col("scores")), -2, 2)).as("probe")) ++
+        (0 until PqM).map(m => array(sub(m).map(c =>
+          dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))): _*)
+          .as(s"qlut$m")): _*)
+      .withColumn("cell_id", -col("probe.neg_id"))
+    val approx = assigned.join(broadcast(q), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        (0 until PqM).map(m => element_at(col(s"qlut$m"), col(s"code$m") + 1))
+          .reduce(_ + _) / (col("qnorm") * sqrt(col("recon_sq"))))
+    val wA = Window.partitionBy("q_id")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+    val top = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= PqTop)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"))
+    // exact re-rank fetch: true vectors for the survivors only
+    top.join(v.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+      .withColumn("cos_raw",
+        dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
+  }
+
+  private val x5: Q = (s, d) => rerank(pqCands(s, d))
+
   /** X4 — ANN recall/cost gate (VERDICT r2 item 4 + r3 item 2): recall@10
     * AND candidate-set size of each ANN path against the exact kNN
     * baseline, AS A QUERY — both the quality and the cost of every
@@ -280,6 +366,7 @@ object Similarity {
           col("cand_pairs"))
     }
     recallOf(ivfCands(vecs(s, d), fixedCodebook(s, d)), "ivf")
+      .unionByName(recallOf(pqCands(s, d), "ivf_pq"))
       .unionByName(recallOf(candX2(s, d), "lsh"))
       .unionByName(recallOf(candX2b(s, d), "lsh_mp"))
       .unionByName(recallOf(candX2c(s, d), "lsh_or"))
@@ -293,6 +380,7 @@ object Similarity {
     "x2c_ann_or" -> x2c,
     "x3_ann_ivf" -> x3,
     "x3b_ann_ivf_trained" -> x3b,
+    "x5_ann_ivfpq" -> x5,
     "x4_ann_recall" -> x4
   )
 
@@ -333,10 +421,58 @@ object Similarity {
        |   FROM idx a JOIN q ON a.tid = q.tid AND a.bucket = q.bucket
        |   WHERE a.vec_id <> q.q_id)""".stripMargin
 
+  /** IVF-PQ CTE chain through `top` (approx survivors) and `ex` (exact
+    * re-scored survivors). Float-fold order mirrors the Spark side
+    * exactly: cell scores fold all 64 dims ascending; ADC partials fold
+    * 16 dims per subspace and sum in subspace order; recon_sq sums the
+    * per-subspace squared norms in subspace order. */
+  private lazy val pqCte: String = {
+    def subDot(xa: String, xb: String, m: Int): String =
+      s"list_sum(list_transform(range($PqSub), i -> $xa[${m * PqSub} + i + 1] * $xb[${m * PqSub} + i + 1]))"
+    val sqCols = (0 until PqM).map(m => s"${subDot("v", "v", m)} AS sq$m").mkString(", ")
+    val encCtes = (0 until PqM).map { m =>
+      s"""e$m AS (SELECT vec_id, code AS code$m FROM (
+         |   SELECT a.vec_id, cb.code, row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY 2 * ${subDot("a.v", "cb.v", m)} - cb.sq$m DESC, cb.code) AS rn
+         |   FROM v a CROSS JOIN cb) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n ")
+    val encJoins = (0 until PqM).map(m => s"JOIN e$m USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until PqM).map(m => s"JOIN cb c$m ON c$m.code = e.code$m").mkString(" ")
+    val reconSq = (0 until PqM).map(m => s"c$m.sq$m").mkString(" + ")
+    val adc = (0 until PqM).map(m => subDot("c.qv", s"c$m.v", m)).mkString(" + ")
+    s"""$vCte,
+       | cb AS (SELECT vec_id AS code, v, $sqCols FROM v WHERE vec_id < $NCells),
+       | $encCtes,
+       | enc AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+       |   FROM v $encJoins),
+       | cbv AS (SELECT vec_id AS cell_id, v AS cv, $vNormSql AS cnorm FROM v WHERE vec_id < $NCells),
+       | asg0 AS (SELECT v.vec_id, v.v, v.norm, cbv.cell_id,
+       |   list_sum(list_transform(range($Dim), i -> v.v[i+1] * cbv.cv[i+1])) / (v.norm * cbv.cnorm) AS cell_cos
+       |   FROM v CROSS JOIN cbv),
+       | asg AS (SELECT vec_id, cell_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc FROM asg0) WHERE rc = 1),
+       | qp AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, cell_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc
+       |   FROM asg0 WHERE vec_id < 5) WHERE rc <= 2),
+       | cand AS (SELECT q.q_id, q.qv, q.qnorm, a.vec_id
+       |   FROM asg a JOIN qp q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id),
+       | ap AS (SELECT c.q_id, c.qv, c.qnorm, c.vec_id,
+       |     ($adc) / (c.qnorm * sqrt($reconSq)) AS approx_cos
+       |   FROM cand c JOIN enc e ON c.vec_id = e.vec_id $cbJoins),
+       | top AS (SELECT q_id, qv, qnorm, vec_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS ar FROM ap) WHERE ar <= $PqTop),
+       | ex AS (SELECT t.q_id, t.vec_id,
+       |     list_sum(list_transform(range($Dim), i -> a.v[i+1] * t.qv[i+1])) / (a.norm * t.qnorm) AS cos_raw
+       |   FROM top t JOIN v a ON a.vec_id = t.vec_id)""".stripMargin
+  }
+
   /** Standalone candidate-pair queries (q_id, vec_id), one per ANN method
     * — x4's oracle counts them as subqueries (DuckDB allows WITH inside a
     * FROM subquery). */
   private lazy val candPairSql: Map[String, String] = Map(
+    "ivf_pq" ->
+      s"""WITH $pqCte
+         | SELECT q_id, vec_id FROM top""".stripMargin,
     "ivf" ->
       s"""WITH $vCte,
          | cb AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM v WHERE vec_id < $NCells),
@@ -378,16 +514,21 @@ object Similarity {
        | m AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2b_ann_multiprobe")})),
        | o AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2c_ann_or")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
+       | p AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x5_ann_ivfpq")})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
        | mh AS (SELECT count(*) AS hits FROM m JOIN e USING (q_id, neighbor_id)),
        | oh AS (SELECT count(*) AS hits FROM o JOIN e USING (q_id, neighbor_id)),
        | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id)),
+       | ph AS (SELECT count(*) AS hits FROM p JOIN e USING (q_id, neighbor_id)),
        | lc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh")}))),
        | mc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_mp")}))),
        | oc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_or")}))),
-       | fc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf")})))
+       | fc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf")}))),
+       | pc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf_pq")})))
        | ${row("ivf", "f")}
+       | UNION ALL
+       | ${row("ivf_pq", "p")}
        | UNION ALL
        | ${row("lsh", "l")}
        | UNION ALL
@@ -451,6 +592,12 @@ object Similarity {
       s"""WITH $orCandCte,
          | r AS (SELECT q_id, vec_id, cos_raw,
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "x5_ann_ivfpq" ->
+      s"""WITH $pqCte,
+         | r AS (SELECT q_id, vec_id, cos_raw,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM ex)
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
          | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   )

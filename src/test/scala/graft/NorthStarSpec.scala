@@ -179,6 +179,25 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.groupBy("q_id").count().filter(col("count") > 1).count() === 0L)
   }
 
+  test("x5 IVF-PQ: exact re-rank set is bounded by PqTop and never beats brute force") {
+    val rows = q("x4_ann_recall").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val (pqRecall, pqCand) = rows("ivf_pq")
+    // the whole point of ADC: exact-distance work is capped at PqTop per
+    // query regardless of cell sizes (50 × 5 queries), while recall stays
+    // competitive — the approx pruning loses some of plain IVF's recall,
+    // never all of it
+    assert(pqCand <= 50L * 5, s"ivf_pq rescored $pqCand pairs — PqTop cap broken")
+    assert(pqRecall >= 7500L, s"ivf_pq recall_bp $pqRecall < 7500")
+    info(s"ivf_pq recall_bp=$pqRecall rescored_pairs=$pqCand (ivf=${rows("ivf")._1})")
+    // approximate path can never produce a better top-1 than brute force
+    val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("best_cos"))
+    val pq = q("x5_ann_ivfpq").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("pq_cos"))
+    assert(bf.join(pq, "q_id").filter(col("pq_cos") > col("best_cos")).count() === 0L)
+  }
+
   test("x4: OR-amplified LSH reaches recall@10 >= 0.80 at bounded candidate cost") {
     // VERDICT r3 item 2: the OR-amplified path must be recall-competitive
     // with IVF (>= 8000 bp), not a 0.44 curiosity — and its candidate set

@@ -86,6 +86,30 @@ object Pipelines {
     chainTip(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/chain_tip")
   }
 
+  /** Small-files COMPACTION: rewrite a parquet directory into files of
+    * roughly `targetBytes` each. Every incremental/streaming sink grows a
+    * long tail of tiny files (each micro-refresh writes its own), and at
+    * 100 TB the scan cost becomes dominated by file-open overhead and
+    * tiny splits — periodic compaction is table maintenance, not an
+    * optimization. The file count derives from the directory's ACTUAL
+    * byte size (recursive, so partitioned layouts count too), never a
+    * hard-coded parallelism; the rewrite uses coalesce — merging needs
+    * no shuffle and preserves sort order within partitions. (coalesce
+    * only merges: a target finer than the current layout leaves the
+    * layout as-is rather than paying a shuffle to split files.)
+    * Returns the target file count. */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val n = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+    s.read.parquet(inDir).coalesce(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
     * shipped — `fs` never imported — implemented as evidently intended):
     * a driver-side one-value state read/written around each refresh. */

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** JSONL landing edge + parquet compaction — the ingest/maintenance
+  * infrastructure around the query layers. */
+class IngestSpec extends SparkSpec {
+
+  private def tmpDir(tag: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("jsonl: pinned schema, corrupt lines quarantined not dropped") {
+    val dir = tmpDir("jsonl")
+    val f = dir.resolve("part0.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "extra": "ignored"}
+        |this line is not json at all
+        |{"doc_id": 3, "lang": "de", "source": "books"}
+        |{"doc_id": 4, "text": "broken json
+        |""".stripMargin)
+    val out = sources.JsonlIngest.read(spark, f.toString).cache()
+    // 5 input lines → 5 rows: nothing silently dropped
+    assert(out.count() === 5)
+    // exactly the two unparseable lines are corrupt
+    assert(out.filter(col("corrupt")).count() === 2)
+    // parseable rows carry their fields; extra JSON fields are ignored
+    val r2 = out.filter(col("doc_id") === 2).head()
+    assert(r2.getAs[String]("lang") === "fr" && r2.getAs[Long]("n_chars") === 7L)
+    // parsed-but-textless is NOT corrupt (null text, downstream filters it)
+    val r3 = out.filter(col("doc_id") === 3).head()
+    assert(!r3.getAs[Boolean]("corrupt") && r3.isNullAt(r3.fieldIndex("text")))
+    // clean split matches the documents schema exactly
+    val clean = sources.JsonlIngest.clean(spark, f.toString)
+    assert(clean.columns.toSeq ===
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(clean.count() === 3)
+    // quarantine preserves the offending raw lines verbatim
+    val bad = sources.JsonlIngest.quarantine(spark, f.toString)
+      .collect().map(_.getString(0)).toSet
+    assert(bad.exists(_.contains("not json at all")))
+    assert(bad.exists(_.contains("broken json")))
+    out.unpersist()
+  }
+
+  test("jsonl clean rows flow into the dedup layer unchanged") {
+    val dir = tmpDir("jsonl2")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 10, "text": "the same text here", "lang": "en", "source": "a"}
+        |{"doc_id": 11, "text": "the same text here", "lang": "en", "source": "b"}
+        |""".stripMargin)
+    val clean = sources.JsonlIngest.clean(spark, f.toString)
+    // exact-dedup shape over ingested rows: both rows share one content hash
+    val groups = clean.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+    assert(groups.count() === 1 && groups.head().getLong(1) === 2L)
+  }
+
+  test("compact merges a many-small-file layout to the byte-derived count") {
+    val in = tmpDir("cin").resolve("t").toString
+    val out = tmpDir("cout").resolve("t").toString
+    Tables.documents(spark, sf).repartition(16)
+      .write.mode("overwrite").parquet(in)
+    def dataFiles(p: String) =
+      new java.io.File(p).listFiles.filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(dataFiles(in).length === 16, "fixture should start fragmented")
+    val totalBytes = dataFiles(in).map(_.length).sum
+    // target = everything in one file
+    val n1 = Pipelines.compact(spark, in, out, totalBytes * 2)
+    assert(n1 === 1 && dataFiles(out).length === 1)
+    // content survives byte-identically (row multiset)
+    val a = spark.read.parquet(in); val b = spark.read.parquet(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a finer target yields proportionally more files
+    val out2 = tmpDir("cout2").resolve("t").toString
+    val n2 = Pipelines.compact(spark, in, out2, math.max(1L, totalBytes / 4))
+    assert(n2 >= 4 && n2 <= 6, s"expected ~5 target files, got $n2")
+    assert(dataFiles(out2).length === math.min(n2, 16))
+  }
+}

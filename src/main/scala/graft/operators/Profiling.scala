@@ -98,11 +98,51 @@ object Profiling {
         col("n_docs"), col("chars"), col("gid"))
       .orderBy(col("gid"), col("source"), col("lang"))
 
+  /** Heavy-hitter columns: one high-cardinality key (the skew question a
+    * 100 TB pipeline asks before choosing salts) and one categorical. */
+  private val HhCols = Seq("l_suppkey", "l_returnflag")
+  private val HhK = 10
+
+  /** PR4 — HEAVY HITTERS: exact top-10 most frequent values per profiled
+    * column, in one unpivoted scan: explode each row to (column, value)
+    * pairs, ONE count shuffle grouped by (column, value) with map-side
+    * partials, then rank over the AGGREGATED counts frame (the allowed
+    * post-agg window shape, same class as pr2's histogram cumulative —
+    * the window never sees fact rows). This is the pre-salting skew probe:
+    * it tells you which keys need a15's salted aggregation before the big
+    * job runs. */
+  private val pr4: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d).select(
+      explode(array(HhCols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*))
+        .as("p"))
+      .select(col("p.column_name"), col("p.value"))
+    val counts = pairs.groupBy(col("column_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column_name"))
+      .orderBy(col("cnt").desc, col("value"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= HhK)
+      .orderBy(col("column_name"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
-    "pr3_rollup_profile" -> pr3)
+    "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4)
 
   val oracles: Map[String, String] = Map(
+    "pr4_heavy_hitters" -> {
+      val pairs = HhCols.map(c =>
+        s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value FROM lineitem")
+        .mkString(" UNION ALL ")
+      s"""WITH p AS ($pairs),
+         | c AS (SELECT column_name, value, count(*) AS cnt FROM p GROUP BY 1, 2),
+         | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY column_name
+         |   ORDER BY cnt DESC, value) AS BIGINT) AS rnk FROM c)
+         | SELECT column_name, value, cnt, rnk FROM r WHERE rnk <= $HhK
+         | ORDER BY column_name, rnk""".stripMargin
+    },
     "pr3_rollup_profile" ->
       """SELECT coalesce(source, '(all)') AS source, coalesce(lang, '(all)') AS lang,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,

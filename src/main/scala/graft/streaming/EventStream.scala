@@ -162,6 +162,36 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** STREAM-STREAM interval join — w9's attribution question asked
+    * continuously: each purchase joins the same user's views from the
+    * PRECEDING HOUR as both sides flow in. The event-time bound in the
+    * join condition is what makes this runnable forever: each side is
+    * watermarked, and the range constraint (view_ts ∈ [purchase_ts − 1h,
+    * purchase_ts]) lets Spark compute a state-eviction watermark per side
+    * — a view is dropped from the join state once the purchase side's
+    * watermark passes view_ts + 1h, so state stays bounded by rate ×
+    * horizon regardless of stream length. An unconstrained stream-stream
+    * join would buffer both streams forever. The definition is UNIFIED:
+    * on batch frames the watermark is a no-op and the same join runs as
+    * a plain interval join (the stream==batch equality spec drives
+    * both). */
+  def streamAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_uid"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(views,
+      col("user_id") === col("v_uid") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */

@@ -150,6 +150,24 @@ class JoinShapesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pr4 heavy hitters agree with direct per-column counts") {
+    val out = q("pr4_heavy_hitters").cache()
+    // ranks are contiguous from 1 per column; counts non-increasing
+    assert(out.groupBy("column_name").agg(min("rnk"), max("rnk"), count(lit(1)))
+      .collect().forall(r => r.getLong(1) === 1L && r.getLong(2) === r.getLong(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name").orderBy("rnk")
+    assert(out.withColumn("prev", lag("cnt", 1).over(w))
+      .filter(col("prev").isNotNull && col("cnt") > col("prev")).isEmpty)
+    // the top flag value matches a direct aggregation
+    val direct = Tables.lineitem(spark, sf).groupBy("l_returnflag").count()
+      .orderBy(col("count").desc, col("l_returnflag")).head()
+    val top = out.filter(col("column_name") === "l_returnflag" && col("rnk") === 1).head()
+    assert(top.getAs[String]("value") === direct.getString(0) &&
+      top.getAs[Long]("cnt") === direct.getLong(1))
+    out.unpersist()
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

@@ -35,6 +35,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val rows = Seq(
+      // user 1: views at 1:10 and 1:50, purchase at 2:00 → joins both
+      (1L, ts(1, 10), 1L, "view"), (2L, ts(1, 50), 1L, "view"),
+      (3L, ts(2, 0), 1L, "purchase"),
+      // user 2: view at 1:00, purchase at 2:30 → outside the 1h window
+      (4L, ts(1, 0), 2L, "view"), (5L, ts(2, 30), 2L, "purchase"),
+      // user 3: purchase with no views at all
+      (6L, ts(2, 15), 3L, "purchase"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStream.streamAttribution(ms.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("stream_attr")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_attr")
+        .orderBy("purchase_id", "view_id").collect()
+      val batch = EventStream.streamAttribution(rows.toDF(cols: _*))
+        .orderBy("purchase_id", "view_id").collect()
+      assert(streamed.toSeq === batch.toSeq)
+      // exactly user 1's two in-window views matched
+      assert(streamed.length === 2 &&
+        streamed.map(_.getLong(3)).toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("attribution join state evicts: a view older than the horizon never matches") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStream.streamAttribution(ms.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("stream_attr_evict")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(1, 0), 1L, "view"))
+      q.processAllAvailable()
+      // watermark advances far past view_ts + 1h on BOTH sides
+      ms.addData((2L, ts(6, 0), 2L, "view"), (3L, ts(6, 0), 2L, "purchase"))
+      q.processAllAvailable()
+      // a purchase inside the old view's window, arriving after eviction:
+      // behind the purchase-side watermark, so it cannot match row 1
+      ms.addData((4L, ts(1, 30), 1L, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("stream_attr_evict").collect()
+      assert(!got.exists(_.getLong(0) === 4L),
+        "evicted view state matched a late purchase")
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 1 hour behind the high-water mark") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext

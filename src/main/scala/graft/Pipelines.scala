@@ -103,6 +103,13 @@ object Pipelines {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // overwrite-while-reading the same (or a nested) path can destroy the
+    // input; an in-place compaction must go through a temp dir + rename
+    val inQ = fs.makeQualified(path).toString + "/"
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+      .toString + "/"
+    require(!inQ.startsWith(outQ) && !outQ.startsWith(inQ),
+      s"compact input and output must not overlap: $inQ vs $outQ")
     val bytes = fs.getContentSummary(path).getLength
     val n = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
     s.read.parquet(inDir).coalesce(n)

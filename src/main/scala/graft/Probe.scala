@@ -21,29 +21,25 @@ object Probe {
       time("warm docs")(Tables.documents(spark, d).count())
       time("simhashFrame")(operators.Dedup.simhashFrame(spark, d).count())
       time("simhashFrame 2nd")(operators.Dedup.simhashFrame(spark, d).count())
+      // band shape comes from Dedup.simBands/SimHamMax — the probe times
+      // the exact d8Pairs shape, not a copy that drifts when it's tuned
       val sh0 = operators.Dedup.simhashFrame(spark, d)
-      val bands0 = sh0.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), b * 8) % lit(256)): _*)).as(Seq("band_idx", "bv")))
+      val bands0 = operators.Dedup.simBands(sh0)
       time("bands")(bands0.count())
-      val aa = bands0.as("a"); val bb = bands0.as("b")
-      val joined = aa.join(bb, col("a.band_idx") === col("b.band_idx") &&
-        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-      time("band join (no distinct)")(joined.count())
-      time("band join + ham + distinct")(joined
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-        .distinct().filter(col("hamming") <= 3).count())
-      val shCk = sh0.localCheckpoint(true)
-      val bandsCk = shCk.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sh"), b * 8) % lit(256)): _*)).as(Seq("band_idx", "bv")))
-      val ja = bandsCk.as("a"); val jb = bandsCk.as("b")
-      time("checkpointed band join")(ja.join(jb, col("a.band_idx") === col("b.band_idx") &&
-        col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-        .distinct().filter(col("hamming") <= 3).count())
+      def bandJoin(bands: org.apache.spark.sql.DataFrame) = {
+        val a = bands.as("a"); val b = bands.as("b")
+        a.join(b, col("a.band_idx") === col("b.band_idx") &&
+          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      }
+      def verified(bands: org.apache.spark.sql.DataFrame) =
+        bandJoin(bands)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+          .distinct().filter(col("hamming") <= operators.Dedup.SimHamMax)
+      time("band join (no distinct)")(bandJoin(bands0).count())
+      time("band join + ham + distinct")(verified(bands0).count())
+      time("checkpointed band join")(
+        verified(operators.Dedup.simBands(sh0.localCheckpoint(true))).count())
       time("d8Pairs")(operators.Dedup.d8Pairs(spark, d).count())
       time("d8 full")(operators.Dedup.queries("d8_simhash_clusters")(spark, d).count())
       time("d8 again (cached)")(operators.Dedup.queries("d8_simhash_clusters")(spark, d).count())

@@ -131,10 +131,12 @@ object TextQueries {
     * features; the dedup survivor check is the only join (broadcast — the
     * survivor set is #distinct-contents keep ids). This is the query shape
     * of an actual pretraining filter pass. */
-  private val px1: Q = (s, d) => {
-    val survivors = Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+  /** The prep pass px1/px5 share: labeled English ∩ quality ≥ 0.55,
+    * joined to a caller-supplied survivor set — ONE definition so the two
+    * corpus-prep queries cannot silently diverge on the threshold or the
+    * feature shape (their oracles already share qfSql the same way). */
+  private def prep(s: SparkSession, d: String,
+                   survivors: org.apache.spark.sql.DataFrame) =
     Tables.documents(s, d)
       .filter(col("lang") === "en")
       .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
@@ -143,7 +145,11 @@ object TextQueries {
       .filter(col("quality_bp") >= 5500L)
       .join(survivors, Seq("doc_id"))
       .orderBy(col("doc_id"))
-  }
+
+  private val px1: Q = (s, d) =>
+    prep(s, d, Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")))
 
   /** PX5 — corpus prep with NEAR-DUP-canonical survivors: px1 with the
     * exact-dedup survivor set replaced by d6's cluster canonicals, i.e.
@@ -152,18 +158,9 @@ object TextQueries {
     * exact dedup would keep all three non-identical variants). Composes
     * the d6 component machinery into the text pipeline; the oracle
     * composes the closure SQL the same way. */
-  private val px5: Q = (s, d) => {
-    val canon = graft.operators.Dedup.queries("d6_neardup_clusters")(s, d)
-      .filter(col("is_canonical")).select(col("doc_id"))
-    Tables.documents(s, d)
-      .filter(col("lang") === "en")
-      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), size(col("tk")).as("n_tokens"),
-        qualityBp.as("quality_bp"))
-      .filter(col("quality_bp") >= 5500L)
-      .join(canon, Seq("doc_id"))
-      .orderBy(col("doc_id"))
-  }
+  private val px5: Q = (s, d) =>
+    prep(s, d, graft.operators.Dedup.queries("d6_neardup_clusters")(s, d)
+      .filter(col("is_canonical")).select(col("doc_id")))
 
   /** TX6 — corpus-LM fluency (simplified KenLM idea): how common are a
     * document's bigrams in the whole corpus? Two-pass: corpus bigram counts
@@ -254,9 +251,14 @@ object TextQueries {
     * (256ths), so both engines compute the identical rate. */
   private val px6: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // "even-numbered source" = id ends in an even digit — a pure string
+    // test, total on ANY source value: a numeric-suffix CAST diverges
+    // across engines on unparseable names (Spark try-null vs DuckDB
+    // error) and truncates on 11+-digit ids (self-review r5)
     val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
       .withColumn("w",
-        when(substring(col("source"), 4, 10).cast("long") % 2 === 0, 3L).otherwise(1L))
+        when(substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"), 3L)
+          .otherwise(1L))
     val tot = per.agg(sum(col("n_s")).as("n_total"), sum(col("w")).as("w_sum"))
     val rates = per.crossJoin(broadcast(tot))
       .withColumn("rate_256", least(lit(256L),
@@ -325,7 +327,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "px6_mixture_sample" ->
       s"""WITH per AS (SELECT source, count(*) AS n_s,
-         |   CASE WHEN CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN 3 ELSE 1 END AS w
+         |   CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 3 ELSE 1 END AS w
          |  FROM documents GROUP BY 1),
          | tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total, CAST(sum(w) AS BIGINT) AS w_sum FROM per),
          | rates AS (SELECT source,

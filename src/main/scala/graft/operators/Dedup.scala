@@ -284,7 +284,7 @@ object Dedup {
 
   private val SimBands = 4
   private val SimBandBits = 8
-  private val SimHamMax = 3
+  private[graft] val SimHamMax = 3
 
   /** D8 candidate pairs — SIMHASH BANDING: split the 32-bit signature into
     * 4 bytes; docs sharing any byte are candidates, verified by exact
@@ -299,12 +299,16 @@ object Dedup {
   private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
     docShingles(s, d).select(col("doc_id"), simhash32.as("sh"))
 
-  private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashFrame(s, d)
-    val bands = sh.select(col("doc_id"), col("sh"),
+  /** The banding projection of a (doc_id, sh) frame — exposed so dev
+    * probes time the SAME shape d8Pairs runs instead of a drifting copy. */
+  private[graft] def simBands(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until SimBands).map(b =>
         shiftright(col("sh"), b * SimBandBits) % lit(1 << SimBandBits)): _*))
         .as(Seq("band_idx", "bv")))
+
+  private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame = {
+    val bands = simBands(simhashFrame(s, d))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))

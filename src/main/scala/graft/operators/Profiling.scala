@@ -119,9 +119,12 @@ object Profiling {
       .select(col("p.column_name"), col("p.value"))
     val counts = pairs.groupBy(col("column_name"), col("value"))
       .agg(count(lit(1)).as("cnt"))
+    // null ordering pinned explicitly: Spark defaults ASC NULLS FIRST,
+    // DuckDB ASC NULLS LAST — a NULL value tying on cnt would rank
+    // differently across engines otherwise (self-review r5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("column_name"))
-      .orderBy(col("cnt").desc, col("value"))
+      .orderBy(col("cnt").desc, col("value").asc_nulls_last)
     counts.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= HhK)
       .orderBy(col("column_name"), col("rnk"))
@@ -139,7 +142,7 @@ object Profiling {
       s"""WITH p AS ($pairs),
          | c AS (SELECT column_name, value, count(*) AS cnt FROM p GROUP BY 1, 2),
          | r AS (SELECT *, CAST(row_number() OVER (PARTITION BY column_name
-         |   ORDER BY cnt DESC, value) AS BIGINT) AS rnk FROM c)
+         |   ORDER BY cnt DESC, value ASC NULLS LAST) AS BIGINT) AS rnk FROM c)
          | SELECT column_name, value, cnt, rnk FROM r WHERE rnk <= $HhK
          | ORDER BY column_name, rnk""".stripMargin
     },

@@ -285,7 +285,7 @@ object Similarity {
     * the PqTop approx survivors per query fetch their true vector back
     * (a point-lookup join) for the exact re-rank, so exact-distance work
     * drops from |cell| to PqTop per query. */
-  private def pqCands(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pqApprox(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)
     val cells = fixedCodebook(s, d)
     val withNorm = cells.map { case (id, cv) =>
@@ -320,18 +320,22 @@ object Similarity {
           dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))): _*)
           .as(s"qlut$m")): _*)
       .withColumn("cell_id", -col("probe.neg_id"))
-    val approx = assigned.join(broadcast(q), Seq("cell_id"))
+    assigned.join(broadcast(q), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_cos",
         (0 until PqM).map(m => element_at(col(s"qlut$m"), col(s"code$m") + 1))
           .reduce(_ + _) / (col("qnorm") * sqrt(col("recon_sq"))))
+  }
+
+  private[graft] def pqCands(s: SparkSession, d: String): DataFrame = {
     val wA = Window.partitionBy("q_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
-    val top = approx.withColumn("arank", row_number().over(wA))
+    val top = pqApprox(s, d).withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= PqTop)
       .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"))
     // exact re-rank fetch: true vectors for the survivors only
-    top.join(v.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+    top.join(vecs(s, d).select(col("vec_id"), col("v"), col("norm")),
+        Seq("vec_id"))
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
   }
@@ -352,8 +356,15 @@ object Similarity {
     // candidate-set sizes), so the lineage is deliberately unshared
     val exact = x1(s, d).select(col("q_id"), col("neighbor_id"))
     val total = exact.agg(count(lit(1)).as("total"))
-    def recallOf(cand: DataFrame, method: String): DataFrame = {
-      val nCand = cand.select(col("q_id"), col("vec_id")).distinct()
+    // cand_pairs must count the candidate set the method's scoring join
+    // actually touches — for ivf_pq that is the ADC-scored set (costCand),
+    // NOT the PqTop post-prune survivors, or the cross-method cost
+    // comparison is apples-to-oranges and a degenerate codebook blowing up
+    // the candidate join would be invisible to the gate (self-review r5)
+    def recallOf(cand: DataFrame, method: String,
+                 costCand: Option[DataFrame] = None): DataFrame = {
+      val nCand = costCand.getOrElse(cand)
+        .select(col("q_id"), col("vec_id")).distinct()
         .agg(count(lit(1)).as("cand_pairs"))
       rerank(cand).select(col("q_id"), col("neighbor_id"))
         .join(exact, Seq("q_id", "neighbor_id"))
@@ -366,7 +377,7 @@ object Similarity {
           col("cand_pairs"))
     }
     recallOf(ivfCands(vecs(s, d), fixedCodebook(s, d)), "ivf")
-      .unionByName(recallOf(pqCands(s, d), "ivf_pq"))
+      .unionByName(recallOf(pqCands(s, d), "ivf_pq", Some(pqApprox(s, d))))
       .unionByName(recallOf(candX2(s, d), "lsh"))
       .unionByName(recallOf(candX2b(s, d), "lsh_mp"))
       .unionByName(recallOf(candX2c(s, d), "lsh_or"))
@@ -472,7 +483,7 @@ object Similarity {
   private lazy val candPairSql: Map[String, String] = Map(
     "ivf_pq" ->
       s"""WITH $pqCte
-         | SELECT q_id, vec_id FROM top""".stripMargin,
+         | SELECT q_id, vec_id FROM ap""".stripMargin,
     "ivf" ->
       s"""WITH $vCte,
          | cb AS (SELECT vec_id AS cell_id, v AS cv, norm AS cnorm FROM v WHERE vec_id < $NCells),

@@ -81,4 +81,16 @@ class IngestSpec extends SparkSpec {
     assert(n2 >= 4 && n2 <= 6, s"expected ~5 target files, got $n2")
     assert(dataFiles(out2).length === math.min(n2, 16))
   }
+
+  test("compact refuses overlapping input/output paths") {
+    val in = tmpDir("cguard").resolve("t").toString
+    Tables.documents(spark, sf).limit(10)
+      .write.mode("overwrite").parquet(in)
+    // in-place overwrite would delete the input mid-scan; nested output
+    // would double-count bytes on the next run (recursive content summary)
+    for (out <- Seq(in, s"$in/nested", new java.io.File(in).getParent))
+      intercept[IllegalArgumentException] {
+        Pipelines.compact(spark, in, out, 1L << 20)
+      }
+  }
 }

@@ -187,9 +187,16 @@ class SimilaritySpec extends SparkSpec {
     // query regardless of cell sizes (50 × 5 queries), while recall stays
     // competitive — the approx pruning loses some of plain IVF's recall,
     // never all of it
-    assert(pqCand <= 50L * 5, s"ivf_pq rescored $pqCand pairs — PqTop cap broken")
+    val rescored = operators.Similarity.pqCands(spark, sf)
+      .select("q_id", "vec_id").distinct().count()
+    assert(rescored <= 50L * 5, s"ivf_pq rescored $rescored pairs — PqTop cap broken")
+    // x4's cand_pairs row counts the ADC-SCORED set (what the candidate
+    // join touches), which must cover at least plain IVF's single-probe
+    // set — pq probes 2 cells of the same codebook (self-review r5)
+    assert(pqCand >= rows("ivf")._2,
+      s"ivf_pq ADC candidate set $pqCand < ivf's ${rows("ivf")._2}")
     assert(pqRecall >= 7500L, s"ivf_pq recall_bp $pqRecall < 7500")
-    info(s"ivf_pq recall_bp=$pqRecall rescored_pairs=$pqCand (ivf=${rows("ivf")._1})")
+    info(s"ivf_pq recall_bp=$pqRecall adc_pairs=$pqCand rescored=$rescored (ivf=${rows("ivf")._1})")
     // approximate path can never produce a better top-1 than brute force
     val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
       .select(col("q_id"), col("cos").as("best_cos"))

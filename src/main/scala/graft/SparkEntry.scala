@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Windows.queries ++
       functions.ScalarQueries.queries ++
       functions.TextQueries.queries ++
+      functions.Retrieval.queries ++
       functions.CryptoQueries.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.Windows.oracles ++
       functions.ScalarQueries.oracles ++
       functions.TextQueries.oracles ++
+      functions.Retrieval.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++

@@ -271,8 +271,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The PII scrub patterns — email, dotted-quad IP, international phone.
+    * Java regex and RE2 agree on this subset (character classes, bounded
+    * repetition, \b ASCII word boundary; no backreferences/lookaround,
+    * which RE2 lacks — the portability constraint that decides what a
+    * cross-engine-gated scrubber may use). */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+\\d[\\d-]{5,}\\d"
+
+  /** PX7 — PII REDACTION: count and scrub emails / IPs / phone numbers.
+    * The corpus is synthetic word-salad with no PII, so each doc is
+    * AUGMENTED with deterministic doc_id-derived PII first (every third
+    * doc gets none — the zero path is exercised); what the gate then
+    * verifies is the hard part, regex-semantics parity between engines on
+    * counts AND on the full redacted text (md5). Row-local scan shape:
+    * at 100 TB this is one map-side pass, no shuffle. */
+  private val px7: Q = (s, d) => {
+    val pii = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 call +1-555-01"), (col("doc_id") % 90 + 10).cast("string"))
+    val aug = when(col("doc_id") % 3 === 0, col("text"))
+      .otherwise(concat(col("text"), pii))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("txt"))
+      .select(col("doc_id"),
+        regexp_count(col("txt"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("txt"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(col("txt"), lit(PhoneRe)).cast("long").as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+          .as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "px6_mixture_sample" -> px6,
+    "px7_pii_redact" -> px7,
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
     "tx6_bigram_fluency" -> tx6,
@@ -325,6 +360,21 @@ object TextQueries {
       |   (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px7_pii_redact" ->
+      s"""WITH a AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 3 = 0 THEN text
+         |   ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |     || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |     || '.7 call +1-555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+         |   END AS txt FROM documents)
+         | SELECT doc_id,
+         |   CAST(len(regexp_extract_all(txt, '$EmailRe')) AS BIGINT) AS n_email,
+         |   CAST(len(regexp_extract_all(txt, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |   CAST(len(regexp_extract_all(txt, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |   md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |     '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |     '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         | FROM a ORDER BY doc_id""".stripMargin,
     "px6_mixture_sample" ->
       s"""WITH per AS (SELECT source, count(*) AS n_s,
          |   CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 3 ELSE 1 END AS w

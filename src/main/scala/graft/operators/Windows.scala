@@ -319,8 +319,31 @@ object Windows {
         col("fee_quartile"))
   }
 
+  /** W11 — TRAILING TIME-RANGE window: per-user moving 1-hour event count
+    * and value sum via a RANGE frame over epoch seconds (the "activity in
+    * the last hour, as of each event" feature every behavioral/abuse
+    * pipeline derives). A RANGE frame is the portable form for this: tied
+    * timestamps are peers — the frame includes ALL rows at equal ts_sec on
+    * both engines, so the result is deterministic without a per-row total
+    * order. One shuffle partitioned by user_id (the sessionizer's shape —
+    * partitions stay user-sized at any corpus scale); cents via the shared
+    * round(value·100) convention. */
+  private val w11: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3599L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "w10_fee_quartile" -> w10,
+    "w11_trailing_hour" -> w11,
     "w8_sessionize" -> w8,
     "w9_asof_join" -> w9,
     "w9_asof_1h" -> w9t,
@@ -338,6 +361,15 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w11_trailing_hour" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        | SELECT event_id, user_id, ts_sec,
+        |   count(*) OVER win AS n_1h,
+        |   CAST(sum(cents) OVER win AS BIGINT) AS cents_1h
+        | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_sec
+        |   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin,
     "w10_fee_quartile" ->
       s"""SELECT l_orderkey AS stacks_block_height, l_linenumber AS vtxindex,
          |   $fee AS burn_fee,

@@ -320,6 +320,50 @@ class TextQueriesSpec extends SparkSpec {
     assert(px1.count() - px5.count() === nonCanonIn1)
   }
 
+  test("tx8 BM25: ranked desc, n_terms is the true query-term overlap, top-k complete") {
+    val rows = q("tx8_bm25").collect()
+    val scores = rows.map(_.getLong(2))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 3))
+    // n_terms must equal the doc's actual distinct-query-term overlap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), functions.TextOps.toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(array_intersect(array_distinct(col("tk")),
+        typedlit(functions.Retrieval.QueryTerms))).cast("long").as("m"))
+    val res = q("tx8_bm25").join(docs, Seq("doc_id"))
+    assert(res.filter(col("n_terms") =!= col("m")).count() === 0L)
+    // completeness: exactly min(20, all docs matching any term) returned
+    val matching = docs.filter(col("m") >= 1).count()
+    assert(q("tx8_bm25").count() === math.min(20L, matching))
+  }
+
+  test("px7 scrub is complete: planted counts match, zero residual PII after redaction") {
+    import functions.TextQueries.{EmailRe, Ipv4Re, PhoneRe}
+    val df = q("px7_pii_redact")
+    // every third doc planted nothing; the rest exactly one of each kind
+    assert(df.filter(col("doc_id") % 3 === 0)
+      .filter(col("n_email") =!= 0L || col("n_ip") =!= 0L || col("n_phone") =!= 0L)
+      .count() === 0L)
+    assert(df.filter(col("doc_id") % 3 =!= 0)
+      .filter(col("n_email") =!= 1L || col("n_ip") =!= 1L || col("n_phone") =!= 1L)
+      .count() === 0L)
+    // rebuild the augmented text independently, scrub, and require that no
+    // pattern matches anything in the redacted output
+    val pii = concat(lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 call +1-555-01"), (col("doc_id") % 90 + 10).cast("string"))
+    val aug = when(col("doc_id") % 3 === 0, col("text"))
+      .otherwise(concat(col("text"), pii))
+    val redacted = regexp_replace(regexp_replace(regexp_replace(aug,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+    val residual = Tables.documents(spark, sf)
+      .select((regexp_count(redacted, lit(EmailRe)) +
+        regexp_count(redacted, lit(Ipv4Re)) +
+        regexp_count(redacted, lit(PhoneRe))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(residual === 0L)
+  }
+
   test("tx1 token stats: distinct <= total tokens, avg length positive") {
     val df = q("tx1_token_stats")
     assert(df.filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0L)

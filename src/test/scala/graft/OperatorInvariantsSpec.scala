@@ -192,4 +192,30 @@ class ScalarQueriesSpec extends SparkSpec {
       .filter(minute(col("hour_start")) =!= 0 || second(col("hour_start")) =!= 0)
     assert(misaligned.count() === 0L)
   }
+
+  test("w11 trailing-hour window matches the self-join definition") {
+    // the RANGE frame IS "events of the same user in (t-3599, t]": rebuild
+    // that set with an inequality self-join (the definition, affordable at
+    // sf0.001) and require identical counts and cent sums per event
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_sec"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val joined = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_sec") >= col("a.ts_sec") - 3599L &&
+          col("b.ts_sec") <= col("a.ts_sec"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_ref"), sum(col("b.cents")).as("cents_ref"))
+    val bad = q("w11_trailing_hour").join(joined, Seq("event_id"))
+      .filter(col("n_1h") =!= col("n_ref") || col("cents_1h") =!= col("cents_ref"))
+    assert(bad.count() === 0L)
+  }
+
+  test("w11 counts at least the event itself and never exceeds user totals") {
+    val perUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_user"))
+    val df = q("w11_trailing_hour").join(perUser, Seq("user_id"))
+    assert(df.filter(col("n_1h") < 1).count() === 0L)
+    assert(df.filter(col("n_1h") > col("n_user")).count() === 0L)
+  }
 }

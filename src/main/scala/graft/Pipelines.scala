@@ -117,6 +117,24 @@ object Pipelines {
     n
   }
 
+  /** CLUSTERED WRITE: range-partition on the key and sort within
+    * partitions before writing, so each output file covers a DISJOINT key
+    * range and rows inside a file are ordered. That is what makes parquet
+    * min/max statistics effective: a point or range predicate on the key
+    * prunes whole files/row-groups instead of scanning the corpus — the
+    * 100 TB layout discipline of matching data placement to the dominant
+    * predicate (the write-side counterpart of p1/p3's PushedFilters).
+    * repartitionByRange samples the key to build balanced range bounds, so
+    * skewed keys still give even file sizes; returns the file count. */
+  def writeClustered(df: DataFrame, key: String, nFiles: Int,
+                     outDir: String): Int = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.repartitionByRange(nFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
     * shipped — `fs` never imported — implemented as evidently intended):
     * a driver-side one-value state read/written around each refresh. */

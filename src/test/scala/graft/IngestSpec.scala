@@ -82,6 +82,29 @@ class IngestSpec extends SparkSpec {
     assert(dataFiles(out2).length === math.min(n2, 16))
   }
 
+  test("writeClustered lays out disjoint, internally sorted key ranges") {
+    val out = tmpDir("clus").resolve("t").toString
+    val docs = Tables.documents(spark, sf)
+    Pipelines.writeClustered(docs, "doc_id", 4, out)
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length >= 2, "range partitioning should emit multiple files")
+    // per-file key ranges must not overlap — that is the property parquet
+    // min/max pruning needs — and rows within a file must be sorted
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select("doc_id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      (ids.min, ids.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "file ranges overlap")
+      case _ =>
+    }
+    // content survives
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+
   test("compact refuses overlapping input/output paths") {
     val in = tmpDir("cguard").resolve("t").toString
     Tables.documents(spark, sf).limit(10)

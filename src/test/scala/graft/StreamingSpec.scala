@@ -210,6 +210,33 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded streaming dedup re-admits duplicates once state ages out") {
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = EventStream.streamingDedupBounded(ms.toDF.toDF("ts", "text"))
+      .writeStream.format("memory").queryName("stream_dedup_bounded")
+      .outputMode("append").start()
+    try {
+      // in-horizon duplicate: dropped, exactly like the unbounded form
+      ms.addData((ts(1, 0), "doc A"), (ts(1, 2), "doc A"))
+      q.processAllAvailable()
+      // push the watermark to 3:00 (4:00 − 1h) so doc A's state
+      // (expires 2:00) ages out of the store...
+      ms.addData((ts(4, 0), "doc B"))
+      q.processAllAvailable()
+      // ...then the same content past the horizon is re-admitted: bounded
+      // state trades horizon-wide completeness for not growing forever
+      ms.addData((ts(3, 30), "doc A"))
+      q.processAllAvailable()
+      val texts = spark.table("stream_dedup_bounded").select("text")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq === Seq("doc A", "doc A", "doc B"))
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

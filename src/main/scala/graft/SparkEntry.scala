@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.RelationalCore.queries ++
+      operators.JoinStrategies.queries ++
       operators.Aggregations.queries ++
       operators.Windows.queries ++
       functions.ScalarQueries.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.RelationalCore.oracles ++
+      operators.JoinStrategies.oracles ++
       operators.Aggregations.oracles ++
       operators.Windows.oracles ++
       functions.ScalarQueries.oracles ++

@@ -357,7 +357,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Passage grain for px8: non-overlapping token windows of this width.
+    * Small here so the toy corpus actually repeats passages; at production
+    * scale CCNet-style boilerplate removal uses lines or ~50-token spans —
+    * the plan shape is identical at any width. */
+  private[graft] val ChunkTokens = 4
+  /** A passage repeated this many times corpus-wide is boilerplate. */
+  private[graft] val ChunkDupMin = 4
+
+  /** PX8 — corpus-level duplicated-PASSAGE removal (the CCNet line-dedup
+    * pass, over token windows since the testdata is single-line): chunk
+    * each doc into non-overlapping [[ChunkTokens]]-token passages
+    * (row-local array slicing — no explode until the passage grain),
+    * count passages corpus-wide, drop every passage occurring ≥
+    * [[ChunkDupMin]] times, and reassemble each doc in passage order.
+    * Scale shape: ONE aggregation shuffle at the passage grain for the
+    * counts; the boilerplate set (passages over threshold) is tiny by
+    * construction, so the removal join is a broadcast left-anti — the
+    * fact-side passages never shuffle twice. The reassembly groupBy is
+    * doc-bounded. Output keeps every doc (zero-kept docs surface with
+    * n_kept = 0 and the md5 of the empty string, not a dropped row). */
+  private val px8: Q = (s, d) => {
+    val ct = ChunkTokens
+    val chunked = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, int(ceil(size(toks) / $ct.0D)) - 1), " +
+          s"i -> array_join(slice(toks, i * $ct + 1, $ct), ' '))").as("chunks"))
+    val passages = chunked.select(col("doc_id"),
+      posexplode(col("chunks")).as(Seq("cidx", "chunk")))
+    val boiler = passages.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= ChunkDupMin)
+      .select(col("chunk"))
+    val keptAgg = passages.join(broadcast(boiler), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(cidx, chunk))), x -> x.chunk), ' '))").as("kept_md5"))
+    chunked.select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "px8_passage_dedup" -> px8,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d3_simhash" -> d3,
@@ -498,6 +544,24 @@ object Dedup {
          |   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |   coalesce(h.n_contaminated, 0) > 0 AS contaminated
          | FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
-    "d5_embedding_neardup" -> d5PairSql
+    "d5_embedding_neardup" -> d5PairSql,
+    // same chunking via zipped unnest + generate_subscripts: DuckDB's
+    // (pos-1)//W group IS Spark's slice(toks, i*W+1, W) passage
+    "px8_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         | tok AS (SELECT doc_id, unnest(toks) AS tok,
+         |   generate_subscripts(toks, 1) AS pos FROM t),
+         | chunk AS (SELECT doc_id, (pos - 1) // $ChunkTokens AS cidx,
+         |   string_agg(tok, ' ' ORDER BY pos) AS chunk FROM tok GROUP BY 1, 2),
+         | bp AS (SELECT chunk FROM chunk GROUP BY chunk
+         |   HAVING count(*) >= $ChunkDupMin),
+         | kept AS (SELECT c.* FROM chunk c ANTI JOIN bp USING (chunk)),
+         | agg AS (SELECT doc_id, count(*) AS n_kept,
+         |   md5(string_agg(chunk, ' ' ORDER BY cidx)) AS kept_md5
+         |   FROM kept GROUP BY doc_id),
+         | nc AS (SELECT doc_id, count(*) AS n_chunks FROM chunk GROUP BY doc_id)
+         | SELECT n.doc_id, n.n_chunks, coalesce(a.n_kept, 0) AS n_kept,
+         |   coalesce(a.kept_md5, md5('')) AS kept_md5
+         | FROM nc n LEFT JOIN agg a USING (doc_id) ORDER BY n.doc_id""".stripMargin
   )
 }

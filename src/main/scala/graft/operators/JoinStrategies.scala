@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.{Domain, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical join strategies for hostile data distributions (SURVEY.md §2.3
+  * extensions; §7.6 scale notes).
+  *
+  * Three patterns every 100 TB deployment eventually needs, expressed as
+  * ordinary oracle-gated queries so their results stay exactly equal to the
+  * naive forms they replace:
+  *
+  *   - j16: SALTED equi-join — a hot join key overwhelms one reducer in a
+  *     shuffled join; salting the fact side and replicating the dim side
+  *     spreads each key over `SaltN` partitions.
+  *   - j17: BLOOM-PRUNED join — a semi-join reduction: the dim side's keys
+  *     are folded into a fixed-size Bloom bitset (an aggregate, never a
+  *     collect of the keys themselves), broadcast as a literal, and applied
+  *     as a row-local pre-filter on the fact scan BEFORE the join shuffle.
+  *     Spark's own runtime row-level filtering does this behind a cost
+  *     model; this is the explicit, always-on form with the false-positive
+  *     rate pinned by spec.
+  *   - u1: CDC MERGE/upsert — one full-outer join applying an
+  *     insert/update/delete change feed to a dimension snapshot, the
+  *     incremental-refresh primitive behind every warehouse MERGE INTO.
+  */
+object JoinStrategies {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Salt fan-out. At 100 TB pick ≥ the reducer count you want the hottest
+    * key spread over; the dim side grows ×SaltN, so keep it ≪ dim rows. */
+  private[graft] val SaltN = 8
+
+  /** J16 — skew-salted commits ⋈ supplier. The fact side gets a
+    * content-derived salt in [0, SaltN); the dim side is replicated once
+    * per salt value (explode over a SaltN-element sequence — row-local, no
+    * shuffle), and the join key becomes (suppkey, salt). Every fact row
+    * still matches exactly one replica, so the result is row-identical to
+    * the unsalted join — JoinShapesSpec asserts both that equality and
+    * that the salt is a real join key in the plan. The shuffle_hash hint
+    * keeps the demonstration honest at test scale (AQE would otherwise
+    * broadcast the toy dim side and no shuffle would exist to salt);
+    * at production scale the hint is also the right call — the replicated
+    * dim side is the build side, and sorting it ×SaltN for a merge join
+    * would be wasted work. */
+  private val j16: Q = (s, d) => {
+    val fact = Domain.commits(s, d)
+      .withColumn("salt",
+        pmod(xxhash64(col("vtxindex"), col("burn_fee")), lit(SaltN)))
+    val dim = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(SaltN - 1L))))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("leader_key_address") === dim("s_suppkey") &&
+          fact("salt") === dim("salt"))
+      .select(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("s_nationkey"))
+      .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("s_nationkey"))
+  }
+
+  /** Bloom geometry: m bits as m/64 longs, k probe hashes. With the urgent
+    * dim keyset (~20% of orders) this sits far below 1% false positives at
+    * every test SF; the bitset is 8 KiB regardless of dim cardinality —
+    * the whole point: the REDUCTION of the dim side is broadcastable even
+    * when the dim side itself is not. */
+  private[graft] val BloomBits = 1 << 16
+  private[graft] val BloomK = 3
+
+  /** The j17 probe-side bit positions for one seed: xxhash64(seed, key)
+    * mod m. Seeds make the k hash functions independent. The seed is a
+    * LONG literal on both the build side and the probe-side SQL — xxhash64
+    * hashes int and long literals differently, so a type mismatch here
+    * would silently produce false negatives. */
+  private def bloomPos(seed: Int, key: org.apache.spark.sql.Column) =
+    pmod(xxhash64(lit(seed.toLong), key), lit(BloomBits.toLong))
+
+  /** Build the Bloom bitset for a one-column key frame: explode each key
+    * into its k bit positions, aggregate per 64-bit word with bit_or, and
+    * materialize the (≤ m/64)-row word table on the driver. The collect is
+    * bounded by the bitset geometry (1024 rows / 8 KiB here), never by the
+    * key count — same class of bounded edge as KMeansCodebook's k·dim
+    * collect. */
+  private[graft] def bloomBuild(keys: DataFrame): Array[Long] = {
+    val posCols = (1 to BloomK).map(i => bloomPos(i, col("k")))
+    val words = keys.select(explode(array(posCols: _*)).as("pos"))
+      .select((col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, int(pos % 64))").as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val arr = new Array[Long](BloomBits / 64)
+    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** The probe-side membership test: all k bits set for `keyName` in the
+    * frame's `bloom_words` literal array. Kept as one SQL expr per seed so
+    * the whole conjunction stays a codegen'd scalar over the literal —
+    * a row-local filter, evaluable at the scan. Seed literals are LONGs to
+    * match [[bloomPos]] (see the type note there). */
+  private[graft] def bloomHit(keyName: String): org.apache.spark.sql.Column =
+    (1 to BloomK).map { i =>
+      expr(s"(element_at(bloom_words, int(pmod(xxhash64(${i}L, $keyName), " +
+        s"${BloomBits}L) / 64) + 1) >> int(pmod(xxhash64(${i}L, $keyName), " +
+        s"${BloomBits}L) % 64)) & 1 = 1")
+    }.reduce(_ && _)
+
+  /** J17 — Bloom-pruned lineitem ⋈ urgent-orders join. The urgent order
+    * keys are folded to an 8 KiB bitset; the fact scan then keeps only
+    * rows whose key tests positive on all k probes — a row-local predicate
+    * over a literal array, inside whole-stage codegen, BEFORE any
+    * exchange. The exact equi-join afterwards removes the (spec-bounded)
+    * false positives, so the result is identical to the plain join: the
+    * bloom only ever prunes shuffle input. At 100 TB this turns "shuffle
+    * every fact row to discover 20% match" into "shuffle ~20% + ε". */
+  private val j17: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val bloom = bloomBuild(urgent)
+    Tables.lineitem(s, d)
+      .withColumn("bloom_words", typedlit(bloom.toSeq))
+      .filter(bloomHit("l_orderkey"))
+      .join(urgent, col("l_orderkey") === col("k"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** The u1 change feed, derived deterministically from the test tables so
+    * both engines build the identical feed: every customer with an urgent
+    * order gets an update (key % 10 == 0 becomes a delete instead), and
+    * the supplier keys — offset beyond the customer key range — arrive as
+    * inserts. new_bal is exact cents. */
+  private def changes(s: SparkSession, d: String): DataFrame = {
+    val upd = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("new_bal"))
+      .select(col("k"),
+        when(col("k") % 10 === 0, "D").otherwise("U").as("op"),
+        col("new_bal"))
+    val ins = Tables.supplier(s, d).select(
+      (col("s_suppkey") + 1000000L).as("k"), lit("U").as("op"),
+      round(col("s_acctbal") * 100).cast("long").as("new_bal"))
+    upd.unionByName(ins)
+  }
+
+  /** U1 — CDC merge: apply an (op, key, value) change feed to the customer
+    * dimension in ONE full-outer shuffle join. Matched U rewrites the
+    * balance, matched D drops the row, unmatched U inserts, unmatched D is
+    * a no-op, untouched base rows pass through — MERGE INTO semantics
+    * without a transactional table format. Both sides co-partition on the
+    * key; at scale the cost is one shuffle of base + feed, independent of
+    * how small the feed is (the price of full-outer; an incremental table
+    * format turns this into touched-partition overwrites, cf.
+    * Pipelines.refreshBlockInfoIncremental). Applying the same feed twice
+    * is idempotent — JoinShapesSpec drives the merged output through the
+    * merge again and asserts a fixed point. */
+  def mergeUpsert(base: DataFrame, feed: DataFrame): DataFrame = {
+    val b = base.select(col("c_custkey").as("bk"),
+      round(col("c_acctbal") * 100).cast("long").as("bal"),
+      col("c_nationkey").cast("long").as("nat"))
+    b.join(feed, b("bk") === feed("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("bk"), col("k")).as("c_custkey"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("bal"))
+          .as("bal_cents"),
+        coalesce(col("nat"), lit(-1L)).as("c_nationkey"),
+        when(col("bk").isNull, "insert")
+          .when(col("op") === "U", "update").otherwise("keep").as("action"))
+  }
+
+  private val u1: Q = (s, d) =>
+    mergeUpsert(Tables.customer(s, d), changes(s, d))
+      .orderBy(col("c_custkey"))
+
+  val queries: Map[String, Q] = Map(
+    "j16_salted_join" -> j16,
+    "j17_bloom_prune" -> j17,
+    "u1_merge_upsert" -> u1
+  )
+
+  private val fee = Domain.feeSql
+
+  /** The u1 change feed as the shared oracle CTE (mirrors [[changes]]). */
+  private val changesSql =
+    """changes AS (
+      | SELECT k, CASE WHEN k % 10 = 0 THEN 'D' ELSE 'U' END AS op, new_bal
+      | FROM (SELECT o_custkey AS k,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS new_bal
+      |       FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      | UNION ALL
+      | SELECT s_suppkey + 1000000, 'U', CAST(round(s_acctbal * 100) AS BIGINT)
+      | FROM supplier)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the oracle is the UNSALTED join: salting must be invisible in the result
+    "j16_salted_join" ->
+      s"""SELECT l.l_orderkey AS stacks_block_height, l.l_linenumber AS vtxindex,
+         |   $fee AS burn_fee, s.s_nationkey
+         | FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         | ORDER BY stacks_block_height, vtxindex, burn_fee, s_nationkey""".stripMargin,
+    // the oracle is the UNPRUNED join: the bloom must only cut shuffle input
+    "j17_bloom_prune" ->
+      """SELECT l.l_orderkey, count(*) AS n_items,
+        |   CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE o.o_orderpriority = '1-URGENT'
+        | GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin,
+    "u1_merge_upsert" ->
+      s"""WITH $changesSql
+         | SELECT coalesce(c.c_custkey, g.k) AS c_custkey,
+         |   CASE WHEN g.op = 'U' THEN g.new_bal
+         |        ELSE CAST(round(c.c_acctbal * 100) AS BIGINT) END AS bal_cents,
+         |   coalesce(CAST(c.c_nationkey AS BIGINT), -1) AS c_nationkey,
+         |   CASE WHEN c.c_custkey IS NULL THEN 'insert'
+         |        WHEN g.op = 'U' THEN 'update' ELSE 'keep' END AS action
+         | FROM customer c FULL JOIN changes g ON c.c_custkey = g.k
+         | WHERE g.op IS NULL OR g.op <> 'D'
+         | ORDER BY c_custkey""".stripMargin
+  )
+}

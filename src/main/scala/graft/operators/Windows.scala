@@ -341,7 +341,92 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** W13 — LINEAR INTERPOLATION over a gap-filled series: the per-miner
+    * per-height fee series on a dense trailing-`latest` height grid, with
+    * missing heights filled linearly between the nearest observed anchors
+    * (leading/trailing gaps clamp to the nearest anchor — w5's
+    * forward-fill answers "what was the last known value", this answers
+    * "what was the value probably doing", the standard time-series
+    * resample-and-interpolate step). Anchors come from two per-miner
+    * window passes (last/first ignoreNulls — partitions stay
+    * miner×`latest`-bounded); the interpolated value is the exact rational
+    * prev + (next−prev)·(h−hp)/(hn−hp), emitted milli-scaled through
+    * ExactRatio so both engines round identically (a double division here
+    * would flip half-boundaries between engines). Observed rows bypass
+    * the ratio (den would be 0 — the current row is its own anchor). */
+  def interpolate(latest: Long): Q = (s, d) => {
+    val hi = Tables.orders(s, d).agg(max(col("o_orderkey")).as("hi"))
+    val perH = Domain.commits(s, d)
+      .crossJoin(broadcast(hi))
+      .filter(col("stacks_block_height") > col("hi") - latest)
+      .groupBy(col("leader_key_address").as("address"),
+        col("stacks_block_height").as("height"))
+      .agg(sum(col("burn_fee")).as("fee_h"))
+    val grid = perH.select(col("address")).distinct()
+      .crossJoin(broadcast(hi))
+      .select(col("address"),
+        explode(sequence(col("hi") - (latest - 1L), col("hi"))).as("height"))
+    val back = Window.partitionBy(col("address")).orderBy(col("height"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("address")).orderBy(col("height"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("fee_h").isNotNull, col("height"))
+    val obsV = when(col("fee_h").isNotNull, col("fee_h"))
+    grid.join(perH, Seq("address", "height"), "left")
+      .withColumn("pah", last(obsH, ignoreNulls = true).over(back))
+      .withColumn("pav", last(obsV, ignoreNulls = true).over(back))
+      .withColumn("nah", first(obsH, ignoreNulls = true).over(fwd))
+      .withColumn("nav", first(obsV, ignoreNulls = true).over(fwd))
+      .select(col("address"), col("height"),
+        when(col("fee_h").isNotNull, col("fee_h") * 1000L)
+          .when(col("pah").isNull, col("nav") * 1000L)
+          .when(col("nah").isNull, col("pav") * 1000L)
+          .otherwise(graft.functions.ExactRatio.scaled(
+            col("pav") * (col("nah") - col("pah")) +
+              (col("nav") - col("pav")) * (col("height") - col("pah")),
+            col("nah") - col("pah"), 1000L))
+          .as("fee_milli"),
+        col("fee_h").isNotNull.as("observed"))
+      .orderBy(col("address"), col("height"))
+  }
+
+  def interpolateSql(latest: Long): String = {
+    val ratio = graft.functions.ExactRatio.scaledSql(
+      "pav * (nah - pah) + (nav - pav) * (height - pah)", "nah - pah", 1000L)
+    s"""WITH bounds AS (SELECT max(o_orderkey) AS hi FROM orders),
+       | f AS (SELECT l_suppkey AS address, l_orderkey AS height, $fee AS fv
+       |   FROM lineitem, bounds WHERE l_orderkey > hi - $latest),
+       | perh AS (SELECT address, height, CAST(sum(fv) AS BIGINT) AS fee_h
+       |   FROM f GROUP BY 1, 2),
+       | grid AS (SELECT m.address, g.height
+       |   FROM (SELECT DISTINCT address FROM perh) m
+       |   CROSS JOIN (SELECT unnest(generate_series(hi - ${latest - 1L}, hi)) AS height
+       |     FROM bounds) g),
+       | j AS (SELECT grid.address, grid.height, perh.fee_h FROM grid
+       |   LEFT JOIN perh ON grid.address = perh.address AND grid.height = perh.height),
+       | a AS (SELECT *,
+       |   last_value(CASE WHEN fee_h IS NOT NULL THEN height END IGNORE NULLS) OVER wb AS pah,
+       |   last_value(CASE WHEN fee_h IS NOT NULL THEN fee_h END IGNORE NULLS) OVER wb AS pav,
+       |   first_value(CASE WHEN fee_h IS NOT NULL THEN height END IGNORE NULLS) OVER wf AS nah,
+       |   first_value(CASE WHEN fee_h IS NOT NULL THEN fee_h END IGNORE NULLS) OVER wf AS nav
+       |  FROM j WINDOW
+       |   wb AS (PARTITION BY address ORDER BY height ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |   wf AS (PARTITION BY address ORDER BY height ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       | SELECT address, height,
+       |   CAST(CASE WHEN fee_h IS NOT NULL THEN fee_h * 1000
+       |        WHEN pah IS NULL THEN nav * 1000
+       |        WHEN nah IS NULL THEN pav * 1000
+       |        ELSE $ratio END AS BIGINT) AS fee_milli,
+       |   fee_h IS NOT NULL AS observed
+       | FROM a ORDER BY address, height""".stripMargin
+  }
+
+  private val w13 = interpolate(256L)
+  private val w13b = interpolate(64L)
+
   val queries: Map[String, Q] = Map(
+    "w13_interpolate" -> w13,
+    "w13_interp_64" -> w13b,
     "w10_fee_quartile" -> w10,
     "w11_trailing_hour" -> w11,
     "w8_sessionize" -> w8,
@@ -361,6 +446,8 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w13_interpolate" -> interpolateSql(256L),
+    "w13_interp_64" -> interpolateSql(64L),
     "w11_trailing_hour" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_sec,
         |   CAST(round(value * 100) AS BIGINT) AS cents FROM events)

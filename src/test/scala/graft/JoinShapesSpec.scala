@@ -176,4 +176,99 @@ class JoinShapesSpec extends SparkSpec {
     for (t <- Seq("click", "error", "purchase", "signup", "view"))
       assert(out.agg(sum(col(t))).head().getLong(0) === byType(t), s"column $t")
   }
+
+  test("j16 salted join equals the unsalted join, row for row") {
+    val c = Domain.commits(spark, sf)
+    val dim = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val plain = c.join(dim, c("leader_key_address") === dim("s_suppkey"))
+      .select(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("s_nationkey"))
+    val salted = q("j16_salted_join")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("j16 plan joins on the salt and hashes instead of broadcasting") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = q("j16_salted_join").queryExecution
+    // the salt is a real equi-join key in the optimized plan
+    val saltKeyed = qe.optimizedPlan.collect {
+      case j: Join if j.condition.exists(
+        _.references.exists(_.name == "salt")) => j
+    }
+    assert(saltKeyed.nonEmpty, "salt is not a join key")
+    // and the physical strategy is the hinted shuffled-hash build, not a
+    // broadcast (which would make the salting dead weight)
+    val phys = qe.sparkPlan.toString
+    assert(phys.contains("ShuffledHashJoin"), phys.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("j17 bloom prune equals the plain join, and the bloom never drops a match") {
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val plain = li.join(urgent, col("l_orderkey") === col("k"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    val fast = q("j17_bloom_prune")
+    assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty)
+  }
+
+  test("j17 bloom prunes hard: no false negatives, false-positive rate under 1%") {
+    import graft.operators.JoinStrategies
+    val li = Tables.lineitem(spark, sf)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+    val words = JoinStrategies.bloomBuild(urgent)
+    val tested = li.withColumn("bloom_words", typedlit(words.toSeq))
+    val passed = tested.filter(JoinStrategies.bloomHit("l_orderkey")).count()
+    val trueMatches = li.join(urgent, col("l_orderkey") === col("k"), "left_semi").count()
+    val total = li.count()
+    assert(passed >= trueMatches, "bloom dropped a true match")
+    val nonMatching = total - trueMatches
+    assert(passed - trueMatches <= nonMatching / 100,
+      s"fp rate ${(passed - trueMatches).toDouble / nonMatching} over 1%")
+    // and the prune is real: most non-matching rows never reach the join
+    assert(passed < total / 2, s"bloom barely pruned: $passed of $total")
+  }
+
+  test("u1 merge is idempotent on (key, balance, nation)") {
+    import graft.operators.JoinStrategies
+    val once = q("u1_merge_upsert")
+    // feed the merged output back through the merge as the new base
+    val asBase = once.select(col("c_custkey"),
+      (col("bal_cents") / 100.0).as("c_acctbal"), col("c_nationkey"))
+    val feed = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("new_bal"))
+      .select(col("k"), when(col("k") % 10 === 0, "D").otherwise("U").as("op"),
+        col("new_bal"))
+      .unionByName(Tables.supplier(spark, sf).select(
+        (col("s_suppkey") + 1000000L).as("k"), lit("U").as("op"),
+        round(col("s_acctbal") * 100).cast("long").as("new_bal")))
+    val twice = JoinStrategies.mergeUpsert(asBase, feed)
+    val a = once.select("c_custkey", "bal_cents", "c_nationkey")
+    val b = twice.select("c_custkey", "bal_cents", "c_nationkey")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("u1 actions: inserts are the supplier feed, deletes vanish, updates rebalance") {
+    val out = q("u1_merge_upsert").cache()
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(out.filter(col("action") === "insert").count() === nSupp)
+    // every deleted key (urgent customer, key % 10 == 0) is absent
+    val deleted = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 10 === 0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    assert(out.join(deleted, Seq("c_custkey"), "left_semi").isEmpty)
+    // kept rows carry the base balance untouched
+    val base = Tables.customer(spark, sf).select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("base_bal"))
+    assert(out.filter(col("action") === "keep").join(base, Seq("c_custkey"))
+      .filter(col("bal_cents") =!= col("base_bal")).isEmpty)
+    out.unpersist()
+  }
 }

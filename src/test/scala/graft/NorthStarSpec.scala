@@ -397,4 +397,37 @@ class TextQueriesSpec extends SparkSpec {
     assert(df.filter(length(col("fingerprint")) === 131).count() > 0)
     assert(df.filter(length(col("fingerprint")) > 131).count() === 0L)
   }
+
+  test("px8 drops exactly the over-threshold passages, keeps docs whole otherwise") {
+    import operators.Dedup.{ChunkDupMin, ChunkTokens}
+    val out = q("px8_passage_dedup").cache()
+    // every doc survives, kept never exceeds total
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() === 0L)
+    // the threshold bites on this corpus: some passages actually go
+    assert(out.agg(sum(col("n_chunks") - col("n_kept"))).head().getLong(0) > 0L)
+    // recompute the per-doc surviving-passage count from first principles
+    val ct = ChunkTokens
+    val passages = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int(ceil(size(toks) / $ct.0D)) - 1), " +
+          s"i -> array_join(slice(toks, i * $ct + 1, $ct), ' '))"))
+        .as(Seq("cidx", "chunk")))
+    val nonBoiler = passages
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk")))
+      .filter(col("n") < ChunkDupMin)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_ref"))
+    val mismatch = out.join(nonBoiler, Seq("doc_id"), "left")
+      .filter(col("n_kept") =!= coalesce(col("n_ref"), lit(0L)))
+    assert(mismatch.count() === 0L)
+    // an untouched doc reassembles to its original text verbatim: the
+    // space-joined passages ARE the space-split token stream
+    val untouched = out.filter(col("n_kept") === col("n_chunks"))
+      .join(Tables.documents(spark, sf), Seq("doc_id"))
+    assert(untouched.count() > 0L)
+    assert(untouched.filter(col("kept_md5") =!= md5(col("text"))).count() === 0L)
+    out.unpersist()
+  }
 }

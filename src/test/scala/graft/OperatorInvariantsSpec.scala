@@ -218,4 +218,44 @@ class ScalarQueriesSpec extends SparkSpec {
     assert(df.filter(col("n_1h") < 1).count() === 0L)
     assert(df.filter(col("n_1h") > col("n_user")).count() === 0L)
   }
+
+  test("w13 grid is dense and observed rows carry the exact milli fee") {
+    val latest = 256L
+    val out = q("w13_interpolate").cache()
+    val nAddr = out.select("address").distinct().count()
+    assert(out.count() === nAddr * latest, "grid not dense")
+    assert(out.filter(col("fee_milli").isNull).count() === 0L)
+    // observed rows: fee_milli is exactly 1000x the per-height fee sum
+    val hi = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0)
+    val perH = Domain.commits(spark, sf)
+      .filter(col("stacks_block_height") > hi - latest)
+      .groupBy(col("leader_key_address").as("address"),
+        col("stacks_block_height").as("height"))
+      .agg(sum("burn_fee").as("fee_h"))
+    val obs = out.filter(col("observed")).join(perH, Seq("address", "height"))
+    assert(obs.filter(col("fee_milli") =!= col("fee_h") * 1000L).count() === 0L)
+    assert(obs.count() === perH.count(), "observed flag disagrees with the data")
+    out.unpersist()
+  }
+
+  test("w13 interpolated values stay between their neighboring anchors") {
+    // linear interpolation with clamped edges can never leave the envelope
+    // of the two nearest observed values; check against the per-address
+    // running envelope of observed milli fees on both sides
+    val out = q("w13_interp_64").cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("address").orderBy("height")
+    val back = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val obsMilli = when(col("observed"), col("fee_milli"))
+    val env = out
+      .withColumn("pv", last(obsMilli, ignoreNulls = true).over(back))
+      .withColumn("nv", first(obsMilli, ignoreNulls = true).over(fwd))
+      .filter(!col("observed") && col("pv").isNotNull && col("nv").isNotNull)
+    val outside = env.filter(
+      col("fee_milli") < least(col("pv"), col("nv")) ||
+        col("fee_milli") > greatest(col("pv"), col("nv"))).count()
+    assert(outside === 0L)
+    out.unpersist()
+  }
 }

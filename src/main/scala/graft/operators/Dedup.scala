@@ -372,11 +372,14 @@ object Dedup {
     * count passages corpus-wide, drop every passage occurring ≥
     * [[ChunkDupMin]] times, and reassemble each doc in passage order.
     * Scale shape: ONE aggregation shuffle at the passage grain for the
-    * counts; the boilerplate set (passages over threshold) is tiny by
-    * construction, so the removal join is a broadcast left-anti — the
-    * fact-side passages never shuffle twice. The reassembly groupBy is
-    * doc-bounded. Output keeps every doc (zero-kept docs surface with
-    * n_kept = 0 and the md5 of the empty string, not a dropped row). */
+    * counts, then a left-anti join for the removal — deliberately
+    * UNhinted: on clean corpora the over-threshold set is small and AQE
+    * broadcasts it, but boilerplate-heavy crawls can push it past any
+    * broadcast budget, and then the anti-join must fall back to a
+    * shuffle (both sides are already keyed by the passage). The
+    * reassembly groupBy is doc-bounded. Output keeps every doc
+    * (zero-kept docs surface with n_kept = 0 and the md5 of the empty
+    * string, not a dropped row). */
   private val px8: Q = (s, d) => {
     val ct = ChunkTokens
     val chunked = Tables.documents(s, d)
@@ -389,7 +392,7 @@ object Dedup {
     val boiler = passages.groupBy(col("chunk"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= ChunkDupMin)
       .select(col("chunk"))
-    val keptAgg = passages.join(broadcast(boiler), Seq("chunk"), "left_anti")
+    val keptAgg = passages.join(boiler, Seq("chunk"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         expr("md5(array_join(transform(array_sort(collect_list(" +

@@ -370,13 +370,15 @@ object Windows {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = Window.partitionBy(col("address")).orderBy(col("height"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsH = when(col("fee_h").isNotNull, col("height"))
-    val obsV = when(col("fee_h").isNotNull, col("fee_h"))
+    // both anchor fields ride ONE struct per direction: two Window passes
+    // over the shared (address, height) sort instead of four
+    val obs = when(col("fee_h").isNotNull,
+      struct(col("height").as("h"), col("fee_h").as("v")))
     grid.join(perH, Seq("address", "height"), "left")
-      .withColumn("pah", last(obsH, ignoreNulls = true).over(back))
-      .withColumn("pav", last(obsV, ignoreNulls = true).over(back))
-      .withColumn("nah", first(obsH, ignoreNulls = true).over(fwd))
-      .withColumn("nav", first(obsV, ignoreNulls = true).over(fwd))
+      .withColumn("pa", last(obs, ignoreNulls = true).over(back))
+      .withColumn("na", first(obs, ignoreNulls = true).over(fwd))
+      .withColumn("pah", col("pa.h")).withColumn("pav", col("pa.v"))
+      .withColumn("nah", col("na.h")).withColumn("nav", col("na.v"))
       .select(col("address"), col("height"),
         when(col("fee_h").isNotNull, col("fee_h") * 1000L)
           .when(col("pah").isNull, col("nav") * 1000L)

@@ -426,7 +426,23 @@ object Windows {
   private val w13 = interpolate(256L)
   private val w13b = interpolate(64L)
 
+  /** W12 — per-group TOP-K: the 3 highest-fee commits within each height,
+    * j8's argmax generalized to k rows (the "best k bids per auction" /
+    * "top k docs per query" shape). The window partitions by height, so
+    * partitions stay block-sized at any corpus scale; the order is
+    * Domain.winnerWindow's total order, so rank assignment is
+    * deterministic across engines and w12's rank-1 rows ARE j8's winners
+    * (spec-asserted). */
+  private val w12: Q = (s, d) =>
+    Domain.commits(s, d)
+      .withColumn("rnk", row_number().over(Domain.winnerWindow).cast("long"))
+      .filter(col("rnk") <= 3L)
+      .select(col("stacks_block_height"), col("rnk"),
+        col("leader_key_address"), col("burn_fee"))
+      .orderBy(col("stacks_block_height"), col("rnk"))
+
   val queries: Map[String, Q] = Map(
+    "w12_topk_per_group" -> w12,
     "w13_interpolate" -> w13,
     "w13_interp_64" -> w13b,
     "w10_fee_quartile" -> w10,
@@ -448,6 +464,11 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w12_topk_per_group" ->
+      s"""SELECT l_orderkey AS stacks_block_height, CAST(rn AS BIGINT) AS rnk,
+         |   l_suppkey AS leader_key_address, $fee AS burn_fee
+         | FROM (SELECT *, ${graft.Domain.winnerRnSql} AS rn FROM lineitem)
+         | WHERE rn <= 3 ORDER BY stacks_block_height, rnk""".stripMargin,
     "w13_interpolate" -> interpolateSql(256L),
     "w13_interp_64" -> interpolateSql(64L),
     "w11_trailing_hour" ->

@@ -107,6 +107,28 @@ class WindowsSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1))
   }
 
+  test("w12 top-k: contiguous ranks, non-increasing fees, rank 1 is the j8 winner") {
+    val out = q("w12_topk_per_group").cache()
+    // ranks are 1..min(3, commits in height), contiguous
+    val perH = out.groupBy("stacks_block_height")
+      .agg(min("rnk").as("lo"), max("rnk").as("hi"), count(lit(1)).as("n"))
+    assert(perH.filter(col("lo") =!= 1L || col("hi") =!= col("n") || col("n") > 3L)
+      .count() === 0L)
+    // fee never increases as rank worsens
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stacks_block_height").orderBy("rnk")
+    assert(out.withColumn("prev_fee", lag("burn_fee", 1).over(w))
+      .filter(col("prev_fee").isNotNull && col("burn_fee") > col("prev_fee"))
+      .count() === 0L)
+    // rank-1 rows are exactly j8's winner relation
+    val top1 = out.filter(col("rnk") === 1L)
+      .select("stacks_block_height", "leader_key_address", "burn_fee")
+    val j8 = q("j8_winner_commit")
+      .select("stacks_block_height", "leader_key_address", "burn_fee")
+    assert(top1.exceptAll(j8).isEmpty && j8.exceptAll(top1).isEmpty)
+    out.unpersist()
+  }
+
   test("a7 running max is monotone non-decreasing in event order") {
     val xs = q("a7_running_max").orderBy("event_id")
       .select("running_max").collect().map(_.getDouble(0))

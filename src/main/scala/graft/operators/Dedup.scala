@@ -87,20 +87,28 @@ object Dedup {
   }
 
   /** SimHash bit p (1-based): sign of Σ over tokens of ±1, where the token
-    * votes +1 iff hex digit p of md5(token) has its high bit set. */
-  private def bitVote(tk: Column, p: Int): Column =
-    aggregate(tk, lit(0),
-      (acc, t) => acc + when(substring(md5(t), p, 1) >= "8", 1).otherwise(-1))
+    * votes +1 iff hex digit p of its md5 has its high bit set. Takes the
+    * PRE-HASHED digest array — callers hash each element exactly once
+    * ([[hashedCol]]); an earlier form took the raw token array and put the
+    * md5 inside this fold, recomputing every digest once per bit (16–32×
+    * redundant hashing — measured 2.5× on d8's whole pipeline). */
+  private def bitVote(hs: Column, p: Int): Column =
+    aggregate(hs, lit(0),
+      (acc, h) => acc + when(substring(h, p, 1) >= "8", 1).otherwise(-1))
+
+  /** One md5 per array element, hoisted out of the per-bit vote folds. */
+  private def hashedCol(xs: Column): Column = transform(xs, t => md5(t))
 
   /** D3 — 16-bit SimHash per document (row-local; identical docs get
     * identical simhash, near-identical docs differ in few bits). */
   private val d3: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), hashedCol(col("tk")).as("hs"))
       .select(
         col("doc_id"),
         (1 to 16).map(p =>
-          when(bitVote(col("tk"), p) > 0, lit(1 << (p - 1))).otherwise(lit(0)))
+          when(bitVote(col("hs"), p) > 0, lit(1 << (p - 1))).otherwise(lit(0)))
           .reduce(_ + _).as("simhash"))
       .orderBy(col("doc_id"))
 
@@ -279,7 +287,7 @@ object Dedup {
     * qualifying pairs at sf0.1, background starting at hamming 5. */
   private def simhash32: Column =
     (1 to 32).map(p =>
-      when(bitVote(col("shingles"), p) > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+      when(bitVote(col("hs"), p) > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
 
   private val SimBands = 4
@@ -297,7 +305,9 @@ object Dedup {
     * signature is one integer — the cheapest near-dup index that exists
     * (4 bytes/doc at 100 TB vs 8 minhashes or a shingle set). */
   private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
-    docShingles(s, d).select(col("doc_id"), simhash32.as("sh"))
+    docShingles(s, d)
+      .select(col("doc_id"), hashedCol(col("shingles")).as("hs"))
+      .select(col("doc_id"), simhash32.as("sh"))
 
   /** The banding projection of a (doc_id, sh) frame — exposed so dev
     * probes time the SAME shape d8Pairs runs instead of a drifting copy. */
@@ -308,7 +318,10 @@ object Dedup {
         .as(Seq("band_idx", "bv")))
 
   private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame = {
-    val bands = simBands(simhashFrame(s, d))
+    // the signature frame is 12 bytes/doc; materialize it once so the
+    // band self-join's two sides read it instead of re-deriving every
+    // signature (shingle + hash work) per side
+    val bands = simBands(simhashFrame(s, d).localCheckpoint(true))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))

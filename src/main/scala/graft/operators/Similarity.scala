@@ -327,10 +327,14 @@ object Similarity {
           .reduce(_ + _) / (col("qnorm") * sqrt(col("recon_sq"))))
   }
 
-  private[graft] def pqCands(s: SparkSession, d: String): DataFrame = {
+  /** PqTop prune + exact re-rank over a given ADC-scored frame (so a
+    * caller that also needs the pre-prune set for cost accounting can
+    * materialize it ONCE and feed both consumers — x4 does). */
+  private[graft] def pqCandsFrom(approx: DataFrame, s: SparkSession,
+                                 d: String): DataFrame = {
     val wA = Window.partitionBy("q_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
-    val top = pqApprox(s, d).withColumn("arank", row_number().over(wA))
+    val top = approx.withColumn("arank", row_number().over(wA))
       .filter(col("arank") <= PqTop)
       .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"))
     // exact re-rank fetch: true vectors for the survivors only
@@ -339,6 +343,9 @@ object Similarity {
       .withColumn("cos_raw",
         dot(col("v"), col("qv")) / (col("norm") * col("qnorm")))
   }
+
+  private[graft] def pqCands(s: SparkSession, d: String): DataFrame =
+    pqCandsFrom(pqApprox(s, d), s, d)
 
   private val x5: Q = (s, d) => rerank(pqCands(s, d))
 
@@ -376,8 +383,17 @@ object Similarity {
             .as("recall_bp"),
           col("cand_pairs"))
     }
+    // the PQ row's two consumers share ONE materialized ADC pass: unlike
+    // the cheap LSH/IVF generators above, pqApprox is the most expensive
+    // candidate stage in the battery, and recomputing it for the cost
+    // aggregate doubled x4's wall time (bench r5: 3.5 s → 7.6 s). The
+    // checkpointed frame is pruned to the re-rank's five columns first.
+    val ap = pqApprox(s, d)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
+        col("approx_cos"))
+      .localCheckpoint(true)
     recallOf(ivfCands(vecs(s, d), fixedCodebook(s, d)), "ivf")
-      .unionByName(recallOf(pqCands(s, d), "ivf_pq", Some(pqApprox(s, d))))
+      .unionByName(recallOf(pqCandsFrom(ap, s, d), "ivf_pq", Some(ap)))
       .unionByName(recallOf(candX2(s, d), "lsh"))
       .unionByName(recallOf(candX2b(s, d), "lsh_mp"))
       .unionByName(recallOf(candX2c(s, d), "lsh_or"))

@@ -192,6 +192,87 @@ object EventStream {
         col("view_id"), col("view_ts"))
   }
 
+  /** One emitted trailing-window feature row (batch w11's output shape). */
+  case class TrailingFeat(event_id: Long, user_id: Long, ts_sec: Long,
+                          n_1h: Long, cents_1h: Long)
+
+  /** Per-user state: per-SECOND totals inside the trailing horizon. Keyed
+    * by second (the RANGE frame's granularity), not by event — state size
+    * is bounded by horizon seconds, not event rate. */
+  case class SecondTotals(secs: List[(Long, Long, Long)])
+
+  private val TrailSec = 3600L // frame width, matches batch w11
+
+  /** W11 as a CONTINUOUS operator — each event is emitted with its
+    * same-user count/sum over the trailing hour, the online form of the
+    * batch RANGE-frame feature. Per-user state holds per-second totals;
+    * the watermark prunes seconds that no in-order future event can still
+    * see (second < watermark − horizon) and an event-time timeout drops
+    * idle users entirely, so state is bounded by rate × horizon exactly
+    * like the stream-stream join's eviction argument. Same-second events
+    * are peers (all events in one second share one feature row value),
+    * mirroring the batch RANGE semantics. Append-mode caveat, stated
+    * rather than hidden: an in-watermark late arrival updates state for
+    * FUTURE windows but cannot retro-update feature rows already emitted
+    * for its second — a batch backfill (w11) reconciles; the
+    * one-micro-batch parity spec pins the semantics where no split
+    * occurs. */
+  def streamingTrailingHour(events: DataFrame): Dataset[TrailingFeat] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SecondTotals, TrailingFeat](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // epoch seconds: getTime floors to ms, /1000 floors to s —
+            // equal to batch w11's unix_micros div 1000000 for any
+            // non-negative timestamp
+            val evs = rows.toVector
+            def sec(ts: java.sql.Timestamp): Long = ts.getTime / 1000L
+            val merged = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+            state.getOption.foreach(_.secs.foreach { case (t, n, c) =>
+              merged(t) = (n, c) })
+            evs.foreach { e =>
+              val t = sec(e._3)
+              val (n, c) = merged.getOrElse(t, (0L, 0L))
+              merged(t) = (n + 1L, c + e._4)
+            }
+            val secs = merged.toArray.map { case (t, (n, c)) => (t, n, c) }
+              .sortBy(_._1)
+            // exclusive prefix sums → each event's window is two lookups
+            val prefN = secs.scanLeft(0L)(_ + _._2)
+            val prefC = secs.scanLeft(0L)(_ + _._3)
+            val ts = secs.map(_._1)
+            def window(t: Long): (Long, Long) = {
+              // [t - 3599, t] → half-open prefix indices via binary search
+              val lo = { val r = java.util.Arrays.binarySearch(ts, t - (TrailSec - 1L))
+                if (r >= 0) r else -(r + 1) }
+              val hi = { val r = java.util.Arrays.binarySearch(ts, t)
+                if (r >= 0) r + 1 else -(r + 1) }
+              (prefN(hi) - prefN(lo), prefC(hi) - prefC(lo))
+            }
+            val out = evs.map { e =>
+              val t = sec(e._3)
+              val (n, c) = window(t)
+              TrailingFeat(e._1, uid, t, n, c)
+            }
+            // prune: in-order future events have ts >= watermark, so they
+            // can only see seconds >= watermark - (horizon - 1)
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val kept = secs.filter(_._1 >= wmSec - (TrailSec - 1L))
+            state.update(SecondTotals(kept.toList))
+            state.setTimeoutTimestamp((secs.last._1 + TrailSec) * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */

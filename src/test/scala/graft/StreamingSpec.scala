@@ -247,3 +247,74 @@ class PipelinesSpec extends SparkSpec {
     assert(!Pipelines.readStatus(p))
   }
 }
+
+class StreamingTrailingSpec extends SparkSpec {
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+
+  test("streaming trailing hour equals the batch RANGE frame on one micro-batch") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    // several users, same-second ties, gaps straddling the 3600 s frame
+    val rows = (0 until 120).map { i =>
+      val uid = (i % 3).toLong + 1L
+      val t = new Timestamp(ts(1, 0).getTime + (i / 3).toLong * 173000L +
+        (if (i % 9 == 0) 0L else (i % 7).toLong * 1000L))
+      (100L + i, uid, t, (i % 13) * 0.75)
+    }
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStream.streamingTrailingHour(
+        ms.toDF.toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("stream_trailing")
+      .outputMode("append").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      ms.addData((9999L, 99L, ts(23, 0), 0.0)) // watermark push flushes nothing extra (append emits eagerly)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_trailing")
+        .filter(col("user_id") < 99L)
+        .select("event_id", "n_1h", "cents_1h")
+      // batch reference: w11's definition over the same in-memory rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599L, 0L)
+      val batch = rows.toDF("event_id", "user_id", "ts", "value")
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_id"), count(lit(1)).over(w).as("n_1h"),
+          sum(col("cents")).over(w).as("cents_1h"))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(streamed.count() === 120L)
+    } finally q.stop()
+  }
+
+  test("streaming trailing hour carries state across batches and prunes old seconds") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStream.streamingTrailingHour(
+        ms.toDF.toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("stream_trailing_state")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 1L, ts(1, 0), 1.0))
+      q.processAllAvailable()
+      // 30 min later: the first event is still inside the window → n=2;
+      // the user-99 row pushes the watermark to 3:00 for the NEXT batch
+      ms.addData((2L, 1L, ts(1, 30), 1.0), (90L, 99L, ts(4, 0), 0.0))
+      q.processAllAvailable()
+      // 3 h later: both earlier seconds are outside the frame AND pruned
+      // from state by the advanced watermark → n=1
+      ms.addData((3L, 1L, ts(4, 10), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("stream_trailing_state")
+        .filter(col("user_id") === 1L).orderBy("event_id")
+        .select("event_id", "n_1h").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+    } finally q.stop()
+  }
+}

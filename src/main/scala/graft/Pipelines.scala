@@ -125,14 +125,18 @@ object Pipelines {
     * 100 TB layout discipline of matching data placement to the dominant
     * predicate (the write-side counterpart of p1/p3's PushedFilters).
     * repartitionByRange samples the key to build balanced range bounds, so
-    * skewed keys still give even file sizes; returns the file count. */
+    * skewed keys still give even file sizes. Returns the number of data
+    * files actually written — fewer than `nFiles` when the key has too
+    * few distinct values to fill every range (a caller sizing downstream
+    * work must not trust the request over the outcome). */
   def writeClustered(df: DataFrame, key: String, nFiles: Int,
                      outDir: String): Int = {
     require(nFiles > 0, "nFiles must be positive")
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
-    nFiles
+    Option(new java.io.File(outDir).listFiles()).fold(0)(_.count(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
   }
 
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as

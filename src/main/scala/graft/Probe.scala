@@ -31,15 +31,12 @@ object Probe {
         a.join(b, col("a.band_idx") === col("b.band_idx") &&
           col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
       }
-      def verified(bands: org.apache.spark.sql.DataFrame) =
-        bandJoin(bands)
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-          .distinct().filter(col("hamming") <= operators.Dedup.SimHamMax)
       time("band join (no distinct)")(bandJoin(bands0).count())
-      time("band join + ham + distinct")(verified(bands0).count())
+      time("band join + ham + distinct")(
+        operators.Dedup.d8PairsFrom(bands0).count())
       time("checkpointed band join")(
-        verified(operators.Dedup.simBands(sh0.localCheckpoint(true))).count())
+        operators.Dedup.d8PairsFrom(
+          operators.Dedup.simBands(sh0.localCheckpoint(true))).count())
       time("d8Pairs")(operators.Dedup.d8Pairs(spark, d).count())
       time("d8 full")(operators.Dedup.queries("d8_simhash_clusters")(spark, d).count())
       time("d8 again (cached)")(operators.Dedup.queries("d8_simhash_clusters")(spark, d).count())

@@ -317,11 +317,9 @@ object Dedup {
         shiftright(col("sh"), b * SimBandBits) % lit(1 << SimBandBits)): _*))
         .as(Seq("band_idx", "bv")))
 
-  private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame = {
-    // the signature frame is 12 bytes/doc; materialize it once so the
-    // band self-join's two sides read it instead of re-deriving every
-    // signature (shingle + hash work) per side
-    val bands = simBands(simhashFrame(s, d).localCheckpoint(true))
+  /** The band self-join + exact-Hamming verification tail over any banded
+    * frame — exposed so dev probes time THIS shape, not a copy. */
+  private[graft] def d8PairsFrom(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
@@ -330,6 +328,13 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= SimHamMax)
   }
+
+  private[graft] def d8Pairs(s: SparkSession, d: String): DataFrame =
+    // the signature frame is 12 bytes/doc; materialize it once (eager —
+    // so constructing this query runs the signature jobs, the d6/ForkWalk
+    // precedent and the price of not re-deriving every signature per join
+    // side; Explain shows the checkpoint scan, Probe shows the stages)
+    d8PairsFrom(simBands(simhashFrame(s, d).localCheckpoint(true)))
 
   /** D8 — SimHash near-dup clustering: the third candidate modality
     * (token-vote bit signatures) through the same pairs → connected

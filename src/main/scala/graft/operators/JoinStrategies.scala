@@ -83,7 +83,8 @@ object JoinStrategies {
     * key count — same class of bounded edge as KMeansCodebook's k·dim
     * collect. */
   private[graft] def bloomBuild(keys: DataFrame): Array[Long] = {
-    val posCols = (1 to BloomK).map(i => bloomPos(i, col("k")))
+    val keyCol = col(keys.columns.head)
+    val posCols = (1 to BloomK).map(i => bloomPos(i, keyCol))
     val words = keys.select(explode(array(posCols: _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         expr("shiftleft(1L, int(pos % 64))").as("bit"))

@@ -271,6 +271,36 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PX9 — TEMPERATURE-α mixture sampling (α = 0.5): keep-rates
+    * proportional to n_s^α / n_s = n_s^(α−1), the standard pretraining
+    * rebalance that upweights small sources without letting any source
+    * dominate (α=1 is proportional, α=0 is uniform-by-source). The only
+    * irrational step, √n_s, is taken ONCE per source and immediately
+    * milli-floored to an integer (sqrt is IEEE-correctly-rounded in both
+    * engines, so the floor agrees), and everything after is exact integer
+    * arithmetic widened to 38-digit DECIMAL / HUGEINT — the rate math
+    * cannot overflow at any corpus size. Target volume is half the
+    * corpus, like px6. Same deterministic md5 bucket as px2/px6: the
+    * sample is re-runnable and join-stable. */
+  private val px9: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("w_milli",
+        expr("cast(floor(sqrt(cast(n_s as double)) * 1000) as bigint)"))
+    val tot = per.agg(sum(col("n_s")).as("n_total"),
+      sum(col("w_milli")).as("wm_sum"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("rate_256", least(lit(256L),
+        expr("cast((256 * cast(n_total div 2 as decimal(38,0)) * w_milli) div " +
+          "(wm_sum * cast(n_s as decimal(38,0))) as bigint)")))
+      .select(col("source"), col("rate_256"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("bucket", bucket256)
+      .filter(col("bucket") < col("rate_256"))
+      .select(col("doc_id"), col("source"), col("rate_256"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The PII scrub patterns — email, dotted-quad IP, international phone.
     * Java regex and RE2 agree on this subset (character classes, bounded
     * repetition, \b ASCII word boundary; no backreferences/lookaround,
@@ -307,6 +337,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "px6_mixture_sample" -> px6,
+    "px9_temperature_mix" -> px9,
     "px7_pii_redact" -> px7,
     "tx1_token_stats" -> tx1,
     "tx5_vocab" -> tx5,
@@ -382,6 +413,20 @@ object TextQueries {
          | tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total, CAST(sum(w) AS BIGINT) AS w_sum FROM per),
          | rates AS (SELECT source,
          |   CAST(least(256, (256 * n_total * w) // (2 * w_sum * n_s)) AS BIGINT) AS rate_256
+         |  FROM per, tot),
+         | b AS (SELECT doc_id, source, $bucket256Sql AS bucket FROM documents)
+         | SELECT b.doc_id, b.source, rates.rate_256
+         | FROM b JOIN rates ON b.source = rates.source
+         | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
+    "px9_temperature_mix" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_s,
+         |   CAST(floor(sqrt(n_s) * 1000) AS BIGINT) AS w_milli
+         |  FROM documents GROUP BY 1),
+         | tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+         |   CAST(sum(w_milli) AS BIGINT) AS wm_sum FROM per),
+         | rates AS (SELECT source,
+         |   CAST(least(256, (256 * CAST(n_total // 2 AS HUGEINT) * w_milli) //
+         |     (wm_sum * CAST(n_s AS HUGEINT))) AS BIGINT) AS rate_256
          |  FROM per, tot),
          | b AS (SELECT doc_id, source, $bucket256Sql AS bucket FROM documents)
          | SELECT b.doc_id, b.source, rates.rate_256

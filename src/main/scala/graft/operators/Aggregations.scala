@@ -245,7 +245,45 @@ object Aggregations {
         col("n_events"), col("value_cents"), col("gid"))
       .orderBy(col("gid"), col("event_type"), col("dow"))
 
+  /** Per-day distinct-user relation shared by a19's two halves. */
+  private def evDays(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(to_date(col("ts")).as("day"), col("user_id"))
+
+  /** A19 exact twin — per-day event and distinct-user counts, oracle-gated
+    * (the baseline a19's sketches approximate, hash-compared not claimed —
+    * the a16 split-gate convention). */
+  private val a19x: Q = (s, d) =>
+    evDays(s, d).groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("day"))
+
+  /** A19 — MERGEABLE sketch rollup: per-day DataSketches-HLL user
+    * sketches, with the global row derived by UNIONING the daily sketches
+    * (`hll_union_agg`) instead of rescanning the corpus. That
+    * reaggregation-without-rescan is THE reason sketches earn their place
+    * at 100 TB: daily partitions are summarized once, and any coarser
+    * rollup (week, month, all-time) is a register-max merge over
+    * kilobyte artifacts. Estimates are engine-specific (rows-only; the
+    * exact columns ride along and the spec bounds the error + asserts
+    * union(daily sketches) ≡ one-pass global sketch exactly). */
+  private val a19: Q = (s, d) => {
+    val daily = evDays(s, d).groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val dailyOut = daily.select(col("day").cast("string").as("day"),
+      col("exact_users"), hll_sketch_estimate(col("sk")).as("est_users"))
+    val globalRow = daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .crossJoin(broadcast(evDays(s, d)
+        .agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("ALL").as("day"), col("exact_users"), col("est_users"))
+    dailyOut.unionByName(globalRow).orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a19_exact_by_day" -> a19x,
+    "a19_sketch_rollup" -> a19,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -267,6 +305,10 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a19_exact_by_day" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |   count(DISTINCT user_id) AS exact_users
+        | FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "a18_event_cube" ->
       """SELECT coalesce(event_type, '(all)') AS event_type,
         |   coalesce(dow, -1) AS dow, count(*) AS n_events,

@@ -25,6 +25,27 @@ class CoverageSpec extends SparkSpec {
     assert((x.getLong(0), x.getLong(1)) === ((em, eh)))
   }
 
+  test("a19 sketch rollup: daily error <= 5%, union of dailies == one-pass sketch") {
+    val out = q("a19_sketch_rollup").cache()
+    val badDaily = out.filter(col("day") =!= "ALL")
+      .filter(abs(col("est_users") - col("exact_users")) >
+        col("exact_users").cast("double") * 0.05)
+    assert(badDaily.count() === 0L)
+    val all = out.filter(col("day") === "ALL").head()
+    val (exact, est) = (all.getLong(1), all.getLong(2))
+    assert(math.abs(est - exact).toDouble / exact <= 0.05)
+    // MERGEABILITY: the union of per-day sketches must equal the one-pass
+    // global sketch register for register — same estimate, exactly
+    val direct = Tables.events(spark, sf)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head().getLong(0)
+    assert(est === direct)
+    // the exact twin agrees with the raw table
+    assert(q("a19_exact_by_day").agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    out.unpersist()
+  }
+
   test("tx5 vocab: tf >= df, descending tf, at most 100 terms") {
     val rows = q("tx5_vocab").collect()
     assert(rows.length <= 100)

@@ -398,6 +398,25 @@ class TextQueriesSpec extends SparkSpec {
     assert(df.filter(length(col("fingerprint")) > 131).count() === 0L)
   }
 
+  test("px9 temperature mixing: keep-rate falls as source size grows, volume near half") {
+    val out = q("px9_temperature_mix").cache()
+    val rates = out.select("source", "rate_256").distinct()
+    val sizes = Tables.documents(spark, sf).groupBy("source")
+      .agg(count(lit(1)).as("n_s"))
+    val bySize = rates.join(sizes, Seq("source"))
+      .select("n_s", "rate_256").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // n_s^(alpha-1) with alpha=0.5 is strictly decreasing in n_s — the
+    // rebalance must never give a bigger source a bigger keep-rate
+    assert(bySize.sliding(2).forall(p =>
+      p.length < 2 || p(0)._2 >= p(1)._2), bySize.mkString(","))
+    val total = Tables.documents(spark, sf).count()
+    val kept = out.count()
+    assert(kept > total / 4 && kept < 3 * total / 4,
+      s"$kept of $total kept — not near the half-corpus target")
+    out.unpersist()
+  }
+
   test("px8 drops exactly the over-threshold passages, keeps docs whole otherwise") {
     import operators.Dedup.{ChunkDupMin, ChunkTokens}
     val out = q("px8_passage_dedup").cache()

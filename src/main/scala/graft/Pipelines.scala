@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** M6 — serving/cache parity (SURVEY.md §3.1, §7.2): the reference's
@@ -135,8 +135,50 @@ object Pipelines {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
+    dataFileCount(outDir)
+  }
+
+  private def dataFileCount(outDir: String): Int =
     Option(new java.io.File(outDir).listFiles()).fold(0)(_.count(f =>
       f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+
+  /** Morton spread: the low 8 bits of `x` moved to the even bit positions
+    * (plain shift/mask column arithmetic — stays in whole-stage codegen). */
+  private def spread8(x: Column): Column = {
+    val m1 = (x.cast("long").bitwiseAND(lit(0xFFL))
+      .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(0xFFL)), 4)))
+      .bitwiseAND(lit(0x0F0FL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 2)).bitwiseAND(lit(0x3333L))
+    m2.bitwiseOR(shiftleft(m2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** Z-ORDER CLUSTERED WRITE: interleave TWO keys on a space-filling
+    * curve and range-partition on the curve value, so every output file
+    * covers a bounded RECTANGLE in (keyA, keyB) — min/max pruning then
+    * works for predicates on EITHER key, which single-key clustering
+    * cannot give (its second dimension spans the full range in every
+    * file). Both keys are first byte-scaled against their observed max
+    * (two-value driver agg — raw interleave of differently-scaled keys
+    * degenerates to single-key ordering because one key owns all the
+    * high bits), then Morton-interleaved into a 16-bit curve position
+    * with shift/mask column math. Keys must be non-negative. Returns the
+    * number of data files actually written. */
+  def writeZClustered(df: DataFrame, keyA: String, keyB: String,
+                      nFiles: Int, outDir: String): Int = {
+    require(nFiles > 0, "nFiles must be positive")
+    val mx = df.agg(max(col(keyA)).cast("long").as("ma"),
+      max(col(keyB)).cast("long").as("mb")).head()
+    val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+    def scaled(key: String, m: Long): Column =
+      call_function("div", col(key).cast("long") * 256L, lit(m + 1L))
+    val z = spread8(scaled(keyA, ma))
+      .bitwiseOR(shiftleft(spread8(scaled(keyB, mb)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+    dataFileCount(outDir)
   }
 
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as

@@ -105,6 +105,41 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === docs.count())
   }
 
+  test("writeZClustered bounds BOTH key dimensions per file; single-key clustering does not") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    def fileRanges(dir: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min("l_orderkey"), max("l_orderkey"),
+              min("l_suppkey"), max("l_suppkey")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    val glob = rows.agg(min("l_orderkey"), max("l_orderkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (gAspan, gBspan) =
+      (glob.getLong(1) - glob.getLong(0), glob.getLong(3) - glob.getLong(2))
+    val zOut = tmpDir("zclus").resolve("t").toString
+    val n = Pipelines.writeZClustered(rows, "l_orderkey", "l_suppkey", 16, zOut)
+    assert(n >= 8, s"expected a multi-file layout, got $n")
+    val zr = fileRanges(zOut)
+    def avgSpan(spans: Array[Long]) = spans.sum.toDouble / spans.length
+    val (zA, zB) = (avgSpan(zr.map(r => r._2 - r._1)),
+      avgSpan(zr.map(r => r._4 - r._3)))
+    // every file is a bounded rectangle: both dims well under the corpus span
+    assert(zA < 0.75 * gAspan, s"orderkey span $zA vs $gAspan")
+    assert(zB < 0.75 * gBspan, s"suppkey span $zB vs $gBspan")
+    // the single-key layout leaves the second dimension unbounded per file
+    val cOut = tmpDir("zclusc").resolve("t").toString
+    Pipelines.writeClustered(rows, "l_orderkey", 16, cOut)
+    val cB = avgSpan(fileRanges(cOut).map(r => r._4 - r._3))
+    assert(zB < cB, s"z-order suppkey span $zB not tighter than clustered $cB")
+    // content survives
+    assert(spark.read.parquet(zOut).count() === rows.count())
+  }
+
   test("compact refuses overlapping input/output paths") {
     val in = tmpDir("cguard").resolve("t").toString
     Tables.documents(spark, sf).limit(10)

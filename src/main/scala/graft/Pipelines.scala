@@ -86,6 +86,29 @@ object Pipelines {
     chainTip(s, sfDir).write.mode("overwrite").parquet(s"$cacheDir/chain_tip")
   }
 
+  /** INCREMENTAL AGGREGATE MAINTENANCE: fold a delta of new commits into
+    * a stored (miner → total_mined, miner_burned) leaderboard without
+    * rescanning history — count and sum are self-mergeable partial
+    * aggregates, so the stored table IS the aggregation state and a
+    * refresh costs one small-side aggregation plus a keyed merge. This is
+    * the aggregate-level counterpart of [[refreshBlockInfoIncremental]]
+    * (which maintains row-grain buckets): at 100 TB the full a1 recompute
+    * scans the corpus, while this scans only the delta. Works for any
+    * algebraic aggregate; avg/stddev would carry (sum, count) /
+    * (sum, sum², count) state the same way — max/min merge too, but
+    * support deletion only by recompute. LeaderboardSpec proves
+    * merge(agg(old), delta) == agg(old ∪ delta) exactly. */
+  def mergeLeaderboard(stored: DataFrame, delta: DataFrame): DataFrame = {
+    val dAgg = delta.groupBy(col("leader_key_address"))
+      .agg(count(lit(1)).as("d_mined"), sum(col("burn_fee")).as("d_burned"))
+    stored.join(dAgg, Seq("leader_key_address"), "full_outer")
+      .select(col("leader_key_address"),
+        (coalesce(col("total_mined"), lit(0L)) +
+          coalesce(col("d_mined"), lit(0L))).as("total_mined"),
+        (coalesce(col("miner_burned"), lit(0L)) +
+          coalesce(col("d_burned"), lit(0L))).as("miner_burned"))
+  }
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

@@ -237,6 +237,23 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeLeaderboard: stored state + delta equals the full recompute") {
+    val commits = Domain.commits(spark, sf)
+    val cut = 500L
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("leader_key_address"))
+        .agg(count(lit(1)).as("total_mined"),
+          sum(col("burn_fee")).as("miner_burned"))
+    val stored = aggOf(commits.filter(col("stacks_block_height") <= cut))
+    val delta = commits.filter(col("stacks_block_height") > cut)
+    val merged = Pipelines.mergeLeaderboard(stored, delta)
+    val full = aggOf(commits)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // an empty delta is a no-op
+    val noop = Pipelines.mergeLeaderboard(full, delta.filter(lit(false)))
+    assert(noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty)
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

@@ -441,7 +441,32 @@ object Windows {
         col("leader_key_address"), col("burn_fee"))
       .orderBy(col("stacks_block_height"), col("rnk"))
 
+  /** W14 — CUMULATIVE DISTINCT: how many distinct miners have appeared at
+    * or before each height (the "unique users over time" growth curve).
+    * The naive per-prefix COUNT(DISTINCT) is quadratic; the scale shape is
+    * FIRST-SEEN decomposition: one aggregation finds each miner's debut
+    * height, a second counts debuts per height, and a running sum over
+    * that post-aggregation relation (≤ chain-length rows — bounded by
+    * height cardinality, never fact rows; at a finer time grain this
+    * window would take a6's bucketed two-pass form) yields the curve.
+    * Distinct-count becomes two hash aggregates plus a bounded window. */
+  private val w14: Q = (s, d) => {
+    val c = Domain.commits(s, d)
+    val debuts = c.groupBy(col("leader_key_address"))
+      .agg(min(col("stacks_block_height")).as("height"))
+      .groupBy(col("height")).agg(count(lit(1)).as("n_new_miners"))
+    val heights = c.select(col("stacks_block_height").as("height")).distinct()
+    val cum = Window.orderBy(col("height"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    heights.join(debuts, Seq("height"), "left")
+      .select(col("height"),
+        coalesce(col("n_new_miners"), lit(0L)).as("n_new_miners"))
+      .withColumn("cum_miners", sum(col("n_new_miners")).over(cum))
+      .orderBy(col("height"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w14_cumulative_distinct" -> w14,
     "w12_topk_per_group" -> w12,
     "w13_interpolate" -> w13,
     "w13_interp_64" -> w13b,
@@ -464,6 +489,14 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w14_cumulative_distinct" ->
+      """WITH fs AS (SELECT l_suppkey AS m, min(l_orderkey) AS h FROM lineitem GROUP BY 1),
+        | nn AS (SELECT h AS height, count(*) AS n_new FROM fs GROUP BY 1),
+        | hs AS (SELECT DISTINCT l_orderkey AS height FROM lineitem)
+        | SELECT hs.height AS height, CAST(coalesce(nn.n_new, 0) AS BIGINT) AS n_new_miners,
+        |   CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY hs.height
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_miners
+        | FROM hs LEFT JOIN nn ON hs.height = nn.height ORDER BY hs.height""".stripMargin,
     "w12_topk_per_group" ->
       s"""SELECT l_orderkey AS stacks_block_height, CAST(rn AS BIGINT) AS rnk,
          |   l_suppkey AS leader_key_address, $fee AS burn_fee

@@ -241,6 +241,27 @@ class ScalarQueriesSpec extends SparkSpec {
     assert(df.filter(col("n_1h") > col("n_user")).count() === 0L)
   }
 
+  test("w14 cumulative distinct: monotone, ends at the true distinct count, prefix-exact") {
+    val out = q("w14_cumulative_distinct").cache()
+    val c = Domain.commits(spark, sf)
+    // ends at the corpus-wide distinct-miner count
+    assert(out.orderBy(col("height").desc).head().getLong(2) ===
+      c.select("leader_key_address").distinct().count())
+    // monotone non-decreasing, and new-miner counts sum to the cum
+    val w = org.apache.spark.sql.expressions.Window.orderBy("height")
+    assert(out.withColumn("prev", lag("cum_miners", 1).over(w))
+      .filter(col("prev").isNotNull && col("cum_miners") < col("prev"))
+      .count() === 0L)
+    // spot-exact: at an interior height, cum equals a direct per-prefix
+    // COUNT(DISTINCT) — the definition the first-seen decomposition replaces
+    val mid = out.select("height").collect().map(_.getLong(0)).sorted
+      .apply(out.count().toInt / 2)
+    val direct = c.filter(col("stacks_block_height") <= mid)
+      .select("leader_key_address").distinct().count()
+    assert(out.filter(col("height") === mid).head().getLong(2) === direct)
+    out.unpersist()
+  }
+
   test("w13 grid is dense and observed rows carry the exact milli fee") {
     val latest = 256L
     val out = q("w13_interpolate").cache()

@@ -167,7 +167,7 @@ object Pipelines {
 
   /** Morton spread: the low 8 bits of `x` moved to the even bit positions
     * (plain shift/mask column arithmetic — stays in whole-stage codegen). */
-  private def spread8(x: Column): Column = {
+  private[graft] def spread8(x: Column): Column = {
     val m1 = (x.cast("long").bitwiseAND(lit(0xFFL))
       .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(0xFFL)), 4)))
       .bitwiseAND(lit(0x0F0FL))

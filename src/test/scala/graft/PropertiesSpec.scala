@@ -125,3 +125,52 @@ class PropertiesSpec extends AnyFunSuite {
     assert(onCurve > 50) // the property actually exercised a decent sample
   }
 }
+
+/** Property suites for the round-5 layout and join-strategy primitives,
+  * each checked against an independent pure-Scala reference model. */
+class LayoutAndBloomPropsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** Reference Morton spread: bit k of x moves to bit 2k. */
+  private def spreadRef(x: Long): Long =
+    (0 until 8).map(k => ((x >> k) & 1L) << (2 * k)).sum
+
+  test("spread8 matches the bit-by-bit reference model and interleaves injectively") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(47)
+    val xs = (0L until 256L) ++ Seq.fill(200)(math.abs(rnd.nextLong()) % 256L)
+    val got = xs.toDF("x")
+      .select(col("x"), Pipelines.spread8(col("x")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (x, z) => assert(z === spreadRef(x), s"x=$x") }
+    // full 2-D injectivity: interleave of (a, b) collides only on equal pairs
+    val pairs = for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)
+    val zs = pairs.toDF("a", "b")
+      .select(Pipelines.spread8(col("a"))
+        .bitwiseOR(shiftleft(Pipelines.spread8(col("b")), 1)).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length === pairs.length)
+  }
+
+  test("bloom filter: zero false negatives on random keysets, bounded false positives") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(48)
+    (1 to 3).foreach { round =>
+      val members = Seq.fill(2000)(rnd.nextLong()).distinct
+      val absent = Seq.fill(2000)(rnd.nextLong()).distinct.filterNot(members.toSet)
+      val words = operators.JoinStrategies.bloomBuild(members.toDF("k"))
+      def passed(xs: Seq[Long]): Long =
+        xs.toDF("l_orderkey")
+          .withColumn("bloom_words", typedlit(words.toSeq))
+          .filter(operators.JoinStrategies.bloomHit("l_orderkey"))
+          .count()
+      // membership is never lost — the property the pruning join relies on
+      assert(passed(members) === members.length.toLong, s"round $round")
+      // and unrelated keys overwhelmingly fail: m=2^16, n<=2k, k=3 puts the
+      // theoretical fp rate well under 1e-3; allow 10x slack for variance
+      assert(passed(absent) <= math.max(4L, absent.length / 100L), s"round $round")
+    }
+  }
+}

@@ -273,6 +273,38 @@ object EventStream {
       }
   }
 
+  /** CONTINUOUS INCREMENTAL LEADERBOARD — the serving composition of
+    * Pipelines.mergeLeaderboard: each micro-batch of commits folds into
+    * the stored leaderboard via the partial-agg merge, so the store is
+    * always queryable and history is never rescanned (T1's cadence
+    * without T1's full recompute). foreachBatch + the checkpoint give
+    * per-batch exactly-once; the merged frame is eagerly materialized
+    * BEFORE the overwrite (read-then-overwrite of the same path on a
+    * lazy frame would destroy the store). The store is key-cardinality
+    * rows — metadata-sized next to the facts; for key spaces too large
+    * for a single overwrite, shard it with the bucketed
+    * dynamic-partition-overwrite pattern of refreshBlockInfoIncremental. */
+  def leaderboardRefresh(commits: DataFrame, storeDir: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    commits.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val empty = graft.Pipelines.mergeLeaderboard(
+          batch.limit(0).groupBy(col("leader_key_address")).agg(
+            count(lit(1)).as("total_mined"),
+            sum(col("burn_fee")).as("miner_burned")), batch.limit(0))
+        val storePath = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val stored = if (fs.exists(storePath)) s.read.parquet(storeDir) else empty
+        graft.Pipelines.mergeLeaderboard(stored, batch)
+          .localCheckpoint(true)
+          .write.mode("overwrite").parquet(storeDir)
+      }
+      .start()
+
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */

@@ -254,6 +254,29 @@ class PipelinesSpec extends SparkSpec {
     assert(noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty)
   }
 
+  test("streaming leaderboard folds micro-batches into the store incrementally") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lb").toString
+    val ms = MemoryStream[(Long, Long)]
+    val q = EventStream.leaderboardRefresh(
+      ms.toDF.toDF("leader_key_address", "burn_fee"),
+      s"$dir/store", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      ms.addData((1L, 100L), (2L, 50L), (1L, 25L))
+      q.processAllAvailable()
+      ms.addData((2L, 10L), (3L, 7L))
+      q.processAllAvailable()
+      val store = spark.read.parquet(s"$dir/store")
+        .orderBy("leader_key_address").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // equals the full aggregation over everything ever streamed
+      assert(store.toSeq === Seq((1L, 2L, 125L), (2L, 2L, 60L), (3L, 1L, 7L)))
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

@@ -465,7 +465,34 @@ object Windows {
       .orderBy(col("height"))
   }
 
+  /** W15 — OHLC DOWNSAMPLING: per (user, hour) open/high/low/close — the
+    * time-series compaction every monitoring/market pipeline runs before
+    * charting or long-horizon storage. ONE hash aggregate with map-side
+    * partials (min_by/max_by carry the open/close, so no window and no
+    * sort — at 100 TB this is a single shuffle at the bucket grain,
+    * independent of per-bucket row counts). Open/close need a TOTAL
+    * order; ties on ts exist in the data, so the order key is the exact
+    * composite µs·10⁶ + event_id, widened to DECIMAL/HUGEINT (the
+    * product overflows int64; DuckDB's arg_min/arg_max take no struct
+    * keys, so the composite is one number on both engines). */
+  private val w15: Q = (s, d) => {
+    val ord = (unix_micros(col("ts").cast("timestamp"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L +
+      col("event_id")).as("ord")
+    Tables.events(s, d)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour_start"),
+        round(col("value") * 100).cast("long").as("cents"), ord)
+      .groupBy(col("user_id"), col("hour_start"))
+      .agg(min_by(col("cents"), col("ord")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("ord")).as("close_cents"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("hour_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w15_ohlc" -> w15,
     "w14_cumulative_distinct" -> w14,
     "w12_topk_per_group" -> w12,
     "w13_interpolate" -> w13,
@@ -489,6 +516,18 @@ object Windows {
   private val fee = graft.Domain.feeSql
 
   val oracles: Map[String, String] = Map(
+    "w15_ohlc" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour_start,
+        |   CAST(round(value * 100) AS BIGINT) AS cents,
+        |   CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS ord
+        |  FROM events)
+        | SELECT user_id, hour_start,
+        |   arg_min(cents, ord) AS open_cents,
+        |   CAST(max(cents) AS BIGINT) AS high_cents,
+        |   CAST(min(cents) AS BIGINT) AS low_cents,
+        |   arg_max(cents, ord) AS close_cents,
+        |   count(*) AS n_events
+        | FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w14_cumulative_distinct" ->
       """WITH fs AS (SELECT l_suppkey AS m, min(l_orderkey) AS h FROM lineitem GROUP BY 1),
         | nn AS (SELECT h AS height, count(*) AS n_new FROM fs GROUP BY 1),

@@ -241,6 +241,27 @@ class ScalarQueriesSpec extends SparkSpec {
     assert(df.filter(col("n_1h") > col("n_user")).count() === 0L)
   }
 
+  test("w15 OHLC: envelope holds, buckets partition the table, open is the earliest event") {
+    val out = q("w15_ohlc").cache()
+    // high/low bound open and close in every bucket
+    assert(out.filter(
+      col("open_cents") > col("high_cents") || col("open_cents") < col("low_cents") ||
+        col("close_cents") > col("high_cents") || col("close_cents") < col("low_cents"))
+      .count() === 0L)
+    // every event lands in exactly one bucket
+    assert(out.agg(sum("n_events")).head().getLong(0) ===
+      Tables.events(spark, sf).count())
+    // spot-exact: the busiest bucket's open equals the first event by (ts, event_id)
+    val busiest = out.orderBy(col("n_events").desc).head()
+    val first = Tables.events(spark, sf)
+      .filter(col("user_id") === busiest.getLong(0) &&
+        date_trunc("hour", col("ts")) === busiest.get(1))
+      .orderBy(col("ts"), col("event_id")).head()
+    assert(busiest.getAs[Long]("open_cents") ===
+      math.round(first.getAs[Double]("value") * 100))
+    out.unpersist()
+  }
+
   test("w14 cumulative distinct: monotone, ends at the true distinct count, prefix-exact") {
     val out = q("w14_cumulative_distinct").cache()
     val c = Domain.commits(spark, sf)

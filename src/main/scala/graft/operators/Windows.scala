@@ -297,6 +297,58 @@ object Windows {
   private val w9 = asofJoin(None)
   private val w9t = asofJoin(Some(3600000000L)) // 1-hour tolerance
 
+  /** W9c — FORWARD as-of join: each purchase matched to the same user's
+    * EARLIEST view at-or-after it (the follow-up/next-touch question;
+    * the backward form answers attribution). Same union-tag single
+    * shuffle; the only change is the tie-break direction — purchases
+    * sort before same-ts views (kind 0) so a view at the exact purchase
+    * timestamp counts as "at-or-after", mirroring the backward form's
+    * inclusive tie — and the carry runs over the FOLLOWING frame with
+    * first(ignoreNulls). */
+  def asofForward(toleranceUs: Option[Long]): Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", 1).otherwise(0).as("kindf"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kindf"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val inTol = toleranceUs.map(t => col("gap_us") <= t).getOrElse(col("gap_us").isNotNull)
+    ev
+      .withColumn("q", first(
+        when(col("kindf") === 1, struct(col("event_id").as("vid"), col("ts").as("vts"))),
+        ignoreNulls = true).over(w))
+      .filter(col("kindf") === 0)
+      .withColumn("gap_us",
+        unix_micros(col("q.vts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp")))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        when(inTol, col("q.vid")).as("view_event_id"),
+        when(inTol, col("gap_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def asofForwardSql(toleranceUs: Option[Long]): String = {
+    val cond = toleranceUs.map(t => s"gap_us <= $t").getOrElse("gap_us IS NOT NULL")
+    s"""WITH t AS (SELECT event_id, user_id, ts,
+       |   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS kindf
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       | m AS (SELECT *,
+       |   first_value(CASE WHEN kindf = 1 THEN event_id END IGNORE NULLS) OVER w AS vid,
+       |   first_value(CASE WHEN kindf = 1 THEN ts END IGNORE NULLS) OVER w AS vts
+       |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, kindf, event_id
+       |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+       | g AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, vid,
+       |   CAST(epoch_us(vts) - epoch_us(ts) AS BIGINT) AS gap_us FROM m WHERE kindf = 0)
+       | SELECT purchase_id, user_id, purchase_ts,
+       |   CASE WHEN $cond THEN vid END AS view_event_id,
+       |   CASE WHEN $cond THEN gap_us END AS gap_us
+       | FROM g ORDER BY purchase_id""".stripMargin
+  }
+
+  private val w9f = asofForward(Some(3600000000L)) // 1-hour look-ahead
+
   private val w5 = gapfill(1000L)
 
   /** W10 — NTILE quantile bucketing: each commit's fee quartile WITHIN its
@@ -502,6 +554,7 @@ object Windows {
     "w8_sessionize" -> w8,
     "w9_asof_join" -> w9,
     "w9_asof_1h" -> w9t,
+    "w9c_asof_fwd_1h" -> w9f,
     "a6_lag_diff" -> a6,
     "a7_running_max" -> a7,
     "a13_cumsum_by_miner" -> a13,
@@ -561,6 +614,7 @@ object Windows {
          | ORDER BY stacks_block_height, vtxindex, burn_fee, fee_quartile""".stripMargin,
     "w9_asof_join" -> asofJoinSql(None),
     "w9_asof_1h" -> asofJoinSql(Some(3600000000L)),
+    "w9c_asof_fwd_1h" -> asofForwardSql(Some(3600000000L)),
     "w8_sessionize" ->
       """WITH w AS (SELECT user_id, event_id, ts, value,
         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),

@@ -68,4 +68,18 @@ object JsonlIngest {
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")))
       .filter(col("j._corrupt").isNotNull)
       .select(col("value").as("raw_line"))
+
+  /** SCHEMA-EVOLVED parquet read: a long-lived landing directory
+    * accumulates files written under different schema versions (columns
+    * added over time), and a plain read takes ONE footer's schema —
+    * whichever file is sampled — silently dropping the newer columns.
+    * `mergeSchema` unions every file's schema instead: old files surface
+    * the added columns as nulls, new files keep them, and downstream
+    * code declares defaults once with coalesce. The footer-merge job
+    * scales with FILE COUNT, not bytes (it reads metadata only) —
+    * affordable where the alternative, rewriting 100 TB to the new
+    * schema, is not. Columns may be ADDED, never retyped: a type change
+    * is a different table, and this read fails loudly on one. */
+  def readEvolved(s: SparkSession, dir: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(dir)
 }

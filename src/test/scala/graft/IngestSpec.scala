@@ -140,6 +140,33 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(zOut).count() === rows.count())
   }
 
+  test("readEvolved surfaces columns added by later schema versions, nulls backfilled") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir("evolve").resolve("t").toString
+    // v1 files: (doc_id, text); v2 adds quality_bp
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    Seq((3L, "gamma", 9000L)).toDF("doc_id", "text", "quality_bp")
+      .write.mode("append").parquet(dir)
+    val evolved = sources.JsonlIngest.readEvolved(spark, dir)
+    assert(evolved.columns.toSet === Set("doc_id", "text", "quality_bp"))
+    assert(evolved.count() === 3L)
+    // old rows surface the new column as null; new rows keep their value
+    assert(evolved.filter(col("doc_id") < 3L && col("quality_bp").isNotNull).isEmpty)
+    assert(evolved.filter(col("doc_id") === 3L).head().getAs[Long]("quality_bp") === 9000L)
+    // a plain read of the same directory can silently LOSE the new column
+    // (footer sampling) — the hazard readEvolved exists to remove; all we
+    // can assert portably is that evolved never has fewer columns
+    assert(spark.read.parquet(dir).columns.length <= evolved.columns.length)
+    // retyping a column is a different table: the merged read fails loudly
+    Seq((4L, 5L, 1L)).toDF("doc_id", "text", "quality_bp")
+      .write.mode("append").parquet(dir)
+    assertThrows[Exception] {
+      sources.JsonlIngest.readEvolved(spark, dir).collect()
+    }
+  }
+
   test("compact refuses overlapping input/output paths") {
     val in = tmpDir("cguard").resolve("t").toString
     Tables.documents(spark, sf).limit(10)

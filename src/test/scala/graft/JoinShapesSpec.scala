@@ -24,6 +24,26 @@ class JoinShapesSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("w9c forward as-of equals the brute-force earliest-view-at-or-after join") {
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("vid"), col("ts").as("vts"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val hourUs = 3600000000L
+    // naive: inequality join bounded to the hour, then argmin by (vts, vid)
+    val naive = purch.join(views,
+        purch("user_id") === views("v_uid") && views("vts") >= purch("ts") &&
+          unix_micros(views("vts").cast("timestamp")) <=
+            unix_micros(purch("ts").cast("timestamp")) + hourUs, "left")
+      .groupBy(col("purchase_id"))
+      .agg(min_by(col("vid"), struct(col("vts"), col("vid"))).as("view_event_id"))
+    val fast = q("w9c_asof_fwd_1h").select(col("purchase_id"), col("view_event_id"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+    // the look-ahead bound bites: some purchases have no view within the hour
+    assert(q("w9c_asof_fwd_1h").filter(col("view_event_id").isNull).count() > 0)
+  }
+
   test("w9 tolerance form nulls matches older than the bound, keeps the rest") {
     val all = q("w9_asof_join")
     val tol = q("w9_asof_1h")

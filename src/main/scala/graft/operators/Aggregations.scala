@@ -281,7 +281,38 @@ object Aggregations {
     dailyOut.unionByName(globalRow).orderBy(col("day"))
   }
 
+  /** A20 — FUNNEL: users progressing view → click → purchase IN ORDER
+    * (each stage's clock starts at the previous stage's first completion
+    * — a later click doesn't count a user whose only purchase predates
+    * it). The classic behavioral conversion measure, shaped for scale as
+    * three per-user aggregations chained by equi-joins: stage k is
+    * min(ts) over events at-or-after the user's stage-k−1 time — no
+    * window, no per-user sort, no sessionize; every stage is a hash
+    * aggregate over a filtered scan joined on user_id. One summary row:
+    * entered / reached counts per stage plus basis-point conversion. */
+  private val a20: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    def stageAfter(evType: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === evType)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") >= col(prevCol))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = stageAfter("click", v, "t_view", "t_click")
+    val p = stageAfter("purchase", c, "t_click", "t_purchase")
+    val counts = v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+    counts.select(col("n_view"), col("n_click"), col("n_purchase"),
+      graft.functions.ExactRatio.scaled(col("n_click"), col("n_view"), 10000L)
+        .as("click_bp"),
+      graft.functions.ExactRatio.scaled(col("n_purchase"), col("n_view"), 10000L)
+        .as("purchase_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a20_funnel" -> a20,
     "a19_exact_by_day" -> a19x,
     "a19_sketch_rollup" -> a19,
     "a18_event_cube" -> a18,
@@ -305,6 +336,23 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a20_funnel" -> {
+      val clickBp = graft.functions.ExactRatio.scaledSql("n_click", "n_view", 10000L)
+      val purchaseBp = graft.functions.ExactRatio.scaledSql("n_purchase", "n_view", 10000L)
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |   WHERE event_type = 'view' GROUP BY 1),
+         | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+         |   JOIN v ON e.user_id = v.user_id
+         |   WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+         | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+         |   JOIN c ON e.user_id = c.user_id
+         |   WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
+         | k AS (SELECT (SELECT count(*) FROM v) AS n_view,
+         |   (SELECT count(*) FROM c) AS n_click,
+         |   (SELECT count(*) FROM p) AS n_purchase)
+         | SELECT n_view, n_click, n_purchase,
+         |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
+    },
     "a19_exact_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |   count(DISTINCT user_id) AS exact_users

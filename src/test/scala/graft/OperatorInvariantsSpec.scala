@@ -101,6 +101,31 @@ class AggregationsSpec extends SparkSpec {
   }
 }
 
+class FunnelSpec extends SparkSpec {
+  test("a20 funnel: stages shrink monotonically and bracket the direct recounts") {
+    val r = q("a20_funnel").head()
+    val (nV, nC, nP) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nV >= nC && nC >= nP)
+    val ev = Tables.events(spark, sf)
+    // stage 1 is exact: distinct users with a view
+    assert(nV === ev.filter(col("event_type") === "view")
+      .select("user_id").distinct().count())
+    // stage 2 brackets: at most view∩click users; at least those whose
+    // FIRST click already follows their first view
+    val perUser = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("v"),
+      min(when(col("event_type") === "click", col("ts"))).as("c"))
+    val both = perUser.filter(col("v").isNotNull && col("c").isNotNull)
+    assert(nC <= both.count())
+    assert(nC >= both.filter(col("c") >= col("v")).count())
+    // conversion basis points agree with the counts (half-up reference)
+    def bp(n: Long, d: Long): Long =
+      ((BigInt(n) * 20000 + d) / (BigInt(d) * 2)).toLong
+    assert(r.getLong(3) === bp(nC, nV))
+    assert(r.getLong(4) === bp(nP, nV))
+  }
+}
+
 class WindowsSpec extends SparkSpec {
   test("a6 first differences sum back to the cumulative total") {
     val r = q("a6_lag_diff").agg(sum("actual_burn"), max("cum")).head()

@@ -190,7 +190,21 @@ object Pipelines {
                       nFiles: Int, outDir: String): Int = {
     require(nFiles > 0, "nFiles must be positive")
     val mx = df.agg(max(col(keyA)).cast("long").as("ma"),
-      max(col(keyB)).cast("long").as("mb")).head()
+      max(col(keyB)).cast("long").as("mb"),
+      min(col(keyA)).cast("long").as("na"),
+      min(col(keyB)).cast("long").as("nb")).head()
+    if (mx.isNullAt(0) || mx.isNullAt(1)) { // empty input: write it, no curve
+      df.write.mode("overwrite").parquet(outDir)
+      return dataFileCount(outDir)
+    }
+    // the curve math silently degenerates outside [0, 2^55): negative keys
+    // scatter via two's-complement bits, larger ones wrap in the *256 —
+    // both would destroy the bounded-rectangle property while the write
+    // "succeeds", so the domain is enforced with the stats already in hand
+    require(mx.getLong(2) >= 0L && mx.getLong(3) >= 0L,
+      s"$keyA/$keyB must be non-negative (got mins ${mx.getLong(2)}, ${mx.getLong(3)})")
+    require(mx.getLong(0) < (1L << 55) && mx.getLong(1) < (1L << 55),
+      s"$keyA/$keyB must stay below 2^55 (got maxes ${mx.getLong(0)}, ${mx.getLong(1)})")
     val (ma, mb) = (mx.getLong(0), mx.getLong(1))
     def scaled(key: String, m: Long): Column =
       call_function("div", col(key).cast("long") * 256L, lit(m + 1L))

@@ -524,13 +524,17 @@ object Windows {
     * sort — at 100 TB this is a single shuffle at the bucket grain,
     * independent of per-bucket row counts). Open/close need a TOTAL
     * order; ties on ts exist in the data, so the order key is the exact
-    * composite µs·10⁶ + event_id, widened to DECIMAL/HUGEINT (the
-    * product overflows int64; DuckDB's arg_min/arg_max take no struct
-    * keys, so the composite is one number on both engines). */
+    * composite µs·2⁶³ + event_id in DECIMAL(38)/HUGEINT (DuckDB's
+    * arg_min/arg_max take no struct keys, so the composite is one
+    * number on both engines). The 2⁶³ multiplier strictly dominates
+    * EVERY possible int64 event_id — a smaller radix (an earlier form
+    * used 10⁶) silently flips the order, and with it open/close, once
+    * ids reach the radix, and the oracle computing the same formula
+    * would agree on the wrong answer (self-review r5). µs(~2⁵⁰)·2⁶³
+    * stays within 38 decimal digits, so the arithmetic is exact. */
   private val w15: Q = (s, d) => {
-    val ord = (unix_micros(col("ts").cast("timestamp"))
-      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000L +
-      col("event_id")).as("ord")
+    val ord = expr("cast(unix_micros(cast(ts as timestamp)) as decimal(38,0)) " +
+      "* 9223372036854775808 + event_id").as("ord")
     Tables.events(s, d)
       .select(col("user_id"), date_trunc("hour", col("ts")).as("hour_start"),
         round(col("value") * 100).cast("long").as("cents"), ord)
@@ -572,7 +576,7 @@ object Windows {
     "w15_ohlc" ->
       """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hour_start,
         |   CAST(round(value * 100) AS BIGINT) AS cents,
-        |   CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id AS ord
+        |   CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id AS ord
         |  FROM events)
         | SELECT user_id, hour_start,
         |   arg_min(cents, ord) AS open_cents,

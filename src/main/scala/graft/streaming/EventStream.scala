@@ -273,37 +273,76 @@ object EventStream {
       }
   }
 
+  /** Committed store versions under `storeDir`, newest first. A version
+    * counts only once its `_SUCCESS` marker exists — a crash mid-write
+    * leaves a partial directory that is never read and is overwritten on
+    * replay. */
+  private def leaderboardVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                  storeDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toLong).sorted.reverse
+  }
+
+  /** The current (latest committed) leaderboard — the read side of
+    * [[leaderboardRefresh]]. Empty frame with the store schema when no
+    * version has committed yet. */
+  def currentLeaderboard(s: SparkSession, storeDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    leaderboardVersions(fs, storeDir).headOption match {
+      case Some(v) => s.read.parquet(s"$storeDir/v=$v")
+      case None => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "leader_key_address BIGINT, total_mined BIGINT, miner_burned BIGINT"))
+    }
+  }
+
   /** CONTINUOUS INCREMENTAL LEADERBOARD — the serving composition of
     * Pipelines.mergeLeaderboard: each micro-batch of commits folds into
     * the stored leaderboard via the partial-agg merge, so the store is
     * always queryable and history is never rescanned (T1's cadence
-    * without T1's full recompute). foreachBatch + the checkpoint give
-    * per-batch exactly-once; the merged frame is eagerly materialized
-    * BEFORE the overwrite (read-then-overwrite of the same path on a
-    * lazy frame would destroy the store). The store is key-cardinality
-    * rows — metadata-sized next to the facts; for key spaces too large
-    * for a single overwrite, shard it with the bucketed
-    * dynamic-partition-overwrite pattern of refreshBlockInfoIncremental. */
+    * without T1's full recompute). foreachBatch is AT-LEAST-once, so the
+    * store is BATCH-ID-VERSIONED to make the merge idempotent and
+    * crash-safe: a replayed batch whose version already committed is
+    * skipped (an overwrite of the live store would double-count it), a
+    * new version writes to its own `v=<batchId>` directory so the
+    * previous version stays intact until the new one's `_SUCCESS`
+    * commits, and versions older than the previous one are pruned after
+    * commit. The store is key-cardinality rows — metadata-sized next to
+    * the facts; for key spaces too large for a single rewrite, shard
+    * each version with the bucketed dynamic-partition-overwrite pattern
+    * of refreshBlockInfoIncremental. */
   def leaderboardRefresh(commits: DataFrame, storeDir: String,
                          checkpointDir: String,
                          trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
     commits.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val empty = graft.Pipelines.mergeLeaderboard(
-          batch.limit(0).groupBy(col("leader_key_address")).agg(
-            count(lit(1)).as("total_mined"),
-            sum(col("burn_fee")).as("miner_burned")), batch.limit(0))
-        val storePath = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val stored = if (fs.exists(storePath)) s.read.parquet(storeDir) else empty
-        graft.Pipelines.mergeLeaderboard(stored, batch)
-          .localCheckpoint(true)
-          .write.mode("overwrite").parquet(storeDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLeaderboardBatch(batch, storeDir, batchId)
       }
       .start()
+
+  /** One idempotent store update — exposed so the replay guarantee is
+    * directly testable (applying the same batchId twice is a no-op). */
+  private[graft] def applyLeaderboardBatch(batch: DataFrame, storeDir: String,
+                                           batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = leaderboardVersions(fs, storeDir)
+    if (!versions.exists(_ >= batchId)) {
+      graft.Pipelines.mergeLeaderboard(currentLeaderboard(s, storeDir), batch)
+        .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
+      versions.drop(1).foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$storeDir/v=$v"), true))
+    }
+  }
 
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s

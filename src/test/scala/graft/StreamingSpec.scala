@@ -269,11 +269,19 @@ class PipelinesSpec extends SparkSpec {
       q.processAllAvailable()
       ms.addData((2L, 10L), (3L, 7L))
       q.processAllAvailable()
-      val store = spark.read.parquet(s"$dir/store")
+      def store() = EventStream.currentLeaderboard(spark, s"$dir/store")
         .orderBy("leader_key_address").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       // equals the full aggregation over everything ever streamed
-      assert(store.toSeq === Seq((1L, 2L, 125L), (2L, 2L, 60L), (3L, 1L, 7L)))
+      val expected = Seq((1L, 2L, 125L), (2L, 2L, 60L), (3L, 1L, 7L))
+      assert(store() === expected)
+      // REPLAY SAFETY: re-applying an already-committed batchId is a no-op
+      // (foreachBatch is at-least-once; a naive merge would double-count)
+      val replay = Seq((2L, 10L), (3L, 7L))
+        .toDF("leader_key_address", "burn_fee")
+      EventStream.applyLeaderboardBatch(replay, s"$dir/store", 1L)
+      EventStream.applyLeaderboardBatch(replay, s"$dir/store", 0L)
+      assert(store() === expected)
     } finally q.stop()
   }
 

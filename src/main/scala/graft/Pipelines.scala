@@ -158,64 +158,108 @@ object Pipelines {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(key)
       .write.mode("overwrite").parquet(outDir)
-    dataFileCount(outDir)
+    dataFileCount(df.sparkSession, outDir)
   }
 
-  private def dataFileCount(outDir: String): Int =
-    Option(new java.io.File(outDir).listFiles()).fold(0)(_.count(f =>
-      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
-
-  /** Morton spread: the low 8 bits of `x` moved to the even bit positions
-    * (plain shift/mask column arithmetic — stays in whole-stage codegen). */
-  private[graft] def spread8(x: Column): Column = {
-    val m1 = (x.cast("long").bitwiseAND(lit(0xFFL))
-      .bitwiseOR(shiftleft(x.cast("long").bitwiseAND(lit(0xFFL)), 4)))
-      .bitwiseAND(lit(0x0F0FL))
-    val m2 = m1.bitwiseOR(shiftleft(m1, 2)).bitwiseAND(lit(0x3333L))
-    m2.bitwiseOR(shiftleft(m2, 1)).bitwiseAND(lit(0x5555L))
+  /** Data-file count via the Hadoop FileSystem API, so the returned count
+    * (which the docstrings tell callers to trust over the requested
+    * nFiles) is right for ANY scheme — a java.io.File listing silently
+    * returns 0 for hdfs:// or s3a:// outDirs (ADVICE r5). */
+  private def dataFileCount(s: SparkSession, outDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st => st.isFile &&
+      st.getPath.getName.startsWith("part-") &&
+      st.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Z-ORDER CLUSTERED WRITE: interleave TWO keys on a space-filling
-    * curve and range-partition on the curve value, so every output file
-    * covers a bounded RECTANGLE in (keyA, keyB) — min/max pruning then
-    * works for predicates on EITHER key, which single-key clustering
-    * cannot give (its second dimension spans the full range in every
-    * file). Both keys are first byte-scaled against their observed max
-    * (two-value driver agg — raw interleave of differently-scaled keys
-    * degenerates to single-key ordering because one key owns all the
-    * high bits), then Morton-interleaved into a 16-bit curve position
-    * with shift/mask column math. Keys must be non-negative. Returns the
-    * number of data files actually written. */
+  /** Z-order geometry: bits kept per key after scaling. 16 bits = 65,536
+    * range buckets per dimension (VERDICT r5 item 7 lifted this from 8),
+    * so file-rectangle boundaries snap to 1/65,536 of each key's domain —
+    * at any realistic nFiles the rectangle size is set by the file count,
+    * never by quantization. */
+  private[graft] val ZBits = 16
+
+  /** Morton spread, stride 2: bit k of the low 16 bits of `x` moves to bit
+    * 2k (plain shift/mask column arithmetic — stays in whole-stage
+    * codegen). Classic parallel-prefix masks. */
+  private[graft] def spread16(x: Column): Column = {
+    val m0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 2)).bitwiseAND(lit(0x33333333L))
+    m3.bitwiseOR(shiftleft(m3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton spread, stride 3: bit k of the low 16 bits of `x` moves to bit
+    * 3k — the three-key interleave (48-bit curve, fits a long). Masks are
+    * the standard 21-bit Morton3D constants, valid for any ≤21-bit input. */
+  private[graft] def spread16x3(x: Column): Column = {
+    val m0 = x.cast("long").bitwiseAND(lit(0xFFFFL))
+    val m1 = m0.bitwiseOR(shiftleft(m0, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+    val m2 = m1.bitwiseOR(shiftleft(m1, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+    val m3 = m2.bitwiseOR(shiftleft(m2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val m4 = m3.bitwiseOR(shiftleft(m3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    m4.bitwiseOR(shiftleft(m4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Z-ORDER CLUSTERED WRITE over TWO keys — see [[writeZClusteredN]]. */
   def writeZClustered(df: DataFrame, keyA: String, keyB: String,
-                      nFiles: Int, outDir: String): Int = {
+                      nFiles: Int, outDir: String): Int =
+    writeZClusteredN(df, Seq(keyA, keyB), nFiles, outDir)
+
+  /** Z-ORDER CLUSTERED WRITE: interleave 2 or 3 keys on a space-filling
+    * curve and range-partition on the curve value, so every output file
+    * covers a bounded RECTANGLE (or box) in key space — min/max pruning
+    * then works for predicates on ANY of the keys, which single-key
+    * clustering cannot give (its other dimensions span the full range in
+    * every file). Each key is first scaled to [0, 2^16) against its
+    * observed max (one driver agg — raw interleave of differently-scaled
+    * keys degenerates to single-key ordering because one key owns all the
+    * high bits), then Morton-interleaved with shift/mask column math.
+    *
+    * Keys must be non-negative, below 2^47 (the ×2^16 scaling must stay in
+    * int64), and NON-NULL: a null key has no position on the curve — the
+    * rows would collapse into one range partition and silently break the
+    * bounded-rectangle property the guards exist to protect (ADVICE r5),
+    * so null keys fail loudly here. Returns the number of data files
+    * actually written. */
+  def writeZClusteredN(df: DataFrame, keys: Seq[String], nFiles: Int,
+                       outDir: String): Int = {
     require(nFiles > 0, "nFiles must be positive")
-    val mx = df.agg(max(col(keyA)).cast("long").as("ma"),
-      max(col(keyB)).cast("long").as("mb"),
-      min(col(keyA)).cast("long").as("na"),
-      min(col(keyB)).cast("long").as("nb")).head()
-    if (mx.isNullAt(0) || mx.isNullAt(1)) { // empty input: write it, no curve
+    require(keys.size == 2 || keys.size == 3,
+      s"z-order interleave supports 2 or 3 keys, got ${keys.size}")
+    val stats = df.agg(count(lit(1)).as("n"),
+      keys.flatMap(k => Seq(
+        max(col(k)).cast("long").as(s"max_$k"),
+        min(col(k)).cast("long").as(s"min_$k"),
+        count(when(col(k).isNull, 1)).as(s"nulls_$k"))): _*).head()
+    if (stats.getLong(0) == 0L) { // empty input: write it, no curve
       df.write.mode("overwrite").parquet(outDir)
-      return dataFileCount(outDir)
+      return dataFileCount(df.sparkSession, outDir)
     }
-    // the curve math silently degenerates outside [0, 2^55): negative keys
-    // scatter via two's-complement bits, larger ones wrap in the *256 —
-    // both would destroy the bounded-rectangle property while the write
-    // "succeeds", so the domain is enforced with the stats already in hand
-    require(mx.getLong(2) >= 0L && mx.getLong(3) >= 0L,
-      s"$keyA/$keyB must be non-negative (got mins ${mx.getLong(2)}, ${mx.getLong(3)})")
-    require(mx.getLong(0) < (1L << 55) && mx.getLong(1) < (1L << 55),
-      s"$keyA/$keyB must stay below 2^55 (got maxes ${mx.getLong(0)}, ${mx.getLong(1)})")
-    val (ma, mb) = (mx.getLong(0), mx.getLong(1))
+    keys.zipWithIndex.foreach { case (k, i) =>
+      require(stats.getLong(3 * i + 3) == 0L,
+        s"$k has ${stats.getLong(3 * i + 3)} null rows — null keys have no curve position")
+      require(stats.getLong(3 * i + 2) >= 0L,
+        s"$k must be non-negative (got min ${stats.getLong(3 * i + 2)})")
+      require(stats.getLong(3 * i + 1) < (1L << 47),
+        s"$k must stay below 2^47 (got max ${stats.getLong(3 * i + 1)})")
+    }
+    val spread: Column => Column =
+      if (keys.size == 2) spread16 else spread16x3
     def scaled(key: String, m: Long): Column =
-      call_function("div", col(key).cast("long") * 256L, lit(m + 1L))
-    val z = spread8(scaled(keyA, ma))
-      .bitwiseOR(shiftleft(spread8(scaled(keyB, mb)), 1))
+      call_function("div", col(key).cast("long") * (1L << ZBits), lit(m + 1L))
+    val z = keys.zipWithIndex.map { case (k, i) =>
+      shiftleft(spread(scaled(k, stats.getLong(3 * i + 1))), i)
+    }.reduce(_ bitwiseOR _)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
-    dataFileCount(outDir)
+    dataFileCount(df.sparkSession, outDir)
   }
 
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as

@@ -140,6 +140,43 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(zOut).count() === rows.count())
   }
 
+  test("writeZClusteredN over 3 keys bounds all three dimensions per file") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_partkey")
+    val ks = Seq("l_orderkey", "l_suppkey", "l_partkey")
+    val out = tmpDir("z3").resolve("t").toString
+    val n = Pipelines.writeZClusteredN(rows, ks, 27, out)
+    assert(n >= 8, s"expected a multi-file layout, got $n")
+    val glob = rows.agg(max(ks(0)), max(ks(1)), max(ks(2)),
+      min(ks(0)), min(ks(1)), min(ks(2))).head()
+    val files = new java.io.File(out).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(max(ks(0)) - min(ks(0)), max(ks(1)) - min(ks(1)),
+          max(ks(2)) - min(ks(2))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def avg(xs: Array[Long]) = xs.sum.toDouble / xs.length
+    for (i <- 0 until 3) {
+      val gSpan = glob.getLong(i) - glob.getLong(i + 3)
+      val fSpan = avg(spans.map(s => Seq(s._1, s._2, s._3)(i)))
+      assert(fSpan < 0.8 * gSpan, s"${ks(i)}: per-file span $fSpan vs corpus $gSpan")
+    }
+    assert(spark.read.parquet(out).count() === rows.count())
+  }
+
+  test("writeZClusteredN rejects null keys loudly") {
+    val withNulls = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        when(col("l_linenumber") === 1, null).otherwise(col("l_suppkey"))
+          .as("l_suppkey"))
+    intercept[IllegalArgumentException] {
+      Pipelines.writeZClustered(withNulls, "l_orderkey", "l_suppkey", 8,
+        tmpDir("znull").resolve("t").toString)
+    }
+  }
+
   test("readEvolved surfaces columns added by later schema versions, nulls backfilled") {
     val sp = spark
     import sp.implicits._

@@ -262,6 +262,44 @@ object Pipelines {
     dataFileCount(df.sparkSession, outDir)
   }
 
+  /** Full-series burnFeeArea page (VERDICT r5 item 5): the reference's
+    * burnFeeArea emits EVERY miner's series (mining_monitor_rpc.js:46-113);
+    * [[dashboard]] bounds its inline copy to the top-10 miners, correct at
+    * scale but a strict subset of what the reference's consumers get. This
+    * is the complete-set serving path: COMPOSITE-KEYSET pagination over
+    * the cached area relation — strictly-after (address, height), ordered,
+    * one page per call — w7k's keyset doctrine at row grain, so a page
+    * fetch is O(page) work and a bounded collect no matter how many miners
+    * exist or how deep the cursor sits. A page shorter than `pageSize`
+    * means the walk is complete. */
+  def burnFeeAreaPage(s: SparkSession, cacheDir: String,
+                      after: Option[(Long, Long)], pageSize: Int): DataFrame = {
+    require(pageSize > 0, "pageSize must be positive")
+    val area = s.read.parquet(s"$cacheDir/burn_fee_area")
+      .select(col("address"), col("height"), col("cum_filled"))
+    val page = after match {
+      case Some((a, h)) => area.filter(col("address") > a ||
+        (col("address") === a && col("height") > h))
+      case None => area
+    }
+    page.orderBy(col("address"), col("height")).limit(pageSize)
+  }
+
+  /** One serving-edge JSON page of the full area series: the reference's
+    * point shape plus a `next` cursor (the page's last key, or null when
+    * the walk is done). The only collect is the page itself. */
+  def burnFeeAreaPageJson(s: SparkSession, cacheDir: String,
+                          after: Option[(Long, Long)], pageSize: Int): String = {
+    val rows = burnFeeAreaPage(s, cacheDir, after, pageSize)
+      .collect()
+    val pts = rows.map(r =>
+      s"""{"height":${r.getLong(1)},"burn_fee":${r.getLong(2)},"address":${r.getLong(0)}}""")
+    val next =
+      if (rows.length < pageSize) "null"
+      else s"""{"address":${rows.last.getLong(0)},"height":${rows.last.getLong(1)}}"""
+    s"""{"data":[${pts.mkString(",")}],"next":$next}"""
+  }
+
   /** S18/S19 — the mining_status flag file (rpc.js:583-590; broken as
     * shipped — `fs` never imported — implemented as evidently intended):
     * a driver-side one-value state read/written around each refresh. */
@@ -285,7 +323,8 @@ object Pipelines {
     *   - minerTable: top-50 of mining_info
     *   - burnFeeArea: the w5 gap-filled series, top-10 miners × window
     *     (the reference emits ALL miners — unbounded at scale; documented
-    *     serving bound)
+    *     serving bound. The complete set is served page-bounded by
+    *     [[burnFeeAreaPage]]'s composite keyset walk.)
     *   - winnerPie/rateOfReturn: all/r1000/r100 rr leaderboards, top-10 /
     *     top-50 slices
     *   - rateOfReturn carries real values (the reference's packRR ships

@@ -58,6 +58,42 @@ class DashboardSpec extends SparkSpec {
     assert(pts.forall(p => (p \ "burn_fee") != JNothing))
   }
 
+  test("keyset pages walk the FULL area series; top-10 document is a strict subset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_area").toString
+    Pipelines.refreshCache(spark, sf, dir)
+    // page-walk the complete series with a deliberately awkward page size
+    val walked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var cursor: Option[(Long, Long)] = None
+    var done = false
+    var pages = 0
+    while (!done) {
+      val rows = Pipelines.burnFeeAreaPage(spark, dir, cursor, 997)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      walked ++= rows
+      pages += 1
+      assert(pages < 10000, "cursor did not advance")
+      if (rows.length < 997) done = true
+      else cursor = Some((rows.last._1, rows.last._2))
+    }
+    // exactly the cache relation: nothing lost, nothing duplicated
+    val full = spark.read.parquet(s"$dir/burn_fee_area")
+      .collect().map(r => (r.getAs[Long]("address"), r.getAs[Long]("height"),
+        r.getAs[Long]("cum_filled")))
+    assert(walked.length === full.length)
+    assert(walked.toSet === full.toSet)
+    assert(walked.toSeq === walked.sortBy(p => (p._1, p._2)).toSeq) // global order
+    // the bounded dashboard's top-10 series is a subset of the walked set
+    val docPts = arr(doc \ "burnFeeArea" \ "data").map(p =>
+      ((p \ "address").asInstanceOf[JInt].num.toLong,
+        (p \ "height").asInstanceOf[JInt].num.toLong,
+        (p \ "burn_fee").asInstanceOf[JInt].num.toLong))
+    assert(docPts.nonEmpty && docPts.toSet.subsetOf(walked.toSet))
+    // and the JSON wrapper terminates with a null cursor
+    val lastPage = Pipelines.burnFeeAreaPageJson(spark, dir,
+      Some((walked.last._1, walked.last._2)), 997)
+    assert(JsonMethods.parse(lastPage) \ "next" === JNull)
+  }
+
   test("winnerPie and rateOfReturn carry the all/r1000/r100 triple") {
     Seq("winnerPie", "rateOfReturn").foreach { sec =>
       val keys = (doc \ sec).asInstanceOf[JObject].obj.map(_._1)

@@ -71,9 +71,14 @@ object ForkWalk {
     * item 7: g1 was the slowest query purely from those actions; measured:
     * lazy checkpoints are WORSE — the chained-AQE mega-plan re-optimizes
     * per stage — so rounds stay eager, just count-free). */
+  /** Rounds the doubling walk needs for a depth-`maxDepth` chain:
+    * ⌈log₂(maxDepth−1)⌉, never less than 1 — exposed so the deep-chain
+    * stress spec can assert the logarithmic bound arithmetically. */
+  private[graft] def roundsFor(maxDepth: Long): Int = math.max(1,
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth - 1)))
+
   def canonicalChain(blocks: DataFrame, maxDepth: Long = WalkWindow + 3): DataFrame = {
-    val rounds = math.max(1,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth - 1)))
+    val rounds = roundsFor(maxDepth)
     val b = blocks.localCheckpoint(true)
     val tip = b.orderBy(col("height").desc, col("block_hash").desc).limit(1)
     var reached = tip.select(col("block_hash").as("h")).localCheckpoint(true)

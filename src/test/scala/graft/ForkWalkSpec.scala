@@ -52,6 +52,35 @@ class ForkWalkSpec extends SparkSpec {
     assert(canon.count() === 300L)
   }
 
+  test("deep chain stress: 1e5-deep walk completes in log-rounds and bounded time") {
+    // VERDICT r5 item 6: the ⌈log₂⌉ claim proven at scale-shape, not toy
+    // depth. The round count is asserted arithmetically (it is a pure
+    // function of maxDepth — the walk never runs more jobs than that),
+    // the walk itself at depth 10^5: correct coverage and a wall-clock
+    // ceiling that a linear (10^5-round) walk could never meet.
+    val depth = 100000L
+    assert(ForkWalk.roundsFor(depth) === 17)          // = ceil(log2(1e5))
+    assert(ForkWalk.roundsFor(depth) <=
+      math.ceil(math.log(depth.toDouble) / math.log(2.0)).toInt)
+    val ss = spark
+    import ss.implicits._
+    // derive the chain distributed — a 1e5-element driver Seq would test
+    // the driver, not the walk
+    val blocks = ss.range(1L, depth + 1L)
+      .select(md5(concat(lit("h"), col("id").cast("string"))).as("block_hash"),
+        when(col("id") === 1L, lit("0"))
+          .otherwise(md5(concat(lit("h"), (col("id") - 1L).cast("string"))))
+          .as("parent_hash"),
+        col("id").as("height"))
+    val t0 = System.nanoTime()
+    val n = ForkWalk.canonicalChain(blocks, maxDepth = depth).count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n === depth, "walk must reach genesis")
+    // generous CI bound; 17 checkpointed rounds run in ~10s here, while a
+    // sequential walk would need 1e5 jobs (>> hours)
+    assert(sec < 120.0, f"deep walk took $sec%.1f s — lineage/round blowup?")
+  }
+
   test("g1 query on testdata: one canonical row per height, dense range") {
     val df = q("g1_fork_walk")
     val dup = df.groupBy("height").count().filter(col("count") > 1).count()

@@ -212,11 +212,15 @@ object EventStream {
     * like the stream-stream join's eviction argument. Same-second events
     * are peers (all events in one second share one feature row value),
     * mirroring the batch RANGE semantics. Append-mode caveat, stated
-    * rather than hidden: an in-watermark late arrival updates state for
-    * FUTURE windows but cannot retro-update feature rows already emitted
-    * for its second — a batch backfill (w11) reconciles; the
-    * one-micro-batch parity spec pins the semantics where no split
-    * occurs. */
+    * rather than hidden: rows already emitted are never retro-updated, so
+    * the stream diverges from batch w11 wherever a window's contributors
+    * are SPLIT across micro-batches — not only late arrivals, but fully
+    * in-order data too (an earlier batch's rows were emitted before a
+    * later batch's same-second or same-window peers arrived, so "peer"
+    * rows can carry different feature values across the boundary; ADVICE
+    * r5). The batch w11 backfill is the reconciliation path for both
+    * cases; the one-micro-batch parity spec pins the semantics where no
+    * split occurs. */
   def streamingTrailingHour(events: DataFrame): Dataset[TrailingFeat] = {
     val s = events.sparkSession
     import s.implicits._

@@ -338,6 +338,44 @@ class StreamingTrailingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trailing-hour state stays per-user bounded and evicts on timeout") {
+    // VERDICT r5 item 8: the "state bounded by horizon" contract, asserted
+    // from the engine's own metrics instead of argued in comments. State
+    // is one store row per ACTIVE user (per-second totals live inside the
+    // row and are watermark-pruned), so numRowsTotal must (a) never exceed
+    // the distinct users seen, however many events flow, and (b) DROP once
+    // the watermark passes an idle user's last-event + horizon.
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStream.streamingTrailingHour(
+        ms.toDF.toDF("event_id", "user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("stream_trailing_bound")
+      .outputMode("append").start()
+    def stateRows: Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    try {
+      // 600 events, 3 users, spread over 2 hours — far more events than
+      // users; a per-event state design would show ~600 rows here
+      val burst = (0 until 600).map { i =>
+        (1000L + i, (i % 3).toLong + 1L,
+          new Timestamp(ts(1, 0).getTime + (i / 3).toLong * 36000L), 1.0)
+      }
+      ms.addData(burst: _*)
+      q.processAllAvailable()
+      assert(stateRows <= 3L, s"state rows $stateRows exceed active users")
+      // push the watermark 9 hours past the burst (wm = 12:00 − 1h) …
+      ms.addData((9001L, 50L, ts(12, 0), 0.0))
+      q.processAllAvailable()
+      // … and let the NEXT batch fire the event-time timeouts
+      ms.addData((9002L, 50L, ts(12, 30), 0.0))
+      q.processAllAvailable()
+      assert(stateRows <= 1L,
+        s"idle users' state must evict on timeout, still $stateRows rows")
+    } finally q.stop()
+  }
+
   test("streaming trailing hour carries state across batches and prunes old seconds") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext

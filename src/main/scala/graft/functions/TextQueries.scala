@@ -335,7 +335,39 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** LEAKAGE-SAFE SPLIT: assign every row of `df` to train/val/test by a
+    * deterministic hash of its GROUP key, so all rows sharing a key land
+    * in the SAME split — the guard against a document leaking from train
+    * into eval through its duplicates (the split analogue of px4's
+    * decontamination). The key is re-hashed (md5 of its string form)
+    * before bucketing, so ANY key type/distribution — content hash,
+    * cluster id, URL domain — draws uniformly. Row-local: no shuffle at
+    * any corpus size; 80/10/10 by 256ths (205/25/26). */
+  def groupSplit(df: org.apache.spark.sql.DataFrame,
+                 groupKey: Column): org.apache.spark.sql.DataFrame =
+    df.withColumn("group_key", groupKey.cast("string"))
+      .withColumn("bucket", expr(
+        "16 * (instr('0123456789abcdef', substring(md5(group_key), 1, 1)) - 1) + " +
+          "(instr('0123456789abcdef', substring(md5(group_key), 2, 1)) - 1)"))
+      .withColumn("split",
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** PX10 — the registered split at EXACT-DUP grain: group key =
+    * md5(text), so byte-identical documents can never straddle a split
+    * boundary. The oracle recomputes the same double-hash; the near-dup
+    * variant (d6 cluster ids as the key) is spec-driven in NorthStarSpec —
+    * its grouping is iterative and has no SQL oracle. */
+  private val px10: Q = (s, d) =>
+    groupSplit(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      md5(col("text")))
+      .select(col("doc_id"), col("group_key"), col("split"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "px10_group_split" -> px10,
     "px6_mixture_sample" -> px6,
     "px9_temperature_mix" -> px9,
     "px7_pii_redact" -> px7,
@@ -432,6 +464,16 @@ object TextQueries {
          | SELECT b.doc_id, b.source, rates.rate_256
          | FROM b JOIN rates ON b.source = rates.source
          | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
+    "px10_group_split" ->
+      """WITH g AS (SELECT doc_id, md5(text) AS group_key FROM documents),
+        | b AS (SELECT doc_id, group_key,
+        |   16 * (instr('0123456789abcdef', substring(md5(group_key), 1, 1)) - 1) +
+        |   (instr('0123456789abcdef', substring(md5(group_key), 2, 1)) - 1) AS bucket
+        |  FROM g)
+        | SELECT doc_id, group_key,
+        |   CASE WHEN bucket < 205 THEN 'train'
+        |        WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        | FROM b ORDER BY doc_id""".stripMargin,
     "px2_stratified_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |   16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) +

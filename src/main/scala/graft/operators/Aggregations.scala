@@ -311,7 +311,29 @@ object Aggregations {
         .as("purchase_bp"))
   }
 
+  /** A21 — RETENTION COHORTS: users grouped by first-active day (the
+    * cohort), counted on each subsequent active day as a (cohort_day,
+    * day_offset) matrix — the retention curve every behavioral pipeline
+    * derives. Scale shape: reduce to (user, day) grain FIRST (one hash
+    * aggregate — the fact table is touched once), debut = min(day) per
+    * user (second agg on the SAME user_id key, so the exchange is
+    * reused), join back at user grain, and a final aggregation over the
+    * matrix cells (≤ days² rows). No window, no sort, no per-user
+    * sequence materialized. */
+  private val a21: Q = (s, d) => {
+    val byDay = Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val cohort = byDay.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    byDay.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a21_retention_cohorts" -> a21,
     "a20_funnel" -> a20,
     "a19_exact_by_day" -> a19x,
     "a19_sketch_rollup" -> a19,
@@ -336,6 +358,13 @@ object Aggregations {
   private val winnerRn = Domain.winnerRnSql
 
   val oracles: Map[String, String] = Map(
+    "a21_retention_cohorts" ->
+      """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | c AS (SELECT user_id, min(day) AS cohort_day FROM bd GROUP BY 1)
+        | SELECT c.cohort_day, CAST(bd.day - c.cohort_day AS BIGINT) AS day_offset,
+        |   count(*) AS n_users
+        | FROM bd JOIN c ON bd.user_id = c.user_id
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a20_funnel" -> {
       val clickBp = graft.functions.ExactRatio.scaledSql("n_click", "n_view", 10000L)
       val purchaseBp = graft.functions.ExactRatio.scaledSql("n_purchase", "n_view", 10000L)

@@ -130,11 +130,49 @@ object Profiling {
       .orderBy(col("column_name"), col("rnk"))
   }
 
+  /** PR5 — OUTLIER DAYS by an EXACT z-test: flag days whose event count
+    * sits more than 2 standard deviations from the daily mean, with zero
+    * floating point. |x − μ| > z·σ is squared and multiplied through by
+    * n², which cancels: (n·x − Σx)² > z²·(n·Σx² − (Σx)²) — every factor
+    * an integer, so both engines agree on the boundary exactly (a double
+    * stddev would flip borderline days between engines). Products ride
+    * DECIMAL(38,0)/HUGEINT so daily counts up to ~10¹² can't overflow.
+    * Scale shape: one agg to daily grain, a 3-value broadcast, a row-local
+    * predicate — the monitoring probe that decides whether an ingest day
+    * needs quarantining before it poisons a training mix. */
+  private val pr5: Q = (s, d) => {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("n_events")).cast(dec).as("sx"),
+      sum(col("n_events").cast(dec) * col("n_events")).as("sx2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("n") * col("n_events") - col("sx"))
+      .select(col("day"), col("n_events"),
+        (col("dev") * col("dev") >
+          lit(4) * (col("n") * col("sx2") - col("sx") * col("sx")))
+          .as("is_outlier"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
-    "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4)
+    "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
+    "pr5_outlier_days" -> pr5)
 
   val oracles: Map[String, String] = Map(
+    "pr5_outlier_days" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |   FROM events GROUP BY 1),
+        | st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   CAST(sum(n_events) AS HUGEINT) AS sx,
+        |   sum(CAST(n_events AS HUGEINT) * n_events) AS sx2 FROM daily)
+        | SELECT day, n_events,
+        |   (n * n_events - sx) * (n * n_events - sx)
+        |     > 4 * (n * sx2 - sx * sx) AS is_outlier
+        | FROM daily, st ORDER BY day""".stripMargin,
     "pr4_heavy_hitters" -> {
       val pairs = HhCols.map(c =>
         s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value FROM lineitem")

@@ -241,6 +241,69 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.exceptAll(q("px2_stratified_sample")).count() === 0L)
   }
 
+  test("px10 split partitions the corpus; exact dups never straddle splits") {
+    val out = q("px10_group_split").cache()
+    assert(out.count() === Tables.documents(spark, sf).count())
+    assert(out.filter(!col("split").isInCollection(Seq("train", "val", "test")))
+      .count() === 0L)
+    // one split per group key — the leakage guard itself
+    val straddle = out.groupBy("group_key")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .filter(col("k") > 1)
+    assert(straddle.count() === 0L)
+    // proportions near 80/10/10 (hash draw; generous CI bounds)
+    val n = out.count().toDouble
+    val train = out.filter(col("split") === "train").count() / n
+    assert(train > 0.70 && train < 0.90, s"train rate $train")
+    out.unpersist()
+  }
+
+  test("groupSplit at near-dup grain keeps whole d6 clusters in one split") {
+    // the variant with no SQL oracle: key = the cluster id, so every
+    // member of a near-dup cluster (not just byte-identical copies)
+    // lands in the same split — eval can't see a paraphrase of train
+    val clustered = q("d6_neardup_clusters").select("doc_id", "cluster_id")
+    val split = functions.TextQueries.groupSplit(clustered, col("cluster_id"))
+    val straddle = split.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("k"))
+      .filter(col("k") > 1)
+    assert(straddle.count() === 0L)
+    assert(split.count() === clustered.count())
+  }
+
+  test("a21 retention: offset-0 row per cohort equals cohort size, monotone bound") {
+    val out = q("a21_retention_cohorts").cache()
+    // every cohort has a day-0 row and no later offset exceeds it
+    val d0 = out.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_users").as("n0"))
+    assert(d0.count() === out.select("cohort_day").distinct().count())
+    val bad = out.join(d0, "cohort_day").filter(col("n_users") > col("n0"))
+    assert(bad.count() === 0L)
+    // day-0 cohort sizes sum to the distinct-user population
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val sum0 = d0.agg(org.apache.spark.sql.functions.sum("n0")).head().getLong(0)
+    assert(sum0 === users)
+    out.unpersist()
+  }
+
+  test("pr5 outliers agree with a driver-side exact recomputation") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val n = BigInt(daily.length); val sx = daily.map(d => BigInt(d._2)).sum
+    val sx2 = daily.map(d => BigInt(d._2) * d._2).sum
+    val expect = daily.map { case (d, x) =>
+      d -> ((n * x - sx).pow(2) > 4 * (n * sx2 - sx * sx))
+    }.toMap
+    val got = q("pr5_outlier_days").collect()
+      .map(r => r.getDate(0).toString -> r.getBoolean(2)).toMap
+    assert(got === expect)
+    assert(got.values.exists(identity), "fixture should contain >=1 outlier day")
+  }
+
   test("px3 token budget: per-source cumulative totals never exceed the cap") {
     val df = q("px3_token_budget")
     assert(df.filter(col("cum_tokens") > 2000L).count() === 0L)

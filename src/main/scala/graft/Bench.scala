@@ -6,16 +6,18 @@ object Bench {
     * CalibRefSec / calib_sec — a judge/driver comparing rounds divides out
     * machine drift arithmetically instead of guessing (VERDICT r5 item 2:
     * the 2x perf gate was hostage to 2-3x cross-session VM variance). */
-  private val CalibRefSec = 4.13
+  private val CalibRefSec = 2.0
 
   /** Code-independent micro-workload: shuffle + sort + agg over a generated
     * range — touches codegen, hash-agg, exchange, and TakeOrdered, the same
     * machinery the real queries run on, but depends on NO graft operator,
-    * so its time moves only when the machine does. Three runs, min taken
-    * (min is the contention-robust estimator of machine speed). */
+    * so its time moves only when the machine does. One UNTIMED warmup run
+    * first (the probe must not charge its own codegen/JIT to the machine —
+    * a cold first call measured 2x a warmed one), then three timed runs,
+    * min taken (min is the contention-robust estimator of machine speed). */
   private def calibrate(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions._
-    (1 to 3).map { _ =>
+    def run(): Double = {
       val t0 = System.nanoTime()
       spark.range(20000000L)
         .select((col("id") * 2654435761L % 1048576L).as("k"), col("id"))
@@ -23,7 +25,9 @@ object Bench {
         .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
         .orderBy(col("s").desc).limit(100).collect()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+    run() // warmup, discarded
+    (1 to 3).map(_ => run()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -49,9 +53,13 @@ object Bench {
         try SparkEntry.queries(w)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
       }
-    // calibration brackets the run (machine speed can drift mid-run);
-    // the slower probe is the honest divisor — contention that slowed the
-    // queries should not be normalized away by a lucky quiet-window probe
+    // calibration brackets the run (machine speed can drift mid-run).
+    // min of the two probes: the probe estimates the VM's steady speed for
+    // CROSS-SESSION normalization, and transient contention/GC can only
+    // inflate a probe, never deflate it — max would let one unlucky probe
+    // (e.g. right after a heavy query's GC) overstate the whole session's
+    // slowness (measured: 5.1 s probe after the ANN harness vs 2.0 s
+    // steady on the same VM)
     val calibBefore = calibrate(spark)
     val results = chosen.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -59,7 +67,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val calibAfter = calibrate(spark)
-    val calib = math.max(calibBefore, calibAfter)
+    val calib = math.min(calibBefore, calibAfter)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

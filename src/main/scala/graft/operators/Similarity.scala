@@ -400,7 +400,33 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** X6 — EMBEDDING-LEVEL EVAL DECONTAMINATION: flag every eval-split
+    * vector whose cosine to ANY train-split vector reaches the near-dup
+    * threshold — the semantic counterpart of px4's n-gram decontamination
+    * (paraphrases share no shingles but do share an embedding
+    * neighborhood). The split is the deterministic vec_id parity (any
+    * real pipeline substitutes its px10 group split); candidates are
+    * label-blocked exactly like d5, so the join is Σ|cell_train|·|cell_eval|
+    * within blocks, never train×eval. Output is per-eval-vector: how many
+    * train contaminants and the worst cosine — the report an eval curator
+    * acts on. */
+  private val x6: Q = (s, d) => {
+    val v = vecs(s, d)
+    val train = v.filter(col("vec_id") % 2 === 0)
+      .select(col("label"), col("v").as("tv"), col("norm").as("tnorm"))
+    val eval_ = v.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    eval_.join(train, Seq("label"))
+      .withColumn("cos",
+        round(dot(col("v"), col("tv")) / (col("norm") * col("tnorm")), 4))
+      .filter(col("cos") >= 0.35)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_contaminants"), max(col("cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x6_embed_decontam" -> x6,
     "x1_knn_bruteforce" -> x1,
     "x2_ann_lsh" -> x2,
     "x2b_ann_multiprobe" -> x2b,
@@ -569,6 +595,20 @@ object Similarity {
     oraclesBase + ("x4_ann_recall" -> x4Sql)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "x6_embed_decontam" ->
+      """WITH v0 AS (SELECT vec_id, label,
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | v AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm
+        |  FROM v0),
+        | t AS (SELECT label, v AS tv, norm AS tnorm FROM v WHERE vec_id % 2 = 0),
+        | e AS (SELECT vec_id, label, v, norm FROM v WHERE vec_id % 2 = 1),
+        | c AS (SELECT e.vec_id,
+        |   round(list_sum(list_transform(range(len(e.v)), i -> e.v[i+1] * t.tv[i+1]))
+        |     / (e.norm * t.tnorm), 4) AS cos
+        |  FROM e JOIN t ON e.label = t.label)
+        | SELECT vec_id, count(*) AS n_contaminants, max(cos) AS max_cos
+        | FROM c WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "x1_knn_bruteforce" ->
       s"""WITH $vCte,
          | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM v WHERE vec_id < 5),

@@ -241,6 +241,28 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.exceptAll(q("px2_stratified_sample")).count() === 0L)
   }
 
+  test("x6 decontamination flags exactly the eval vectors with a near train vector") {
+    val out = q("x6_embed_decontam").cache()
+    // every flagged vector is eval-split with a genuine contamination count
+    assert(out.filter(col("vec_id") % 2 === 0).count() === 0L)
+    assert(out.filter(col("n_contaminants") < 1 || col("max_cos") < 0.35).count() === 0L)
+    // completeness against the d5 pair relation restricted to cross-split
+    // pairs within the threshold: exactly the same eval-vector set
+    val d5x = q("d5_embedding_neardup")
+      .select(col("v1"), col("v2"))
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("e", "t")
+      .filter(col("e") % 2 === 1 && col("t") % 2 === 0)
+      .select(col("e")).distinct()
+    val flagged = out.select(col("vec_id")).distinct()
+    assert(flagged.exceptAll(d5x).count() === 0L)
+    assert(d5x.exceptAll(flagged).count() === 0L)
+    out.unpersist()
+  }
+
   test("px10 split partitions the corpus; exact dups never straddle splits") {
     val out = q("px10_group_split").cache()
     assert(out.count() === Tables.documents(spark, sf).count())

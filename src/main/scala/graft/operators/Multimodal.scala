@@ -201,6 +201,8 @@ object Multimodal {
       while (out.isEmpty && i + 3 < b.length) {
         if (u8(i) != 0xFF) out = Some(bad(Some("jpg"), f"jpg: expected marker at $i, got 0x${u8(i)}%02X"))
         else u8(i + 1) match {
+          case 0xFF => i += 1 // fill byte (spec allows FF padding before a marker)
+          case 0x01 => i += 2 // TEM, standalone
           case m if m >= 0xD0 && m <= 0xD9 => i += 2 // standalone RSTn/EOI
           case 0xDA => out = Some(bad(Some("jpg"), "jpg: hit SOS before any SOF header"))
           case m =>

@@ -89,6 +89,10 @@ class MultimodalSpec extends SparkSpec {
     assert(r.err.isEmpty)
     assert((r.format, r.width, r.height, r.bit_depth) ===
       ((Some("jpg"), Some(770), Some(256), Some(12))))
+    // FF fill bytes before a marker are legal padding, not a segment
+    val padded = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF).map(_.toByte) ++ com.drop(1) ++ sof2
+    val r2 = operators.Multimodal.decodeHeader(10L, padded)
+    assert(r2.err.isEmpty && r2.width === Some(770))
   }
 
   test("mm4 resize plan: long side pinned to 224, aspect preserved within rounding") {

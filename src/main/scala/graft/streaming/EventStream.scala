@@ -306,6 +306,22 @@ object EventStream {
     }
   }
 
+  /** TIME-TRAVEL read: the leaderboard as of a specific committed version
+    * (its foreachBatch batchId) — the reproducibility contract for a
+    * consumer that pins a data version (a training run that must see the
+    * exact store it saw yesterday). Only RETAINED versions are readable:
+    * the refresh keeps the current and previous version (older ones are
+    * pruned after commit), so an unpinned version fails loudly with the
+    * retained set instead of silently reading a reused directory. */
+  def leaderboardAt(s: SparkSession, storeDir: String, version: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val retained = leaderboardVersions(fs, storeDir)
+    require(retained.contains(version),
+      s"version $version not retained (have: ${retained.mkString(", ")})")
+    s.read.parquet(s"$storeDir/v=$version")
+  }
+
   /** CONTINUOUS INCREMENTAL LEADERBOARD — the serving composition of
     * Pipelines.mergeLeaderboard: each micro-batch of commits folds into
     * the stored leaderboard via the partial-agg merge, so the store is

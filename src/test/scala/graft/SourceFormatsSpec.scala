@@ -21,6 +21,17 @@ class SourceFormatsSpec extends SparkSpec {
     assert(h(back) === h(src))
   }
 
+  test("relations round-trip through ORC losslessly") {
+    val dir = tmp("graft_orc")
+    val src = Domain.commits(spark, sf)
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.exceptAll(src).count() === 0L)
+    assert(src.exceptAll(back).count() === 0L)
+    // ORC carries its own schema: no explicit schema needed, types survive
+    assert(back.schema === src.schema)
+  }
+
   test("scalar relations round-trip through CSV with explicit schema") {
     val dir = tmp("graft_csv")
     val src = Domain.commits(spark, sf)

@@ -282,6 +282,15 @@ class PipelinesSpec extends SparkSpec {
       EventStream.applyLeaderboardBatch(replay, s"$dir/store", 1L)
       EventStream.applyLeaderboardBatch(replay, s"$dir/store", 0L)
       assert(store() === expected)
+      // TIME TRAVEL: the previous retained version is readable and equals
+      // the store as of batch 0; unpinned versions fail loudly
+      val v0 = EventStream.leaderboardAt(spark, s"$dir/store", 0L)
+        .orderBy("leader_key_address").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(v0 === Seq((1L, 2L, 125L), (2L, 1L, 50L)))
+      intercept[IllegalArgumentException] {
+        EventStream.leaderboardAt(spark, s"$dir/store", 99L)
+      }
     } finally q.stop()
   }
 

@@ -262,6 +262,40 @@ object Pipelines {
     dataFileCount(df.sparkSession, outDir)
   }
 
+  /** ZONE MAP: one row per data file with the min/max of `key` — the
+    * manifest a scan planner consults to open only files intersecting a
+    * predicate range. Parquet footers already carry these stats, but at
+    * 100 TB with millions of files the planner-side cost is LISTING and
+    * opening every footer; a zone-map relation makes file pruning one
+    * metadata-sized read (what table formats call manifest pruning).
+    * Built in one scan, written under `_zonemap` (underscore-prefixed —
+    * invisible to normal parquet discovery of the same dir). Most useful
+    * over [[writeClustered]]/[[writeZClusteredN]] output, where per-file
+    * ranges are disjoint and a range predicate touches few files. */
+  def buildZoneMap(s: SparkSession, dir: String, key: String): Unit =
+    s.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(key)).as("min_key"), max(col(key)).as("max_key"))
+      .write.mode("overwrite").parquet(s"$dir/_zonemap")
+
+  /** Range read through the zone map: read exactly the files whose
+    * [min, max] intersects [lo, hi], then apply the residual predicate.
+    * The only driver-side materialization is the matching FILE LIST
+    * (metadata-sized); non-matching files are never listed to the reader,
+    * never opened. Result rows are identical to a full-scan filter —
+    * IngestSpec proves equality and counts the files actually touched. */
+  def zoneMapRead(s: SparkSession, dir: String, key: String,
+                  lo: Long, hi: Long): DataFrame = {
+    val files = s.read.parquet(s"$dir/_zonemap")
+      .filter(col("max_key") >= lo && col("min_key") <= hi)
+      .select(col("file")).collect().map(_.getString(0))
+    if (files.isEmpty)
+      s.read.parquet(dir).filter(lit(false))
+    else
+      s.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(key).between(lo, hi))
+  }
+
   /** Full-series burnFeeArea page (VERDICT r5 item 5): the reference's
     * burnFeeArea emits EVERY miner's series (mining_monitor_rpc.js:46-113);
     * [[dashboard]] bounds its inline copy to the top-10 miners, correct at

@@ -166,6 +166,29 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === rows.count())
   }
 
+  test("zone-map read equals the full-scan filter while touching fewer files") {
+    val out = tmpDir("zonemap").resolve("t").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val nFiles = Pipelines.writeClustered(docs, "doc_id", 8, out)
+    assert(nFiles >= 4)
+    Pipelines.buildZoneMap(spark, out, "doc_id")
+    // zone map is invisible to a normal read of the same dir
+    assert(spark.read.parquet(out).count() === docs.count())
+    val (lo, hi) = (10L, 40L)
+    val pruned = Pipelines.zoneMapRead(spark, out, "doc_id", lo, hi)
+    val full = spark.read.parquet(out).filter(col("doc_id").between(lo, hi))
+    assert(pruned.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(pruned).count() === 0L)
+    // the clustered layout makes the range touch a strict subset of files
+    val touched = spark.read.parquet(s"$out/_zonemap")
+      .filter(col("max_key") >= lo && col("min_key") <= hi).count()
+    assert(touched < nFiles, s"expected pruning, touched $touched of $nFiles")
+    // an empty range reads zero files and zero rows, schema intact
+    val none = Pipelines.zoneMapRead(spark, out, "doc_id", -100L, -50L)
+    assert(none.count() === 0L)
+    assert(none.columns.toSet === Set("doc_id", "text"))
+  }
+
   test("writeZClusteredN rejects null keys loudly") {
     val withNulls = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"),

@@ -366,7 +366,32 @@ object TextQueries {
       .select(col("doc_id"), col("group_key"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** PX11 — SEQUENCE PACKING: assign documents to fixed-token-budget
+    * training bins (the pack-into-2048-token-sequences step every
+    * pretraining pipeline runs between filtering and tokenized shards).
+    * Greedy order-preserving concatenation at doc granularity: each doc's
+    * bin is its START offset in the per-source token stream divided by
+    * the budget — docs are never reordered, and a doc straddling a
+    * boundary belongs to the bin it starts in (the tokenizer's splitter
+    * handles intra-doc splits downstream). One window per source
+    * partition (px3's shape — partitions stay source-sized); emits the
+    * offset so a shard writer can seek without recomputing. */
+  private val PackBudget = 2048L
+  private val px11: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("stream_end", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("stream_end") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $PackBudget").as("bin_idx"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "px11_sequence_pack" -> px11,
     "px10_group_split" -> px10,
     "px6_mixture_sample" -> px6,
     "px9_temperature_mix" -> px9,
@@ -464,6 +489,17 @@ object TextQueries {
          | SELECT b.doc_id, b.source, rates.rate_256
          | FROM b JOIN rates ON b.source = rates.source
          | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
+    "px11_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |   FROM documents),
+         | c AS (SELECT doc_id, source, n_tokens,
+         |   CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS stream_end
+         |  FROM t)
+         | SELECT doc_id, source, n_tokens,
+         |   stream_end - n_tokens AS start_offset,
+         |   (stream_end - n_tokens) // $PackBudget AS bin_idx
+         | FROM c ORDER BY source, doc_id""".stripMargin,
     "px10_group_split" ->
       """WITH g AS (SELECT doc_id, md5(text) AS group_key FROM documents),
         | b AS (SELECT doc_id, group_key,

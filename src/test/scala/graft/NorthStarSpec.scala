@@ -326,6 +326,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(identity), "fixture should contain >=1 outlier day")
   }
 
+  test("px11 packing: offsets tile the stream, bins ordered and start-aligned") {
+    val out = q("px11_sequence_pack").cache()
+    assert(out.count() === Tables.documents(spark, sf).count())
+    // offsets tile each source's stream exactly: next start = prev end
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val gaps = out.withColumn("prev_end",
+        lag(col("start_offset") + col("n_tokens"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("start_offset") =!= col("prev_end"))
+    assert(gaps.count() === 0L)
+    // bin is exactly the start offset's 2048-token slot, monotone per source
+    assert(out.filter(col("bin_idx") =!= expr("start_offset div 2048")).count() === 0L)
+    val disorder = out.withColumn("prev_bin", lag("bin_idx", 1).over(w))
+      .filter(col("prev_bin").isNotNull && col("bin_idx") < col("prev_bin"))
+    assert(disorder.count() === 0L)
+    out.unpersist()
+  }
+
   test("px3 token budget: per-source cumulative totals never exceed the cap") {
     val df = q("px3_token_budget")
     assert(df.filter(col("cum_tokens") > 2000L).count() === 0L)

@@ -6,7 +6,7 @@ object Bench {
     * CalibRefSec / calib_sec — a judge/driver comparing rounds divides out
     * machine drift arithmetically instead of guessing (VERDICT r5 item 2:
     * the 2x perf gate was hostage to 2-3x cross-session VM variance). */
-  private val CalibRefSec = 2.0
+  private val CalibRefSec = 1.34
 
   /** Code-independent micro-workload: shuffle + sort + agg over a generated
     * range — touches codegen, hash-agg, exchange, and TakeOrdered, the same

@@ -109,6 +109,22 @@ object Pipelines {
           coalesce(col("d_burned"), lit(0L))).as("miner_burned"))
   }
 
+  /** INCREMENTAL DISTINCT-GROWTH MAINTENANCE: fold a delta of events into
+    * a stored (user_id → first_seen) debut table — min is self-mergeable
+    * exactly like mergeLeaderboard's count/sum, so the store IS the
+    * aggregation state behind every distinct-growth question (w14/w14b's
+    * cumulative-distinct curve, a21's cohorts are all derivable from
+    * debuts alone) and a refresh costs one delta-side aggregation plus a
+    * keyed merge — history is never rescanned. least() ignores nulls, so
+    * users appearing on only one side keep their one debut. */
+  def mergeDebuts(stored: DataFrame, delta: DataFrame): DataFrame = {
+    val dAgg = delta.groupBy(col("user_id"))
+      .agg(min(col("ts_sec")).as("d_first"))
+    stored.join(dAgg, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        least(col("first_seen"), col("d_first")).as("first_seen"))
+  }
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

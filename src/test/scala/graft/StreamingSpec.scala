@@ -237,6 +237,24 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeDebuts: stored first-seen + delta equals the full recompute") {
+    val secs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_sec"))
+    val cutoff = secs.agg(expr("percentile_approx(ts_sec, 0.5)")).head().getLong(0)
+    def debuts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id")).agg(min(col("ts_sec")).as("first_seen"))
+    val stored = debuts(secs.filter(col("ts_sec") <= cutoff))
+    val delta = secs.filter(col("ts_sec") > cutoff)
+    val merged = Pipelines.mergeDebuts(stored, delta)
+    val full = debuts(secs)
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+    // delta-only users appear; both-sides users keep the older debut;
+    // an empty delta is a no-op
+    val noop = Pipelines.mergeDebuts(full, delta.filter(lit(false)))
+    assert(noop.exceptAll(full).isEmpty && full.exceptAll(noop).isEmpty)
+  }
+
   test("mergeLeaderboard: stored state + delta equals the full recompute") {
     val commits = Domain.commits(spark, sf)
     val cut = 500L

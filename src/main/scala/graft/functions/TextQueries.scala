@@ -390,7 +390,45 @@ object TextQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** PX12 — DOCUMENT CHUNKING: split every document into overlapping
+    * token windows (chunk 128, stride 96 → 32-token overlap) — the
+    * passage-splitting step in front of every embedding/RAG indexer and
+    * the long-document half of sequence preparation. Entirely row-local
+    * (sequence → explode → slice: the chunk grid is metadata arithmetic,
+    * the slice touches only that chunk's tokens); emits the chunk's token
+    * count and md5 rather than raw text, so the gate compares content
+    * without nested columns. Every doc yields ≥1 chunk (short docs are
+    * one whole-doc chunk); consecutive chunks share exactly
+    * chunk − stride tokens. */
+  private[graft] val ChunkTokens = 128
+  private[graft] val ChunkStride = 96
+
+  /** The chunking core over any (doc_id, text) frame — reused by px12 and
+    * the multi-chunk overlap spec (the corpus's docs are mostly shorter
+    * than one chunk, so the spec plants long synthetic docs). */
+  def chunked(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"), col("tk"))
+      // chunk starts: 0, stride, 2·stride, … up to the FIRST grid point
+      // whose window reaches the doc's end — ⌈(n − chunk)/stride⌉ extra
+      // chunks; a later start would be a tail fully contained in the
+      // previous window (redundant for any retrieval consumer)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0L), expr(s"(greatest(n_tokens - $ChunkTokens, 0) " +
+            s"+ ${ChunkStride - 1}) div $ChunkStride")),
+          i => slice(col("tk"), i * ChunkStride + 1, lit(ChunkTokens)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        size(col("col")).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", col("col"))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val px12: Q = (s, d) =>
+    chunked(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
   val queries: Map[String, Q] = Map(
+    "px12_chunking" -> px12,
     "px11_sequence_pack" -> px11,
     "px10_group_split" -> px10,
     "px6_mixture_sample" -> px6,
@@ -489,6 +527,19 @@ object TextQueries {
          | SELECT b.doc_id, b.source, rates.rate_256
          | FROM b JOIN rates ON b.source = rates.source
          | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
+    "px12_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         | n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+         | g AS (SELECT doc_id, tk,
+         |   unnest(range(0, (greatest(n_tokens - $ChunkTokens, 0) + ${ChunkStride - 1})
+         |     // $ChunkStride + 1)) AS cidx
+         |  FROM n)
+         | SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+         |   CAST(len(list_slice(tk, cidx * $ChunkStride + 1,
+         |     cidx * $ChunkStride + $ChunkTokens)) AS BIGINT) AS chunk_tokens,
+         |   md5(array_to_string(list_slice(tk, cidx * $ChunkStride + 1,
+         |     cidx * $ChunkStride + $ChunkTokens), ' ')) AS chunk_md5
+         | FROM g ORDER BY doc_id, chunk_idx""".stripMargin,
     "px11_sequence_pack" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |   FROM documents),

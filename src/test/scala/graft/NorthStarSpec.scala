@@ -326,6 +326,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(identity), "fixture should contain >=1 outlier day")
   }
 
+  test("px12 chunking: grid coverage, exact overlap, short docs whole") {
+    val s2 = spark
+    import s2.implicits._
+    // a 300-token doc must yield chunks at starts 0/96/192 with the exact
+    // 32-token overlaps; a 5-token doc is one whole-doc chunk
+    val words = (0 until 300).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val out = functions.TextQueries.chunked(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq ===
+      Seq((0L, 128L), (1L, 128L), (2L, 108L)))
+    def md5Of(xs: Seq[String]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(xs.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d1.map(_._4).toSeq === Seq(
+      md5Of(words.slice(0, 128)), md5Of(words.slice(96, 224)),
+      md5Of(words.slice(192, 300))))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._3 === 5L)
+    // corpus entry: one row minimum per doc, never zero
+    val perDoc = q("px12_chunking").groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") < 1).count() === 0L)
+    assert(perDoc.count() === Tables.documents(spark, sf).count())
+  }
+
   test("px11 packing: offsets tile the stream, bins ordered and start-aligned") {
     val out = q("px11_sequence_pack").cache()
     assert(out.count() === Tables.documents(spark, sf).count())

@@ -207,6 +207,21 @@ object RelationalCore {
         col("c.vtxindex").as("vtxindex"), col("c.burn_fee").as("burn_fee"))
       .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
 
+  /** R5 — UNPIVOT/melt (§2.9's remaining reshape primitive next to a17's
+    * pivot, a18's cube, r1's unnest): the wide per-commit numeric columns
+    * to (key, metric, value) long form via `stack` — one generator pass,
+    * row-local, no shuffle; the shape profilers and metric stores ingest.
+    * Values ride the shared integer-scaling conventions so both engines
+    * emit identical longs. */
+  private val r5: Q = (s, d) =>
+    Tables.lineitem(s, d).selectExpr(
+      "l_orderkey AS height", "l_linenumber AS vtxindex",
+      "stack(3, " +
+        "'discount_bp', CAST(round(l_discount * 10000) AS BIGINT), " +
+        "'fee', CAST(round(l_extendedprice) AS BIGINT), " +
+        "'quantity', CAST(l_quantity AS BIGINT)) AS (metric, value_scaled)")
+      .orderBy(col("height"), col("vtxindex"), col("metric"))
+
   /** J13 — RANGE (interval-overlap) JOIN: urgent-order promotion windows
     * [o_orderdate, +14 d) matched against every lineitem shipped inside
     * them, aggregated per window. A raw inequality join has no equi-key, so
@@ -284,6 +299,7 @@ object RelationalCore {
     "j10_ops_by_block" -> j10,
     "j11_stage_compare" -> j11,
     "r1_explode_commits" -> r1,
+    "r5_unpivot" -> r5,
     "s2_sorted_scan" -> s2,
     "s9_top10" -> s9,
     "s11_filtered_scan" -> s11,
@@ -341,6 +357,17 @@ object RelationalCore {
         |      (SELECT max(o_orderkey) AS remote_height FROM orders) r""".stripMargin,
     "r1_explode_commits" ->
       s"SELECT l_orderkey AS stacks_block_height, l_linenumber AS vtxindex, $fee AS burn_fee FROM lineitem ORDER BY 1, 2, 3",
+    "r5_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey AS height, l_linenumber AS vtxindex,
+        |    'discount_bp' AS metric, CAST(round(l_discount * 10000) AS BIGINT) AS value_scaled
+        |  FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'fee',
+        |    CAST(round(l_extendedprice) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'quantity',
+        |    CAST(l_quantity AS BIGINT) FROM lineitem)
+        | SELECT height, vtxindex, metric, value_scaled FROM u
+        | ORDER BY height, vtxindex, metric""".stripMargin,
     "s2_sorted_scan" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey DESC",
     "s9_top10" ->

@@ -31,7 +31,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.Profiling.queries ++
-      plans.ForkWalk.queries
+      plans.ForkWalk.queries ++
+      plans.PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Profiling.oracles ++
-      plans.ForkWalk.oracles
+      plans.ForkWalk.oracles ++
+      plans.PageRank.oracles
 }

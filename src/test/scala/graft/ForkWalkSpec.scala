@@ -125,6 +125,34 @@ class ForkWalkSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("g3 pagerank: star-graph golden values, hand-computed integer rounds") {
+    val sp = spark
+    import sp.implicits._
+    // K1,3 star, undirected (both directions per edge). Hand arithmetic:
+    //   r0: all 1000
+    //   round 1: center ← 3·round(1000/1) = 3000 → 150 + round(17·3000/20) = 2700
+    //            leaf   ← round(1000/3) = 333    → 150 + round(17·333/20)  = 433
+    //   round 2: center ← 3·round(433/1) = 1299  → 150 + round(17·1299/20) = 1254
+    //            leaf   ← round(2700/3) = 900    → 150 + round(17·900/20)  = 915
+    val half = Seq(("hub", "a"), ("hub", "b"), ("hub", "c")).toDF("u", "v")
+    val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+    val got = plans.PageRank.ranksOf(e, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("hub" -> 1254L, "a" -> 915L, "b" -> 915L, "c" -> 915L))
+  }
+
+  test("g3 on testdata: suppliers out-rank customers, damping floor holds") {
+    val top = q("g3_pagerank").collect()
+    assert(top.length === 50)
+    // the hub side of the bipartite graph (few suppliers, many customers)
+    // must own the top rank, and no rank can fall below the 150 floor
+    assert(top.head.getString(0).startsWith("s"))
+    assert(top.forall(_.getLong(1) >= 150L))
+    // descending with deterministic tie-break
+    val ranks = top.map(_.getLong(1)).toSeq
+    assert(ranks === ranks.sorted.reverse)
+  }
+
   test("p2 keeps exactly the suffix above the newest broken link") {
     val kept = q("p2_chain_filter")
     val all = ForkWalk.linkTable(spark, sf)

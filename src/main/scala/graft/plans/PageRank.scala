@@ -71,7 +71,37 @@ object PageRank {
       .orderBy(col("rank_milli").desc, col("node"))
       .limit(Top)
 
-  val queries: Map[String, Q] = Map("g3_pagerank" -> g3)
+  /** G4 — TRIANGLE COUNT over the supplier co-part graph (suppliers are
+    * adjacent iff some part flows through both): the density/community
+    * probe of graph curation, and the canonical distributed-graph scale
+    * pattern — edges are ORDERED (a < b), so each triangle (a < b < c) is
+    * generated exactly once by two equi-joins (wedges a–b–c closed by the
+    * a–c edge) and no node ever enumerates its full neighborhood twice.
+    * Cost at 100 TB: one shuffle per join at edge grain; the ordering
+    * halves the wedge count and removes the 6× duplicate triangles a
+    * naive closed-walk count produces. Summary row: nodes, edges,
+    * triangles — the global clustering shape. */
+  private val g4: Q = (s, d) => {
+    val sp = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val e = sp.as("x").join(sp.as("y"), col("x.pk") === col("y.pk"))
+      .filter(col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.as("w").join(e.as("e3"),
+      col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = e.select(col("a").as("n")).unionByName(e.select(col("b").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+  }
+
+  val queries: Map[String, Q] = Map("g3_pagerank" -> g3, "g4_triangle_count" -> g4)
 
   /** The identical rounds as unrolled CTE layers — generated from the same
     * Iters/ExactRatio definitions the Spark loop uses. */
@@ -97,5 +127,17 @@ object PageRank {
        | ORDER BY rank_milli DESC, node LIMIT $Top""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("g3_pagerank" -> pagerankSql)
+  val oracles: Map[String, String] = Map(
+    "g3_pagerank" -> pagerankSql,
+    "g4_triangle_count" ->
+      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        | e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
+        |   FROM sp x JOIN sp y ON x.pk = y.pk WHERE x.sk < y.sk),
+        | tri AS (SELECT count(*) AS n_triangles
+        |   FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |   JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+        | nn AS (SELECT count(*) AS n_nodes FROM
+        |   (SELECT a AS n FROM e UNION SELECT b FROM e)),
+        | ne AS (SELECT count(*) AS n_edges FROM e)
+        | SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin)
 }

@@ -153,6 +153,17 @@ class ForkWalkSpec extends SparkSpec {
     assert(ranks === ranks.sorted.reverse)
   }
 
+  test("g4 triangle count is positive and bounded by the wedge count") {
+    val r = q("g4_triangle_count").head()
+    val (nodes, edges, tris) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nodes > 0 && edges > 0)
+    // a triangle needs 3 edges; edges bound triangles by C(e, 3)-ish —
+    // use the tight practical bound: no more triangles than edge pairs
+    assert(tris >= 0 && tris <= edges * (edges - 1) / 2)
+    // supplier co-part graph at test scale is dense enough to close some
+    assert(tris > 0, "fixture graph should contain at least one triangle")
+  }
+
   test("p2 keeps exactly the suffix above the newest broken link") {
     val kept = q("p2_chain_filter")
     val all = ForkWalk.linkTable(spark, sf)

@@ -5,18 +5,30 @@ import graft.functions.ExactRatio
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** G3 — PAGERANK over the customer–supplier bipartite graph: iterative
-  * graph analytics beyond the fork-walk's path queries and the dedup
-  * layer's connected components (reach, importance, influence — the
-  * centrality question every entity-graph pipeline eventually asks).
+/** G3/G4 — graph analytics: PageRank centrality and triangle counting —
+  * the influence and community-density probes an entity-graph pipeline
+  * runs, beyond the fork-walk's path queries and the dedup layer's
+  * connected components.
+  *
+  * Substrate (the ForkWalk doctrine): the graph is DERIVED deterministically
+  * from a base table so both engines construct the identical edge set — a
+  * path-with-chords over the contiguous customer key space (edges k→k+1
+  * and k→k+2), sparse at every scale (degree ≤ 4), with a closed-form
+  * triangle count (N−2) the spec verifies exactly. The tempting "natural"
+  * graphs in this corpus fail at one scale or another: supplier co-part
+  * adjacency is measured COMPLETE at sf0.1 (C(1000,2) edges — wedge
+  * generation explodes), and user co-activity has zero triangles below
+  * sf0.1 (too sparse to gate). Picking the graph is part of designing the
+  * operator; [[ranksOf]] and the ordered-edge triangle pattern are
+  * graph-generic and spec-driven on independent fixtures.
   *
   * Scale shape: classic Pregel-as-joins. The degree-annotated edge list is
-  * materialized ONCE (localCheckpoint — every round reuses it, the same
-  * eager-round discipline as ForkWalk/connectedComponents); each of the
-  * fixed [[Iters]] rounds is one equi-join (rank → edges) and one
+  * materialized ONCE (localCheckpoint — every PageRank round reuses it,
+  * the same eager-round discipline as ForkWalk/connectedComponents); each
+  * of the fixed [[Iters]] rounds is one equi-join (rank → edges) and one
   * map-side-partial aggregation (contributions → nodes), so a round costs
   * one shuffle at edge grain and the loop never grows lineage. No
-  * driver-side graph state; node count never materializes on the driver.
+  * driver-side graph state.
   *
   * Determinism doctrine: ranks are MILLI-SCALED INTEGERS end to end —
   * init 1000/node, per-step contribution = round-half-up(r/deg) and
@@ -32,17 +44,22 @@ object PageRank {
   private[plans] val Iters = 5
   private val Top = 50
 
-  /** Undirected degree-annotated bipartite edges: customer c<id> — each
-    * supplier s<id> they ever bought from (both directions, distinct). */
-  private def edges(s: SparkSession, d: String): DataFrame = {
-    val e0 = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("u"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("v"))
-      .distinct()
-    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+  /** Ordered (a < b) path-with-chords edges over customer keys:
+    * k→k+1 and k→k+2 for every key with the neighbor in range. */
+  private def chordEdges(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.customer(s, d).agg(max(col("c_custkey")).cast("long").as("n"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("a"))
+      .crossJoin(broadcast(n))
+    c.filter(col("a") + 1L <= col("n"))
+      .select(col("a"), (col("a") + 1L).as("b"))
+      .unionByName(c.filter(col("a") + 2L <= col("n"))
+        .select(col("a"), (col("a") + 2L).as("b")))
   }
+
+  private def symmetric(e: DataFrame): DataFrame =
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
 
   /** Full node ranks after `iters` exact milli rounds over any undirected
     * edge frame (u, v) — the reusable core; the spec drives it on golden
@@ -65,31 +82,21 @@ object PageRank {
     rank.select(col("node"), col("r").as("rank_milli"))
   }
 
-  /** The top-[[Top]] ranked nodes after [[Iters]] exact milli rounds. */
+  /** G3 — the top-[[Top]] ranked nodes after [[Iters]] exact milli rounds. */
   private val g3: Q = (s, d) =>
-    ranksOf(edges(s, d))
+    ranksOf(symmetric(chordEdges(s, d)))
       .orderBy(col("rank_milli").desc, col("node"))
       .limit(Top)
 
-  /** G4 — TRIANGLE COUNT over the supplier co-part graph (suppliers are
-    * adjacent iff some part flows through both): the density/community
-    * probe of graph curation, and the canonical distributed-graph scale
-    * pattern — edges are ORDERED (a < b), so each triangle (a < b < c) is
-    * generated exactly once by two equi-joins (wedges a–b–c closed by the
-    * a–c edge) and no node ever enumerates its full neighborhood twice.
-    * Cost at 100 TB: one shuffle per join at edge grain; the ordering
-    * halves the wedge count and removes the 6× duplicate triangles a
-    * naive closed-walk count produces. Summary row: nodes, edges,
-    * triangles — the global clustering shape. */
+  /** G4 — TRIANGLE COUNT by the canonical distributed pattern: edges stay
+    * ORDERED (a < b), so each triangle (a < b < c) is generated exactly
+    * once by two equi-joins (wedges a–b–c closed by the a–c edge) and no
+    * node ever enumerates its full neighborhood twice; the ordering
+    * halves the wedge count and removes the 6× duplicates a closed-walk
+    * count produces. One summary row: nodes, edges, triangles (= N−2 on
+    * the chord graph — spec-pinned in closed form). */
   private val g4: Q = (s, d) => {
-    val sp = Tables.lineitem(s, d)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .distinct()
-    val e = sp.as("x").join(sp.as("y"), col("x.pk") === col("y.pk"))
-      .filter(col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("a"), col("y.sk").as("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val e = chordEdges(s, d).localCheckpoint(true)
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
     val tri = wedges.as("w").join(e.as("e3"),
@@ -102,6 +109,14 @@ object PageRank {
   }
 
   val queries: Map[String, Q] = Map("g3_pagerank" -> g3, "g4_triangle_count" -> g4)
+
+  private val edgeCte =
+    """nmax AS (SELECT CAST(max(c_custkey) AS BIGINT) AS n FROM customer),
+      | e0 AS (SELECT CAST(c_custkey AS BIGINT) AS a, CAST(c_custkey + 1 AS BIGINT) AS b
+      |   FROM customer, nmax WHERE c_custkey + 1 <= n
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey + 2 AS BIGINT)
+      |   FROM customer, nmax WHERE c_custkey + 2 <= n)""".stripMargin
 
   /** The identical rounds as unrolled CTE layers — generated from the same
     * Iters/ExactRatio definitions the Spark loop uses. */
@@ -116,10 +131,8 @@ object PageRank {
          |   CAST(150 + ${ExactRatio.scaledSql(s"17 * coalesce(s$k.sum_c, 0)", "20", 1L)} AS BIGINT) AS r
          |  FROM deg LEFT JOIN s$k ON deg.u = s$k.node)""".stripMargin
     }.mkString(",\n ")
-    s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
-       |     's' || CAST(l_suppkey AS VARCHAR) AS v
-       |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       | e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    s"""WITH $edgeCte,
+       | e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
        | deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
        | r0 AS (SELECT u AS node, CAST(1000 AS BIGINT) AS r FROM deg),
        | $layers
@@ -130,14 +143,12 @@ object PageRank {
   val oracles: Map[String, String] = Map(
     "g3_pagerank" -> pagerankSql,
     "g4_triangle_count" ->
-      """WITH sp AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-        | e AS (SELECT DISTINCT x.sk AS a, y.sk AS b
-        |   FROM sp x JOIN sp y ON x.pk = y.pk WHERE x.sk < y.sk),
-        | tri AS (SELECT count(*) AS n_triangles
-        |   FROM e e1 JOIN e e2 ON e1.b = e2.a
-        |   JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
-        | nn AS (SELECT count(*) AS n_nodes FROM
-        |   (SELECT a AS n FROM e UNION SELECT b FROM e)),
-        | ne AS (SELECT count(*) AS n_edges FROM e)
-        | SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin)
+      s"""WITH $edgeCte,
+         | tri AS (SELECT count(*) AS n_triangles
+         |   FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+         |   JOIN e0 e3 ON e1.a = e3.a AND e2.b = e3.b),
+         | nn AS (SELECT count(*) AS n_nodes FROM
+         |   (SELECT a AS n FROM e0 UNION SELECT b FROM e0)),
+         | ne AS (SELECT count(*) AS n_edges FROM e0)
+         | SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin)
 }

@@ -141,27 +141,29 @@ class ForkWalkSpec extends SparkSpec {
     assert(got === Map("hub" -> 1254L, "a" -> 915L, "b" -> 915L, "c" -> 915L))
   }
 
-  test("g3 on testdata: suppliers out-rank customers, damping floor holds") {
+  test("g3 on testdata: interior nodes out-rank path endpoints, floor holds") {
     val top = q("g3_pagerank").collect()
     assert(top.length === 50)
-    // the hub side of the bipartite graph (few suppliers, many customers)
-    // must own the top rank, and no rank can fall below the 150 floor
-    assert(top.head.getString(0).startsWith("s"))
-    assert(top.forall(_.getLong(1) >= 150L))
-    // descending with deterministic tie-break
+    val mm = Tables.customer(spark, sf)
+      .agg(min("c_custkey"), max("c_custkey")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // the path's boundary nodes (degree 2 or 3) can never out-rank every
+    // degree-4 interior node, so none of them may hold the top rank
+    assert(!Set(lo, lo + 1, hi - 1, hi).contains(top.head.getLong(0)))
+    assert(top.forall(_.getLong(1) >= 150L)) // damping floor
     val ranks = top.map(_.getLong(1)).toSeq
     assert(ranks === ranks.sorted.reverse)
   }
 
-  test("g4 triangle count is positive and bounded by the wedge count") {
+  test("g4 triangle count matches the chord graph's closed form exactly") {
     val r = q("g4_triangle_count").head()
     val (nodes, edges, tris) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    assert(nodes > 0 && edges > 0)
-    // a triangle needs 3 edges; edges bound triangles by C(e, 3)-ish —
-    // use the tight practical bound: no more triangles than edge pairs
-    assert(tris >= 0 && tris <= edges * (edges - 1) / 2)
-    // supplier co-part graph at test scale is dense enough to close some
-    assert(tris > 0, "fixture graph should contain at least one triangle")
+    // path-with-chords over N contiguous keys (0- or 1-based): N nodes,
+    // 2N−3 edges, one triangle per consecutive triple — exactly N−2
+    val n = Tables.customer(spark, sf).count()
+    assert(nodes === n)
+    assert(edges === 2 * n - 3)
+    assert(tris === n - 2)
   }
 
   test("p2 keeps exactly the suffix above the newest broken link") {

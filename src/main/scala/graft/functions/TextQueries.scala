@@ -427,7 +427,34 @@ object TextQueries {
   private val px12: Q = (s, d) =>
     chunked(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
+  /** PX13 — CORPUS-NOVELTY SCORING: per document, the share of its
+    * distinct shingles that also occur in at least one OTHER document
+    * (basis points). High = derivative/boilerplate/templated text (a
+    * memorization-risk and diversity signal the mixing stage weighs);
+    * low = novel content. The inverse question of tx6's fluency (common
+    * n-grams are GOOD there) — here commonality marks redundancy. Scale
+    * shape: shingle-grain document frequencies (one count shuffle with
+    * map-side partials), joined back at shingle grain, re-aggregated per
+    * doc — never doc×doc. Shingles are array_distinct'd per doc, so the
+    * (doc, shingle) stream is already unique and both counts are plain
+    * hash aggregates. */
+  private val px13: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"))).as("sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        ExactRatio.scaled(col("n_shared"), col("n_shingles"), 10000L)
+          .as("derivative_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "px13_novelty" -> px13,
     "px12_chunking" -> px12,
     "px11_sequence_pack" -> px11,
     "px10_group_split" -> px10,
@@ -527,6 +554,16 @@ object TextQueries {
          | SELECT b.doc_id, b.source, rates.rate_256
          | FROM b JOIN rates ON b.source = rates.source
          | WHERE b.bucket < rates.rate_256 ORDER BY b.doc_id""".stripMargin,
+    "px13_novelty" ->
+      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         | shd AS (SELECT doc_id, unnest($shinglesSql) AS sh FROM tk0),
+         | dfq AS (SELECT sh, count(*) AS n_docs FROM shd GROUP BY 1),
+         | j AS (SELECT shd.doc_id, dfq.n_docs FROM shd JOIN dfq ON shd.sh = dfq.sh)
+         | SELECT doc_id, count(*) AS n_shingles,
+         |   CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |   ${ExactRatio.scaledSql(
+                "sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)", "count(*)", 10000L)} AS derivative_bp
+         | FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "px12_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          | n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),

@@ -326,6 +326,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(identity), "fixture should contain >=1 outlier day")
   }
 
+  test("px13 novelty: exact dups score 10000 bp, bounds hold corpus-wide") {
+    val out = q("px13_novelty").cache()
+    assert(out.filter(col("derivative_bp") < 0 || col("derivative_bp") > 10000)
+      .count() === 0L)
+    assert(out.filter(col("n_shared") > col("n_shingles")).count() === 0L)
+    // any doc with an exact duplicate shares EVERY shingle → 10000 bp
+    val dups = q("d1_exact_dedup").filter(col("n_docs") >= 2)
+    val dupDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(dups.select("content_hash"), "content_hash")
+      .select("doc_id")
+    val bad = out.join(dupDocs, "doc_id").filter(col("derivative_bp") =!= 10000L)
+    assert(bad.count() === 0L)
+    out.unpersist()
+  }
+
   test("px12 chunking: grid coverage, exact overlap, short docs whole") {
     val s2 = spark
     import s2.implicits._

@@ -277,6 +277,48 @@ object EventStream {
       }
   }
 
+  /** One bucket's current heavy-hitter counters (descending by count). */
+  case class HeavyHitters(bucket: Int, users: Seq[Long], counts: Seq[Long])
+
+  /** STREAMING HEAVY HITTERS — pr4's skew probe as a continuous operator:
+    * per-bucket SPACE-SAVING counters (Metwally et al.) maintained in
+    * mapGroupsWithState. The key space is hash-bucketed so no single task
+    * owns the whole stream (the distributed heavy-hitter shape: local
+    * top-k per bucket, bounded merge at read time — a GLOBAL single-key
+    * state would be the one-task bottleneck). Each bucket keeps at most
+    * `cap` counters: a new key past the cap evicts the minimum counter
+    * and inherits its value + 1 — the classic overestimate bound (error ≤
+    * evicted min), and total counter mass stays EXACTLY the item count
+    * (spec-asserted). When a bucket's distinct keys fit the cap, counts
+    * are exact and equal the batch groupBy (spec-asserted). State is
+    * bounded by buckets × cap forever, independent of stream length. */
+  def streamingHeavyHitters(events: DataFrame, nBuckets: Int = 16,
+                            cap: Int = 32): Dataset[HeavyHitters] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id")).as[Long]
+      .groupByKey(u => (((u % nBuckets) + nBuckets) % nBuckets).toInt)
+      .mapGroupsWithState[Map[Long, Long], HeavyHitters](GroupStateTimeout.NoTimeout) {
+        (bkt, rows, state) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { u =>
+            m.get(u) match {
+              case Some(c) => m = m.updated(u, c + 1L)
+              case None if m.size < cap => m = m.updated(u, 1L)
+              case None =>
+                // evict the minimum counter (deterministic tie-break by
+                // key); the newcomer inherits min + 1 — space-saving's
+                // overestimate, which preserves total counter mass
+                val (mk, mv) = m.minBy { case (k, c) => (c, k) }
+                m = (m - mk).updated(u, mv + 1L)
+            }
+          }
+          state.update(m)
+          val top = m.toSeq.sortBy { case (k, c) => (-c, k) }
+          HeavyHitters(bkt, top.map(_._1), top.map(_._2))
+      }
+  }
+
   /** Committed store versions under `storeDir`, newest first. A version
     * counts only once its `_SUCCESS` marker exists — a crash mid-write
     * leaves a partial directory that is never read and is overwritten on

@@ -323,6 +323,62 @@ class PipelinesSpec extends SparkSpec {
   }
 }
 
+class StreamingHeavyHittersSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("exact when keys fit the cap; accumulates across batches") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[Long]
+    val q = EventStream.streamingHeavyHitters(
+        ms.toDF.toDF("user_id"), nBuckets = 4, cap = 8)
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode("update").start()
+    try {
+      val batch1 = Seq(1L, 2L, 1L, 5L, 1L, 2L, 9L)
+      val batch2 = Seq(1L, 5L, 5L, 13L)
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      // latest row per bucket = current counters; keys ≤ cap ⇒ exact
+      val latest = spark.table("hh_exact").collect()
+        .groupBy(_.getInt(0)).map { case (_, rs) => rs.last }
+      val counts = latest.flatMap { r =>
+        r.getSeq[Long](1).zip(r.getSeq[Long](2))
+      }.toMap
+      val expect = (batch1 ++ batch2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(counts === expect)
+    } finally q.stop()
+  }
+
+  test("over the cap: bounded counters, conserved mass, hot key on top") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val ms = MemoryStream[Long]
+    // one bucket (nBuckets = 1), cap 4: 10 distinct cold keys + 1 hot key
+    val q = EventStream.streamingHeavyHitters(
+        ms.toDF.toDF("user_id"), nBuckets = 1, cap = 4)
+      .writeStream.format("memory").queryName("hh_cap")
+      .outputMode("update").start()
+    try {
+      val hot = Seq.fill(20)(777L)
+      val cold = (1L to 10L)
+      ms.addData(new scala.util.Random(7).shuffle(hot ++ cold): _*)
+      q.processAllAvailable()
+      val r = spark.table("hh_cap").collect().last
+      val (users, counts) = (r.getSeq[Long](1), r.getSeq[Long](2))
+      assert(users.length <= 4, "state must stay within the cap")
+      // space-saving conserves total counter mass exactly
+      assert(counts.sum === (hot.size + cold.size).toLong)
+      // the genuinely hot key survives eviction and ranks first, with
+      // count >= its true frequency (overestimate-only error)
+      assert(users.head === 777L)
+      assert(counts.head >= 20L)
+    } finally q.stop()
+  }
+}
+
 class StreamingTrailingSpec extends SparkSpec {
 
   private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")

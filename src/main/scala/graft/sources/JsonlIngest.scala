@@ -82,4 +82,26 @@ object JsonlIngest {
     * is a different table, and this read fails loudly on one. */
   def readEvolved(s: SparkSession, dir: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(dir)
+
+  /** SCHEMA DRIFT report between two dataset versions: one row per column
+    * that was added, removed, or retyped from `oldDir` to `newDir` — the
+    * contract check an ingest pipeline runs BEFORE pointing readers at a
+    * new drop (readEvolved makes additions safe to read; a retype is a
+    * different table and must be caught loudly, not at job-failure depth
+    * inside a consumer). Metadata-only: reads two footers' schemas, never
+    * data. Empty result = fully compatible. */
+  def schemaDiff(s: SparkSession, oldDir: String, newDir: String): DataFrame = {
+    import s.implicits._
+    def fields(dir: String): Map[String, String] =
+      s.read.parquet(dir).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val (o, n) = (fields(oldDir), fields(newDir))
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c => (c, "added", null: String, n(c))) ++
+        (o.keySet -- n.keySet).toSeq.sorted.map(c => (c, "removed", o(c), null: String)) ++
+        (o.keySet & n.keySet).toSeq.sorted.collect {
+          case c if o(c) != n(c) => (c, "retyped", o(c), n(c))
+        }
+    rows.toDF("column_name", "change", "old_type", "new_type")
+  }
 }

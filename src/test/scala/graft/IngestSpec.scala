@@ -227,6 +227,21 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("schemaDiff reports added/removed/retyped columns, empty when identical") {
+    val sp = spark
+    import sp.implicits._
+    val v1 = tmpDir("sd1").resolve("t").toString
+    val v2 = tmpDir("sd2").resolve("t").toString
+    Seq((1L, "a", 2.0)).toDF("id", "text", "score")
+      .write.mode("overwrite").parquet(v1)
+    Seq((1L, 5L, "en")).toDF("id", "score", "lang") // text removed, lang added, score retyped
+      .write.mode("overwrite").parquet(v2)
+    val diff = sources.JsonlIngest.schemaDiff(spark, v1, v2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(diff === Set(("lang", "added"), ("text", "removed"), ("score", "retyped")))
+    assert(sources.JsonlIngest.schemaDiff(spark, v1, v1).count() === 0L)
+  }
+
   test("compact refuses overlapping input/output paths") {
     val in = tmpDir("cguard").resolve("t").toString
     Tables.documents(spark, sf).limit(10)

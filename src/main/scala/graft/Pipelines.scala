@@ -299,7 +299,10 @@ object Pipelines {
     * The only driver-side materialization is the matching FILE LIST
     * (metadata-sized); non-matching files are never listed to the reader,
     * never opened. Result rows are identical to a full-scan filter —
-    * IngestSpec proves equality and counts the files actually touched. */
+    * IngestSpec proves equality and counts the files actually touched.
+    * FLAT layouts only: reading a hive-partitioned dir by file list would
+    * drop the partition columns — partitioned relations already have
+    * PartitionFilters pruning and don't need this path. */
   def zoneMapRead(s: SparkSession, dir: String, key: String,
                   lo: Long, hi: Long): DataFrame = {
     val files = s.read.parquet(s"$dir/_zonemap")

@@ -377,18 +377,26 @@ object TextQueries {
     * partition (px3's shape — partitions stay source-sized); emits the
     * offset so a shard writer can seek without recomputing. */
   private val PackBudget = 2048L
-  private val px11: Q = (s, d) => {
+
+  /** The packing core over any (doc_id, source, n_tokens) frame — reused
+    * by px11 and the composed TrainingPipeline (which packs only its
+    * train split). */
+  def packed(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    docs
       .withColumn("stream_end", sum(col("n_tokens")).over(w))
       .withColumn("start_offset", col("stream_end") - col("n_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
         expr(s"start_offset div $PackBudget").as("bin_idx"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  private val px11: Q = (s, d) =>
+    packed(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens")))
 
   /** PX12 — DOCUMENT CHUNKING: split every document into overlapping
     * token windows (chunk 128, stride 96 → 32-token overlap) — the

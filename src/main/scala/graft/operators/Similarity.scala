@@ -425,7 +425,33 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** X7 — INT8 QUANTIZATION of the embedding column: per-vector symmetric
+    * scale (max |x|), q_i = round(127·x_i / scale) — the 4× storage/
+    * bandwidth compression every large embedding store applies before
+    * indexing (x5's PQ is the codebook cousin; this is the scalar form).
+    * Row-local HOFs, no shuffle. Cross-engine exactness: scale and the
+    * scaled ratio are IEEE doubles computed by the same ops in both
+    * engines, and round() rounds half away from zero in both; the gate
+    * compares the quantized INTEGER stream (joined to one string before
+    * md5) plus the saturation count — never a float-formatted string. */
+  private val x7: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+    v.select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(round(x * 127.0 / col("scale")).cast("long"))).as("q"))
+      .select(col("vec_id"), col("scale"),
+        md5(concat_ws(",", col("q"))).as("q_md5"),
+        size(filter(col("q"), q => abs(q) === 127L)).cast("long").as("n_sat"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "x7_int8_quant" -> x7,
     "x6_embed_decontam" -> x6,
     "x1_knn_bruteforce" -> x1,
     "x2_ann_lsh" -> x2,
@@ -595,6 +621,18 @@ object Similarity {
     oraclesBase + ("x4_ann_recall" -> x4Sql)
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    "x7_int8_quant" ->
+      """WITH v0 AS (SELECT vec_id,
+        |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        | sc AS (SELECT vec_id, v,
+        |   list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale FROM v0),
+        | q AS (SELECT vec_id, scale,
+        |   list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |     ELSE CAST(round(x * 127.0 / scale) AS BIGINT) END) AS q FROM sc)
+        | SELECT vec_id, scale,
+        |   md5(array_to_string(q, ',')) AS q_md5,
+        |   CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        | FROM q ORDER BY vec_id""".stripMargin,
     "x6_embed_decontam" ->
       """WITH v0 AS (SELECT vec_id, label,
         |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

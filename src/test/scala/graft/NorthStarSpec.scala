@@ -241,6 +241,28 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.exceptAll(q("px2_stratified_sample")).count() === 0L)
   }
 
+  test("x7 quantization: |q| <= 127, dequant error within half a step") {
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", aggregate(col("v"), lit(0.0),
+        (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(round(x * 127.0 / col("scale")).cast("long"))))
+    // no value escapes the int8 range
+    assert(v.filter(exists(col("q"), q => abs(q) > 127L)).count() === 0L)
+    // round-trip: |x − q·scale/127| ≤ scale/254 (+ fp slack) per component
+    val bad = v.withColumn("err", aggregate(
+        zip_with(col("v"), col("q"), (x, q) =>
+          abs(x - q.cast("double") * col("scale") / 127.0)),
+        lit(0.0), (acc, e) => greatest(acc, e)))
+      .filter(col("err") > col("scale") / 254.0 * 1.0000001)
+    assert(bad.count() === 0L)
+    // the registered query agrees on the saturation count: at least one
+    // component per vector sits AT the scale, so n_sat >= 1 everywhere
+    assert(q("x7_int8_quant").filter(col("n_sat") < 1).count() === 0L)
+  }
+
   test("x6 decontamination flags exactly the eval vectors with a near train vector") {
     val out = q("x6_embed_decontam").cache()
     // every flagged vector is eval-split with a genuine contamination count

@@ -76,6 +76,48 @@ object TrainingPipeline {
       trainShardFiles = trainFiles)
   }
 
+  /** DATASET CARD — the datasheet a curated corpus ships with, assembled
+    * from the engine's own gated statistics: sizes, language/source
+    * mixes, duplication rate, quality distribution. Every collect is
+    * bounded by category cardinality (langs, sources), never rows; the
+    * heavy numbers are single aggregates. The serving-edge JSON shape
+    * follows [[Pipelines.dashboard]]'s conventions (Locale.ROOT,
+    * select-by-name before positional reads). */
+  def datasetCard(s: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(s, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(functions.TextOps.toks(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    val tot = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens")).head()
+    val (nDocs, nTokens) = (tot.getLong(0), tot.getLong(1))
+    def mix(key: String): String =
+      docs.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col(key))
+        .collect().map(r => s""""${r.getString(0)}":${r.getLong(1)}""")
+        .mkString("{", ",", "}")
+    val survivors = operators.Dedup.queries("d1_exact_dedup")(s, sfDir).count()
+    val nearSurvivors = operators.Dedup.queries("d6_neardup_clusters")(s, sfDir)
+      .filter(col("is_canonical")).count()
+    // exact half-up basis points, driver-side (two scalars)
+    def rateBp(kept: Long): Long =
+      java.math.BigDecimal.valueOf(nDocs - kept)
+        .multiply(java.math.BigDecimal.valueOf(10000))
+        .divide(java.math.BigDecimal.valueOf(nDocs), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+    val qualityBuckets = functions.TextQueries.queries("tx2_quality_score")(s, sfDir)
+      .groupBy((col("quality_bp") / 2500L).cast("long").as("b"))
+      .agg(count(lit(1)).as("n")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => s""""q${r.getLong(0) * 25}_${r.getLong(0) * 25 + 25}":${r.getLong(1)}""")
+      .mkString("{", ",", "}")
+    s"""{"n_docs":$nDocs,"n_tokens":$nTokens,""" +
+      s""""lang_mix":${mix("lang")},"source_mix":${mix("source")},""" +
+      s""""exact_dup_bp":${rateBp(survivors)},""" +
+      s""""near_dup_bp":${rateBp(nearSurvivors)},""" +
+      s""""quality_quartiles":$qualityBuckets}"""
+  }
+
   /** Dev driver: run the whole build against a testdata dir. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -42,6 +42,27 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("dataset card fields agree with direct recomputation") {
+    import org.json4s._
+    val card = JsonMethods_parse(TrainingPipeline.datasetCard(spark, sf))
+    def jint(v: JValue): Long = v.asInstanceOf[JInt].num.toLong
+    val docs = Tables.documents(spark, sf)
+    assert(jint(card \ "n_docs") === docs.count())
+    // lang mix sums back to the doc count; every lang present
+    val mix = (card \ "lang_mix").asInstanceOf[JObject].obj
+    assert(mix.map(kv => jint(kv._2)).sum === docs.count())
+    assert(mix.map(_._1).toSet ===
+      docs.select("lang").distinct().collect().map(_.getString(0)).toSet)
+    // duplication rates: near-dup removes at least as much as exact-dup
+    assert(jint(card \ "near_dup_bp") >= jint(card \ "exact_dup_bp"))
+    // quality buckets partition the corpus
+    val qb = (card \ "quality_quartiles").asInstanceOf[JObject].obj
+    assert(qb.map(kv => jint(kv._2)).sum === docs.count())
+  }
+
+  private def JsonMethods_parse(s: String) =
+    org.json4s.jackson.JsonMethods.parse(s)
+
   test("train packing tiles the per-source stream with no gaps") {
     val splits = TrainingPipeline.splitDocs(spark, sf)
     val src = Tables.documents(spark, sf).select("doc_id", "source")

@@ -81,9 +81,73 @@ object Retrieval {
       .limit(TopDocs)
   }
 
+  /** tx9 geometry. Weights: w(term) = IdfScale ⌊/⌋ df — an integer idf
+    * (∝ 1/df; cosine is scale-invariant so the dropped N factor changes
+    * nothing), with terms in > IdfScale docs weighting to 0, i.e. the
+    * stopword cut falls out of the arithmetic. Candidates: only terms
+    * with df ≤ max(DfCap, N/10) generate pairs (rare-term blocking —
+    * Σ df² bounded, never doc×doc); the full vectors then score the
+    * candidates. The cap's relative arm exists for the synthetic corpus,
+    * whose ~30-term vocabulary has min df ≈ N/20 — no term is absolutely
+    * rare; a production crawl vocabulary is Zipfian and the absolute arm
+    * is the binding one (the relative arm only matters when N/10 > DfCap
+    * AND the vocabulary is tiny, which a crawl's never is). Scores:
+    * cos² in basis points, exact — cos² = dot²/(|a|²|b|²) is a ratio of
+    * integers, so ExactRatio applies with no square root; all factors are
+    * ≥ 0 so cos² ranks identically to cos. */
+  private[graft] val IdfScale = 1000L
+  private[graft] val DfCap = 20L
+  private[graft] val Cos2MinBp = 2500L // cos ≥ 0.5
+
+  /** TX9 — TF-IDF cosine document-pair similarity: the sparse
+    * (lexical) twin of d5's dense embedding near-dup. Inverted-index
+    * shape end to end — term-grain joins for df and candidates, doc-grain
+    * aggregations for norms and dot products. The dot² / norm² products
+    * exceed int64 (documented ExactRatio precondition), so they are
+    * widened to 38-digit DECIMAL / HUGEINT BEFORE multiplying on both
+    * engines; magnitudes stay < 10³⁵ at any document length the token
+    * model admits. */
+  private val tx9: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tw = tf.join(dfreq, Seq("term"))
+      .withColumn("w", call_function("div", lit(IdfScale), col("df")))
+      .filter(col("w") > 0L)
+      .select(col("doc_id"), col("term"), (col("tf") * col("w")).as("tw"), col("df"))
+    val norms = tw.groupBy(col("doc_id")).agg(sum(col("tw") * col("tw")).as("n2"))
+    val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val rare = tw.crossJoin(broadcast(ndocs))
+      .filter(col("df") <=
+        greatest(lit(DfCap), call_function("div", col("n_docs"), lit(10L))))
+      .select(col("doc_id"), col("term"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2")).distinct()
+    val dot = cand
+      .join(tw.as("v1"), col("d1") === col("v1.doc_id"))
+      .join(tw.as("v2"),
+        col("d2") === col("v2.doc_id") && col("v1.term") === col("v2.term"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("v1.tw") * col("v2.tw")).as("dot"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    dot
+      .join(norms.as("na"), col("d1") === col("na.doc_id"))
+      .join(norms.as("nb"), col("d2") === col("nb.doc_id"))
+      .withColumn("cos2_bp", ExactRatio.scaled(
+        col("dot").cast(d38) * col("dot").cast(d38),
+        col("na.n2").cast(d38) * col("nb.n2").cast(d38), 10000L))
+      .filter(col("cos2_bp") >= Cos2MinBp)
+      .select(col("d1"), col("d2"), col("cos2_bp"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx8_bm25" -> bm25(QueryTerms),
-    "tx8_bm25_rare" -> bm25(RareTerms))
+    "tx8_bm25_rare" -> bm25(RareTerms),
+    "tx9_tfidf_pairs" -> tx9)
 
   def bm25Sql(queryTerms: Seq[String]): String = {
     val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
@@ -107,7 +171,32 @@ object Retrieval {
          | ORDER BY bm25_milli DESC, doc_id LIMIT $TopDocs""".stripMargin
   }
 
+  private val tx9Sql =
+    s"""WITH tf AS (SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+       |   FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS t(term)
+       |   GROUP BY 1, 2),
+       | dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       | tw AS (SELECT doc_id, term, tf * ($IdfScale // df) AS tw, df
+       |   FROM tf JOIN dfreq USING (term) WHERE $IdfScale // df > 0),
+       | norms AS (SELECT doc_id, sum(tw * tw) AS n2 FROM tw GROUP BY 1),
+       | nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       | rare AS (SELECT doc_id, term FROM tw, nd
+       |   WHERE df <= greatest($DfCap, n_docs // 10)),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM rare a JOIN rare b ON a.term = b.term AND a.doc_id < b.doc_id),
+       | dots AS (SELECT d1, d2, sum(v1.tw * v2.tw) AS dot
+       |   FROM cand JOIN tw v1 ON cand.d1 = v1.doc_id
+       |             JOIN tw v2 ON cand.d2 = v2.doc_id AND v1.term = v2.term
+       |   GROUP BY 1, 2),
+       | sc AS (SELECT d1, d2, ${ExactRatio.scaledSql(
+            "CAST(dot AS HUGEINT) * dot", "CAST(na.n2 AS HUGEINT) * nb.n2",
+            10000L)} AS cos2_bp
+       |   FROM dots JOIN norms na ON d1 = na.doc_id JOIN norms nb ON d2 = nb.doc_id)
+       | SELECT d1, d2, cos2_bp FROM sc WHERE cos2_bp >= $Cos2MinBp
+       | ORDER BY d1, d2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tx8_bm25" -> bm25Sql(QueryTerms),
-    "tx8_bm25_rare" -> bm25Sql(RareTerms))
+    "tx8_bm25_rare" -> bm25Sql(RareTerms),
+    "tx9_tfidf_pairs" -> tx9Sql)
 }

@@ -60,22 +60,33 @@ object Dedup {
   private def minhash(j: Int): Column =
     array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seeds(j)))))
 
-  /** D2 — MinHash+LSH near-dup candidates: 8 minhashes, 4 bands of 2;
-    * docs sharing any band bucket are candidate pairs. The band-bucket
-    * equi-join is what makes this O(n·bands) shuffle instead of O(n²)
-    * compare — the core 100 TB dedup pattern. */
-  private val d2: Q = (s, d) => {
-    val sig = docShingles(s, d)
+  /** LSH band rows (doc_id, band_idx, bh) for a documents frame: 8
+    * minhashes over hashed shingles, 4 bands of 2. This is the index d2
+    * self-joins — and, persisted, it is the STATE of the incremental
+    * path ([[dedupeIncremental]]): ~4 small rows per document, no text,
+    * no shingle sets, so the state is a fraction of corpus size. */
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), shingles(col("tk")).as("shingles"))
       .select(col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs"))
       .select(
         col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(array(
         md5(concat_ws(":", col("h0"), col("h1"))),
         md5(concat_ws(":", col("h2"), col("h3"))),
         md5(concat_ws(":", col("h4"), col("h5"))),
         md5(concat_ws(":", col("h6"), col("h7"))))).as(Seq("band_idx", "bh")))
+  }
+
+  /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
+    * are candidate pairs. The band-bucket equi-join is what makes this
+    * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
+    * pattern. */
+  private val d2: Q = (s, d) => {
+    val bands = bandSignatures(Tables.documents(s, d))
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -84,6 +95,54 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** INCREMENTAL dedup — admit a new ingest batch against a persisted LSH
+    * band index WITHOUT rescanning the corpus. `state` is a band frame
+    * ([[bandSignatures]] rows, typically read back from parquet); `batch`
+    * is a documents frame whose doc_ids all exceed the state's (ingest
+    * order). Returns (verdicts, newState): one (doc_id, accepted) row per
+    * batch doc, and the state grown by the batch's bands.
+    *
+    * Survivor rule: a doc is rejected iff any of its 4 band buckets is
+    * already occupied by a SMALLER doc_id — in the state or earlier in the
+    * same batch. The state update appends ALL of the batch's bands,
+    * rejected docs included: that is what makes incremental processing
+    * EXACTLY equal to a one-shot pass over the union (the collision-pair
+    * set is id-based and batch-boundary-blind; DedupSpec proves the
+    * identity law over a 3-way split, and that indexing accepted docs only
+    * WOULD change verdicts). At 100 TB the state is ~4 short rows per doc;
+    * persist it partitioned/bucketed by `bh` so each ingest shuffles only
+    * the batch's bands — history is never rescanned, never reshuffled. */
+  def dedupeIncremental(state: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
+    val bb = bandSignatures(batch)
+    val all = state.unionByName(bb)
+    val rejected = bb.as("n")
+      .join(all.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.bh") === col("o.bh") &&
+          col("o.doc_id") < col("n.doc_id"), "leftsemi")
+      .select(col("doc_id")).distinct()
+    val verdicts = batch.select(col("doc_id"))
+      .join(rejected.withColumn("__rej", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__rej").isNull.as("accepted"))
+    (verdicts, all)
+  }
+
+  /** D9 — the incremental path as a gated query: the oldest 3/4 of the
+    * id range plays the persisted corpus, the newest 1/4 the ingest
+    * batch. Split point is pure integer arithmetic (min + 3(max−min)/4,
+    * floor division) so both engines cut identically. */
+  private val d9: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stats = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val withSplit = docs.crossJoin(broadcast(stats))
+      .withColumn("split",
+        col("lo") + call_function("div", (col("hi") - col("lo")) * 3, lit(4L)))
+    val hist = withSplit.filter(col("doc_id") < col("split"))
+    val batch = withSplit.filter(col("doc_id") >= col("split"))
+    val (verdicts, _) = dedupeIncremental(bandSignatures(hist), batch)
+    verdicts.orderBy(col("doc_id"))
   }
 
   /** SimHash bit p (1-based): sign of Σ over tokens of ±1, where the token
@@ -427,6 +486,7 @@ object Dedup {
     "px8_passage_dedup" -> px8,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
+    "d9_incremental_dedup" -> d9,
     "d3_simhash" -> d3,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -483,6 +543,18 @@ object Dedup {
     "d2_minhash_lsh" ->
       s"""WITH $candSql
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "d9_incremental_dedup" ->
+      s"""WITH $candSql,
+         | sp AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 3 // 4 AS split
+         |   FROM documents),
+         | batchd AS (SELECT d.doc_id FROM documents d, sp WHERE d.doc_id >= sp.split),
+         | rej AS (SELECT DISTINCT n.doc_id
+         |   FROM bands n JOIN bands o
+         |     ON n.band_idx = o.band_idx AND n.bh = o.bh AND o.doc_id < n.doc_id
+         |   WHERE n.doc_id IN (SELECT doc_id FROM batchd))
+         | SELECT b.doc_id, r.doc_id IS NULL AS accepted
+         | FROM batchd b LEFT JOIN rej r ON b.doc_id = r.doc_id
+         | ORDER BY b.doc_id""".stripMargin,
     "d3_simhash" ->
       s"""SELECT doc_id, $simhashSql AS simhash
          | FROM (SELECT doc_id, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,

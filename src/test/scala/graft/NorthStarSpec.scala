@@ -141,6 +141,50 @@ class DedupSpec extends SparkSpec {
       (col("n_contaminated") > 0L)).count() === 0L)
     assert(out.filter(col("n_contaminated") > col("n_shingles")).count() === 0L)
   }
+
+  test("d9 identity law: incremental over 3 batches == one-shot over the union") {
+    val docs = Tables.documents(spark, sf)
+    val empty = operators.Dedup.bandSignatures(docs.limit(0))
+    val batches = Seq(
+      docs.filter(col("doc_id") < 170),
+      docs.filter(col("doc_id") >= 170 && col("doc_id") < 340),
+      docs.filter(col("doc_id") >= 340))
+    var state = empty
+    val inc = batches.map { b =>
+      val (v, ns) = operators.Dedup.dedupeIncremental(state, b)
+      state = ns; v
+    }.reduce(_ unionByName _).orderBy("doc_id").collect().toSeq
+    val (oneShot, finalState) = operators.Dedup.dedupeIncremental(empty, docs)
+    assert(inc === oneShot.orderBy("doc_id").collect().toSeq)
+    // the folded state and the one-shot state index the same band rows
+    assert(state.unionByName(finalState).distinct().count() === state.distinct().count())
+    assert(state.count() === finalState.count())
+  }
+
+  test("d9 state round-trips through parquet: disk-backed verdicts identical") {
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") < 340)
+    val batch = docs.filter(col("doc_id") >= 340)
+    val live = operators.Dedup.bandSignatures(hist)
+    val dir = java.nio.file.Files.createTempDirectory("graft_d9_state").toString
+    live.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val (vLive, _) = operators.Dedup.dedupeIncremental(live, batch)
+    val (vDisk, _) = operators.Dedup.dedupeIncremental(fromDisk, batch)
+    assert(vLive.orderBy("doc_id").collect().toSeq ===
+      vDisk.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("d9 rejects exactly the docs that are the larger side of a d2 collision") {
+    val larger = q("d2_minhash_lsh").select("d2").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val v = q("d9_incremental_dedup").collect()
+    assert(v.nonEmpty)
+    v.foreach { r =>
+      assert(!r.getBoolean(1) === larger.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)}: accepted=${r.getBoolean(1)} but d2 larger-side=${larger.contains(r.getLong(0))}")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -615,5 +659,65 @@ class TextQueriesSpec extends SparkSpec {
     assert(untouched.count() > 0L)
     assert(untouched.filter(col("kept_md5") =!= md5(col("text"))).count() === 0L)
     out.unpersist()
+  }
+
+  // ---- tx9 TF-IDF cosine pairs -----------------------------------------
+
+  test("tx9 pairs are canonical and scores sit in [threshold, 10000]") {
+    val rows = q("tx9_tfidf_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val s = r.getLong(2)
+      assert(s >= functions.Retrieval.Cos2MinBp && s <= 10000L)
+    }
+  }
+
+  test("tx9 scores match a driver-side BigInt recomputation on sampled pairs") {
+    // independent reimplementation: JVM tokenizing + exact BigInt cosine²,
+    // replicating ExactRatio's half-up floor rounding
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach(_.distinct.foreach(t => df(t) = df.getOrElse(t, 0L) + 1L))
+    def vec(id: Long): Map[String, BigInt] =
+      docs(id).groupBy(identity).map { case (t, xs) =>
+        t -> BigInt(xs.length) * (functions.Retrieval.IdfScale / df(t))
+      }.filter(_._2 > 0)
+    def cos2bp(a: Long, b: Long): Long = {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.keysIterator.map(t => va(t) * vb.getOrElse(t, BigInt(0))).sum
+      val den = va.values.map(x => x * x).sum * vb.values.map(x => x * x).sum
+      val num = dot * dot
+      if (den == 0) 0L
+      else {
+        val n = num * 20000 + den
+        val q0 = n / (den * 2)
+        (if (n - q0 * den * 2 < 0) q0 - 1 else q0).toLong
+      }
+    }
+    val sample = q("tx9_tfidf_pairs").collect().take(25)
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      assert(r.getLong(2) === cos2bp(r.getLong(0), r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("tx9 every pair shares a blocking term (df <= max(DfCap, N/10))") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+      .toMap
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docs.values.foreach(_.distinct.foreach(t => df(t) = df.getOrElse(t, 0L) + 1L))
+    val cap = math.max(functions.Retrieval.DfCap, docs.size.toLong / 10L)
+    q("tx9_tfidf_pairs").collect().foreach { r =>
+      val shared = docs(r.getLong(0)).toSet intersect docs(r.getLong(1)).toSet
+      assert(shared.exists(t => df(t) <= cap &&
+        functions.Retrieval.IdfScale / df(t) > 0))
+    }
   }
 }

@@ -482,8 +482,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** px14 span grain: stride-1 windows of this many tokens. */
+  private[graft] val SpanTokens = 4
+  /** A window repeated this many times corpus-wide is a duplicated span. */
+  private[graft] val SpanDupMin = 2
+
+  /** Exact duplicated-SPAN scrubbing (the fixed-grain form of
+    * suffix-array substring dedup — Lee et al.'s "Deduplicating Training
+    * Data" pass, re-expressed as joins): slide a stride-1
+    * [[SpanTokens]]-token window over every doc, count window strings
+    * corpus-wide, and remove every token position covered by a window
+    * occurring ≥ [[SpanDupMin]] times. Because every length-k subwindow
+    * of a duplicated span of length ≥ k is itself duplicated, the removed
+    * set is EXACTLY the union of all duplicated spans of ≥ k tokens — the
+    * suffix-array result at fixed grain, with no suffix sorting. All
+    * occurrences are removed (px8's boilerplate semantics, not
+    * keep-first); counts include same-doc repeats, so internal
+    * near-periodic repetition (tx7's territory) is scrubbed too.
+    *
+    * Scale shape: ONE count shuffle at window grain (~1 row per token —
+    * the same order as any tokenize pass), an unhinted equi-join back to
+    * the duplicated subset (AQE broadcasts it on clean corpora, shuffles
+    * on boilerplate-heavy ones), a position explode bounded to duplicated
+    * windows only, and a doc-bounded reassembly groupBy. Never doc×doc,
+    * no suffix array, no global sort. */
+  private[graft] def spanScrub(docs: DataFrame): DataFrame = {
+    val k = SpanTokens
+    val toked = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    val ws = toked.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, size(tk) - $k), i -> array_join(slice(tk, i + 1, $k), ' '))")
+        .as("wins"))
+      .select(col("doc_id"), posexplode(col("wins")).as(Seq("p", "w")))
+    val dupW = ws.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= SpanDupMin).select(col("w"))
+    val cov = ws.join(dupW, Seq("w"))
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("tpos"))
+      .distinct()
+    val tp = toked.select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
+    val keptAgg = tp.join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(tpos, tok))), x -> x.tok), ' '))").as("kept_md5"))
+    toked.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val px14: Q = (s, d) => spanScrub(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
     "px8_passage_dedup" -> px8,
+    "px14_span_scrub" -> px14,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d9_incremental_dedup" -> d9,
@@ -543,6 +597,27 @@ object Dedup {
     "d2_minhash_lsh" ->
       s"""WITH $candSql
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "px14_span_scrub" -> {
+      val k = SpanTokens
+      val winExpr = (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         | ws AS (SELECT doc_id, i AS p, $winExpr AS w
+         |   FROM d, UNNEST(range(len(tk) - ${k - 1})) AS r(i) WHERE len(tk) >= $k),
+         | cnt AS (SELECT w FROM ws GROUP BY w HAVING count(*) >= $SpanDupMin),
+         | cov AS (SELECT DISTINCT ws.doc_id, p + j AS tpos
+         |   FROM ws JOIN cnt USING (w), UNNEST(range($k)) AS rr(j)),
+         | tp AS (SELECT doc_id, i AS tpos, tk[i+1] AS tok
+         |   FROM d, UNNEST(range(len(tk))) AS r(i)),
+         | keptagg AS (SELECT tp.doc_id, count(*) AS n_kept,
+         |     md5(string_agg(tok, ' ' ORDER BY tp.tpos)) AS kept_md5
+         |   FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+         |   WHERE cov.tpos IS NULL GROUP BY 1)
+         | SELECT d.doc_id, len(tk) AS n_tokens,
+         |   len(tk) - coalesce(n_kept, 0) AS n_removed,
+         |   coalesce(kept_md5, md5('')) AS kept_md5
+         | FROM d LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
+         | ORDER BY d.doc_id""".stripMargin
+    },
     "d9_incremental_dedup" ->
       s"""WITH $candSql,
          | sp AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 3 // 4 AS split

@@ -142,6 +142,38 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("n_contaminated") > col("n_shingles")).count() === 0L)
   }
 
+  test("px14 span scrub removes exactly the planted duplicated span (hand-computed)") {
+    val sp = spark; import sp.implicits._
+    // A and B share the 5-token span "a b c d e": windows "a b c d" and
+    // "b c d e" each occur twice, nothing else repeats. C is below the
+    // window grain and must pass through whole.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z a b c d e w"),
+      (3L, "p q r")).toDF("doc_id", "text")
+    def m(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = operators.Dedup.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((8L, 5L, m("f g h"))))
+    assert(out(2L) === ((9L, 5L, m("x y z w"))))
+    assert(out(3L) === ((3L, 0L, m("p q r"))))
+  }
+
+  test("px14 bounds hold corpus-wide; untouched docs reassemble verbatim") {
+    val out = q("px14_span_scrub")
+    assert(out.filter(col("n_removed") < 0L ||
+      col("n_removed") > col("n_tokens")).count() === 0L)
+    // near-dup families guarantee both extremes exist on this corpus
+    assert(out.filter(col("n_removed") === col("n_tokens")).count() > 0L)
+    assert(out.filter(col("n_removed") === 0L).count() > 0L)
+    val untouched = out.filter(col("n_removed") === 0L)
+      .join(Tables.documents(spark, sf), Seq("doc_id"))
+    assert(untouched.filter(col("kept_md5") =!= md5(col("text"))).count() === 0L)
+    val scrubbed = out.filter(col("n_removed") === col("n_tokens"))
+    assert(scrubbed.filter(col("kept_md5") =!= md5(lit(""))).count() === 0L)
+  }
+
   test("d9 identity law: incremental over 3 batches == one-shot over the union") {
     val docs = Tables.documents(spark, sf)
     val empty = operators.Dedup.bandSignatures(docs.limit(0))

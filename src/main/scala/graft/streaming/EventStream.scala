@@ -406,6 +406,52 @@ object EventStream {
     }
   }
 
+  /** CONTINUOUS NEAR-DUP INGEST — [[graft.operators.Dedup.dedupeIncremental]]
+    * as a streaming stage: each micro-batch of documents is admitted
+    * against the persisted LSH band index, accepted docs land in
+    * `acceptedDir/b=<batchId>`, and the batch's band rows are APPENDED to
+    * the index as `stateDir/b=<batchId>` — history files are never
+    * rewritten, so per-trigger work is O(batch), not O(corpus). Verdicts
+    * equal the batch operator's exactly when doc_ids arrive in
+    * nondecreasing batches (ingest order) — StreamingSpec proves
+    * stream == one-shot across a 2-batch split.
+    *
+    * foreachBatch is at-least-once, so both writes are batch-id-keyed
+    * overwrites: a replayed batch rewrites its own subdirectories
+    * byte-identically and changes nothing else. Replayed band rows
+    * already visible in the state are harmless by construction — the
+    * rejection predicate requires a collision with a STRICTLY SMALLER
+    * doc_id, so a doc's own replayed rows never reject it, and
+    * same-batch relative verdicts are id-based, not arrival-based. */
+  def dedupIngest(docs: DataFrame, stateDir: String, acceptedDir: String,
+                  checkpointDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDedupBatch(batch, stateDir, acceptedDir, batchId)
+      }
+      .start()
+
+  /** One idempotent ingest-dedup step (exposed for the replay spec). */
+  private[graft] def applyDedupBatch(batch: DataFrame, stateDir: String,
+                                     acceptedDir: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val state =
+      if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
+        // select away the b=<id> partition column parquet discovery adds
+        s.read.parquet(stateDir).select("doc_id", "band_idx", "bh")
+      else graft.operators.Dedup.bandSignatures(batch.limit(0))
+    val (verdicts, _) = graft.operators.Dedup.dedupeIncremental(state, batch)
+    batch.join(verdicts.filter(col("accepted")), Seq("doc_id"), "leftsemi")
+      .write.mode("overwrite").parquet(s"$acceptedDir/b=$batchId")
+    graft.operators.Dedup.bandSignatures(batch)
+      .write.mode("overwrite").parquet(s"$stateDir/b=$batchId")
+  }
+
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into
     * a sink directory on a processing-time trigger (the reference's 120 s
     * setInterval, as a streaming job with checkpointed exactly-once state). */

@@ -210,6 +210,44 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest loop == one-shot batch dedup; replay is a no-op") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (stateDir, accDir) = (s"$root/state", s"$root/accepted")
+    val ms = MemoryStream[(Long, String)]
+    // two ingest RUNS in id order — AvailableNow self-terminates per run,
+    // and the checkpoint carries batch ids across restarts (0, then 1):
+    // the periodic-ingest production shape
+    def run(): Unit = {
+      val q = EventStream.dedupIngest(ms.toDF.toDF("doc_id", "text"),
+        stateDir, accDir, s"$root/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(); ()
+    }
+    ms.addData(b1.toIndexedSeq); run()
+    ms.addData(b2.toIndexedSeq); run()
+    val streamed = sp.read.parquet(accDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val all = Tables.documents(sp, sf)
+    val (oneShot, _) = operators.Dedup.dedupeIncremental(
+      operators.Dedup.bandSignatures(all.limit(0)), all)
+    val expect = oneShot.filter(col("accepted")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(streamed.toSeq === expect.toSeq)
+    // replay the last batch id: both subdirectories rewrite identically
+    val before = streamed.toSeq
+    val lastBatch = sp.createDataFrame(b2.toIndexedSeq).toDF("doc_id", "text")
+    EventStream.applyDedupBatch(lastBatch, stateDir, accDir, batchId = 1L)
+    val after = sp.read.parquet(accDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(after.toSeq === before)
+  }
+
   test("bounded streaming dedup re-admits duplicates once state ages out") {
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     val sp = spark

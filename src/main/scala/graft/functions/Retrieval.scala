@@ -112,10 +112,15 @@ object Retrieval {
       .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tw feeds four consumers (norms, candidate generation, both dot-product
+    // sides); checkpointing materializes the tokenize + two-shuffle subtree
+    // ONCE instead of per consumer — at corpus scale the tokenize pass is
+    // the dominant cost and must not run 4× (the x4 lesson, bench r5)
     val tw = tf.join(dfreq, Seq("term"))
       .withColumn("w", call_function("div", lit(IdfScale), col("df")))
       .filter(col("w") > 0L)
       .select(col("doc_id"), col("term"), (col("tf") * col("w")).as("tw"), col("df"))
+      .localCheckpoint(true)
     val norms = tw.groupBy(col("doc_id")).agg(sum(col("tw") * col("tw")).as("n2"))
     val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val rare = tw.crossJoin(broadcast(ndocs))

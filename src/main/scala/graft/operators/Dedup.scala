@@ -111,23 +111,36 @@ object Dedup {
     * EXACTLY equal to a one-shot pass over the union (the collision-pair
     * set is id-based and batch-boundary-blind; DedupSpec proves the
     * identity law over a 3-way split, and that indexing accepted docs only
-    * WOULD change verdicts). At 100 TB the state is ~4 short rows per doc;
-    * persist it partitioned/bucketed by `bh` so each ingest shuffles only
-    * the batch's bands — history is never rescanned, never reshuffled. */
+    * WOULD change verdicts). At 100 TB the state is ~4 short rows per doc.
+    *
+    * Join shape: collision-with-state and collision-within-batch are TWO
+    * separate semi-joins (their union is exactly the collision set
+    * against state ∪ batch) rather than one join against the union — the
+    * union form would reshuffle the whole index every ingest; the split
+    * form leaves the state side free to use its storage layout. Persist
+    * the index BUCKETED by (band_idx, bh) and the state semi-join plans
+    * with NO Exchange above the state scan — each trigger shuffles only
+    * the batch's bands (BucketingSpec asserts exactly that plan). */
   def dedupeIncremental(state: DataFrame, batch: DataFrame): (DataFrame, DataFrame) = {
-    val bb = bandSignatures(batch)
-    val all = state.unionByName(bb)
-    val rejected = bb.as("n")
-      .join(all.as("o"),
-        col("n.band_idx") === col("o.band_idx") &&
-          col("n.bh") === col("o.bh") &&
-          col("o.doc_id") < col("n.doc_id"), "leftsemi")
-      .select(col("doc_id")).distinct()
+    // bb feeds three consumers (two semi-joins + the state update):
+    // materialize the signature pass once
+    val bb = bandSignatures(batch).localCheckpoint(true)
+    val rejected = collisions(state, bb).union(collisions(bb, bb)).distinct()
     val verdicts = batch.select(col("doc_id"))
       .join(rejected.withColumn("__rej", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("__rej").isNull.as("accepted"))
-    (verdicts, all)
+    (verdicts, state.unionByName(bb))
   }
+
+  /** Batch band rows colliding with a strictly-smaller doc_id in `older`
+    * (exposed for BucketingSpec's no-state-shuffle plan assertion). */
+  private[graft] def collisions(older: DataFrame, bb: DataFrame): DataFrame =
+    bb.as("n")
+      .join(older.as("o"),
+        col("n.band_idx") === col("o.band_idx") &&
+          col("n.bh") === col("o.bh") &&
+          col("o.doc_id") < col("n.doc_id"), "leftsemi")
+      .select(col("doc_id"))
 
   /** D9 — the incremental path as a gated query: the oldest 3/4 of the
     * id range plays the persisted corpus, the newest 1/4 the ingest

@@ -39,6 +39,41 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() === Tables.lineitem(s, sf).count())
   }
 
+  test("d9 state bucketed by (band_idx, bh): ingest join never shuffles the index") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS b_bands")
+    val whDir = new java.io.File("spark-warehouse/b_bands")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(whDir)
+    }
+    val docs = Tables.documents(s, sf)
+    val hist = docs.filter(col("doc_id") < 340)
+    val batch = docs.filter(col("doc_id") >= 340)
+    operators.Dedup.bandSignatures(hist).write
+      .bucketBy(8, "band_idx", "bh").sortBy("band_idx", "bh")
+      .mode("overwrite").saveAsTable("b_bands")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bb = operators.Dedup.bandSignatures(batch)
+      val rej = operators.Dedup.collisions(s.table("b_bands"), bb)
+      val plan = rej.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"state side did not use the bucketed layout:\n$plan")
+      val nEx = "Exchange hashpartitioning\\(band_idx".r.findAllIn(plan).length
+      assert(nEx === 1,
+        s"expected exactly one (band_idx, bh) shuffle — the batch side:\n$plan")
+      // and the bucketed layout computes the same collision set
+      val plainRej = operators.Dedup.collisions(
+        operators.Dedup.bandSignatures(hist), bb)
+      assert(rej.distinct().orderBy("doc_id").collect().toSeq ===
+        plainRej.distinct().orderBy("doc_id").collect().toSeq)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the same join on raw parquet DOES shuffle (control)") {
     val s = spark
     val joined = Tables.lineitem(s, sf)

@@ -149,10 +149,39 @@ object Retrieval {
       .orderBy(col("d1"), col("d2"))
   }
 
+  private val TopTerms = 3
+
+  /** TX10 — per-document keyword extraction: the top [[TopTerms]] terms by
+    * the same integer TF-IDF weight tx9 scores with (tf · IdfScale⌊/⌋df),
+    * ties broken lexicographically. The ranking window partitions by
+    * doc_id — bounded by document length, never corpus-wide — and terms
+    * whose weight floors to 0 (df > IdfScale: stopwords) never rank. This
+    * is the tagging pass of a curation pipeline: one term-grain shuffle
+    * for df, one doc-grain window, output k rows per doc. */
+  private val tx10: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tw = tf.join(dfreq, Seq("term"))
+      .withColumn("tw",
+        col("tf") * call_function("div", lit(IdfScale), col("df")))
+      .filter(col("tw") > 0L)
+    import org.apache.spark.sql.expressions.Window
+    tw.withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tw").desc, col("term"))))
+      .filter(col("rank") <= TopTerms)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tw"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx8_bm25" -> bm25(QueryTerms),
     "tx8_bm25_rare" -> bm25(RareTerms),
-    "tx9_tfidf_pairs" -> tx9)
+    "tx9_tfidf_pairs" -> tx9,
+    "tx10_keywords" -> tx10)
 
   def bm25Sql(queryTerms: Seq[String]): String = {
     val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
@@ -200,8 +229,22 @@ object Retrieval {
        | SELECT d1, d2, cos2_bp FROM sc WHERE cos2_bp >= $Cos2MinBp
        | ORDER BY d1, d2""".stripMargin
 
+  private val tx10Sql =
+    s"""WITH tf AS (SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+       |   FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS t(term)
+       |   GROUP BY 1, 2),
+       | dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       | tw AS (SELECT doc_id, term, tf * ($IdfScale // df) AS tw
+       |   FROM tf JOIN dfreq USING (term) WHERE tf * ($IdfScale // df) > 0),
+       | ranked AS (SELECT doc_id, term, tw,
+       |     row_number() OVER (PARTITION BY doc_id ORDER BY tw DESC, term) AS rank
+       |   FROM tw)
+       | SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tw
+       | FROM ranked WHERE rank <= $TopTerms ORDER BY doc_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tx8_bm25" -> bm25Sql(QueryTerms),
     "tx8_bm25_rare" -> bm25Sql(RareTerms),
-    "tx9_tfidf_pairs" -> tx9Sql)
+    "tx9_tfidf_pairs" -> tx9Sql,
+    "tx10_keywords" -> tx10Sql)
 }

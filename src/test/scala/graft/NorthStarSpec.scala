@@ -738,6 +738,22 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("tx10 keywords: ranks contiguous per doc, weights ordered, ties lexicographic") {
+    val rows = q("tx10_keywords").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val s = rs.sortBy(_.getLong(1))
+      assert(s.map(_.getLong(1)).toSeq === (1L to s.length.toLong))
+      assert(s.length <= 3)
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) > b.getLong(3) ||
+            (a.getLong(3) === b.getLong(3) && a.getString(2) < b.getString(2)))
+        case _ => ()
+      }
+    }
+  }
+
   test("tx9 every pair shares a blocking term (df <= max(DfCap, N/10))") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()

@@ -281,6 +281,58 @@ object Aggregations {
     dailyOut.unionByName(globalRow).orderBy(col("day"))
   }
 
+  /** a22 histogram geometry: 500-cent bins, clamped at bin 200 so the
+    * per-day state is AT MOST 201 rows no matter how skewed the values —
+    * the boundedness that makes the state persistable and mergeable. */
+  private[graft] val QBinWidth = 500L
+  private[graft] val QMaxBin = 200L
+
+  /** Per-day histogram-quantile rows from (day, bin, n) histogram state:
+    * discrete quantile = lower edge of the first bin whose cumulative
+    * count reaches ⌈bp·n/10⁴⌉ — all-integer, so the SAME rule runs
+    * exactly on both engines. The cumsum window partitions by day over
+    * ≤ [[QMaxBin]]+1 rows — bounded by geometry, never by data. */
+  private def histQuantiles(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("day")).orderBy(col("bin"))))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("day"))))
+    def pLo(bp: Long) = min(when(
+      col("cum") >= call_function("div",
+        lit(bp) * col("tot") + lit(9999L), lit(10000L)),
+      col("bin") * QBinWidth))
+    cum.groupBy(col("day")).agg(
+      max(col("tot")).as("n_events"),
+      pLo(5000L).as("p50_cents"),
+      pLo(9000L).as("p90_cents"),
+      pLo(9900L).as("p99_cents"))
+  }
+
+  /** A22 — MERGEABLE QUANTILE ROLLUP, the quantile cousin of a19's HLL
+    * distinct rollup, but fully ORACLE-GATED because the state is an
+    * integer histogram instead of a randomized sketch: per-day fixed-bin
+    * value histograms (≤ 201 rows/day — kilobytes), per-day p50/p90/p99
+    * read off the cumulative counts, and the global row derived by
+    * SUMMING the daily histograms — reaggregation without rescanning the
+    * facts, and exactly order-independent (vector addition commutes,
+    * unlike GK/KLL merges whose results depend on nondeterministic merge
+    * order and would break the byte-identical replay contract). Any
+    * coarser rollup (week, month, all-time) is the same cheap sum. The
+    * spec pins the histogram estimate within one bin width of the exact
+    * quantile. */
+  private val a22: Q = (s, d) => {
+    val bins = Tables.events(s, d).select(
+      to_date(col("ts")).cast("string").as("day"),
+      least(call_function("div", round(col("value") * 100).cast("long"),
+        lit(QBinWidth)), lit(QMaxBin)).as("bin"))
+    val daily = bins.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val global = daily.groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      .select(lit("ALL").as("day"), col("bin"), col("n"))
+    histQuantiles(daily.unionByName(global)).orderBy(col("day"))
+  }
+
   /** A20 — FUNNEL: users progressing view → click → purchase IN ORDER
     * (each stage's clock starts at the previous stage's first completion
     * — a later click doesn't count a user whose only purchase predates
@@ -345,6 +397,7 @@ object Aggregations {
     "a20_funnel" -> a20,
     "a19_exact_by_day" -> a19x,
     "a19_sketch_rollup" -> a19,
+    "a22_quantile_rollup" -> a22,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -390,6 +443,25 @@ object Aggregations {
          | SELECT n_view, n_click, n_purchase,
          |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
     },
+    "a22_quantile_rollup" ->
+      s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |     least(CAST(round(value * 100) AS BIGINT) // $QBinWidth, $QMaxBin) AS bin
+         |   FROM events),
+         | h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+         | hh AS (SELECT * FROM h
+         |   UNION ALL
+         |   SELECT 'ALL' AS day, bin, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY bin),
+         | c AS (SELECT day, bin, n,
+         |     sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         |     sum(n) OVER (PARTITION BY day) AS tot FROM hh)
+         | SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
+         |   CAST(min(CASE WHEN cum >= (5000 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p50_cents,
+         |   CAST(min(CASE WHEN cum >= (9000 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p90_cents,
+         |   CAST(min(CASE WHEN cum >= (9900 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p99_cents
+         | FROM c GROUP BY day ORDER BY day""".stripMargin,
     "a19_exact_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |   count(DISTINCT user_id) AS exact_users

@@ -46,6 +46,32 @@ class CoverageSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("a22 quantile rollup: each p-lo is the target order statistic's bin edge") {
+    val out = q("a22_quantile_rollup").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent recomputation: the histogram rule must return EXACTLY
+    // the bin lower edge of the ⌈bp·n/10⁴⌉-th smallest value
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def expect(cents: Seq[Long]): (Long, Long, Long, Long) = {
+      val s = cents.sorted
+      def pLo(bp: Long): Long = {
+        val t = ((bp * s.length + 9999L) / 10000L).toInt
+        math.min(s(t - 1) / operators.Aggregations.QBinWidth,
+          operators.Aggregations.QMaxBin) * operators.Aggregations.QBinWidth
+      }
+      (s.length.toLong, pLo(5000L), pLo(9000L), pLo(9900L))
+    }
+    ev.groupBy(_._1).foreach { case (day, xs) =>
+      assert(out(day) === expect(xs.map(_._2).toSeq), s"day $day")
+    }
+    assert(out("ALL") === expect(ev.map(_._2).toSeq))
+    assert(out.size === ev.map(_._1).distinct.length + 1)
+  }
+
   test("tx5 vocab: tf >= df, descending tf, at most 100 terms") {
     val rows = q("tx5_vocab").collect()
     assert(rows.length <= 100)

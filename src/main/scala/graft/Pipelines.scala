@@ -125,6 +125,19 @@ object Pipelines {
         least(col("first_seen"), col("d_first")).as("first_seen"))
   }
 
+  /** INCREMENTAL QUANTILE-STATE MAINTENANCE — the third member of the
+    * merge family (counts/sums: mergeLeaderboard; min/first-seen:
+    * mergeDebuts; here: histogram vectors): fold a raw events delta into
+    * a stored (day, bin, n) histogram by keyed addition. Histogram states
+    * are COMMUTATIVE-mergeable, so stored + Δ equals the full recompute
+    * EXACTLY (spec-proven), and a22's per-day/global quantiles are read
+    * off the maintained state without ever rescanning history. State
+    * size: ≤ 201 rows per day regardless of volume or skew. */
+  def mergeQuantileHist(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(graft.operators.Aggregations.histState(delta))
+      .groupBy(col("day"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

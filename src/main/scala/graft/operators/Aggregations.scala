@@ -321,17 +321,28 @@ object Aggregations {
     * coarser rollup (week, month, all-time) is the same cheap sum. The
     * spec pins the histogram estimate within one bin width of the exact
     * quantile. */
-  private val a22: Q = (s, d) => {
-    val bins = Tables.events(s, d).select(
+  /** The a22 histogram STATE of an events slice: (day, bin, n) rows.
+    * Exposed as the unit Pipelines.mergeQuantileHist maintains
+    * incrementally (histogram states merge by keyed sum — commutative,
+    * so stored + Δ == recompute exactly). */
+  private[graft] def histState(events: DataFrame): DataFrame =
+    events.select(
       to_date(col("ts")).cast("string").as("day"),
       least(call_function("div", round(col("value") * 100).cast("long"),
         lit(QBinWidth)), lit(QMaxBin)).as("bin"))
-    val daily = bins.groupBy(col("day"), col("bin"))
+      .groupBy(col("day"), col("bin"))
       .agg(count(lit(1)).as("n"))
+
+  /** Quantile rows (per-day + ALL) from histogram state — a22's read
+    * side, reusable over any maintained state. */
+  private[graft] def quantilesFromHist(daily: DataFrame): DataFrame = {
     val global = daily.groupBy(col("bin")).agg(sum(col("n")).as("n"))
       .select(lit("ALL").as("day"), col("bin"), col("n"))
     histQuantiles(daily.unionByName(global)).orderBy(col("day"))
   }
+
+  private val a22: Q = (s, d) =>
+    quantilesFromHist(histState(Tables.events(s, d)))
 
   /** A20 — FUNNEL: users progressing view → click → purchase IN ORDER
     * (each stage's clock starts at the previous stage's first completion

@@ -275,6 +275,20 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeQuantileHist: stored + delta == full recompute, quantiles identical") {
+    val ev = Tables.events(spark, sf)
+    val old = ev.filter(col("event_id") % 3 =!= 0)
+    val delta = ev.filter(col("event_id") % 3 === 0)
+    val merged = Pipelines.mergeQuantileHist(
+      operators.Aggregations.histState(old), delta)
+    val full = operators.Aggregations.histState(ev)
+    assert(merged.orderBy("day", "bin").collect().toSeq ===
+      full.orderBy("day", "bin").collect().toSeq)
+    // the read side over the MAINTAINED state is the registered query
+    assert(operators.Aggregations.quantilesFromHist(merged).collect().toSeq ===
+      q("a22_quantile_rollup").collect().toSeq)
+  }
+
   test("mergeDebuts: stored first-seen + delta equals the full recompute") {
     val secs = Tables.events(spark, sf)
       .select(col("user_id"),

@@ -333,20 +333,26 @@ object EventStream {
       .map(_.getPath.getName.drop(2).toLong).sorted.reverse
   }
 
-  /** The current (latest committed) leaderboard — the read side of
-    * [[leaderboardRefresh]]. Empty frame with the store schema when no
-    * version has committed yet. */
-  def currentLeaderboard(s: SparkSession, storeDir: String): DataFrame = {
+  /** The current (latest committed) state of ANY versioned merge store —
+    * an empty frame with `schema` (DDL string) before the first commit. */
+  def currentStore(s: SparkSession, storeDir: String, schema: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     leaderboardVersions(fs, storeDir).headOption match {
       case Some(v) => s.read.parquet(s"$storeDir/v=$v")
       case None => s.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "leader_key_address BIGINT, total_mined BIGINT, miner_burned BIGINT"))
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
     }
   }
+
+  /** The leaderboard instantiation of [[currentStore]] — the read side of
+    * [[leaderboardRefresh]]. */
+  def currentLeaderboard(s: SparkSession, storeDir: String): DataFrame =
+    currentStore(s, storeDir, LeaderboardSchema)
+
+  private[graft] val LeaderboardSchema =
+    "leader_key_address BIGINT, total_mined BIGINT, miner_burned BIGINT"
 
   /** TIME-TRAVEL read: the leaderboard as of a specific committed version
     * (its foreachBatch batchId) — the reproducibility contract for a
@@ -382,29 +388,52 @@ object EventStream {
   def leaderboardRefresh(commits: DataFrame, storeDir: String,
                          checkpointDir: String,
                          trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
-    commits.writeStream
+    mergeRefresh(commits, storeDir, checkpointDir, LeaderboardSchema,
+      graft.Pipelines.mergeLeaderboard, trigger)
+
+  /** GENERIC versioned merge refresh — the leaderboard loop's contract
+    * for ANY self-mergeable store: `merge(stored, delta)` must equal the
+    * recompute over stored's inputs ∪ delta (the law every member of the
+    * merge family satisfies: mergeLeaderboard's count/sum,
+    * mergeDebuts' min, mergeQuantileHist's histogram addition). Each
+    * micro-batch folds into a NEW `v=<batchId>` directory; replayed
+    * batch ids are skipped, the previous version survives until the new
+    * one's `_SUCCESS`, older versions are pruned — so the store is
+    * always queryable, crash-safe, and time-travelable one version back,
+    * and history is never rescanned. */
+  def mergeRefresh(delta: DataFrame, storeDir: String, checkpointDir: String,
+                   schema: String,
+                   merge: (DataFrame, DataFrame) => DataFrame,
+                   trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    delta.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyLeaderboardBatch(batch, storeDir, batchId)
+        applyMergeBatch(batch, storeDir, batchId, schema, merge)
       }
       .start()
 
   /** One idempotent store update — exposed so the replay guarantee is
     * directly testable (applying the same batchId twice is a no-op). */
-  private[graft] def applyLeaderboardBatch(batch: DataFrame, storeDir: String,
-                                           batchId: Long): Unit = {
+  private[graft] def applyMergeBatch(batch: DataFrame, storeDir: String,
+                                     batchId: Long, schema: String,
+                                     merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions = leaderboardVersions(fs, storeDir)
     if (!versions.exists(_ >= batchId)) {
-      graft.Pipelines.mergeLeaderboard(currentLeaderboard(s, storeDir), batch)
+      merge(currentStore(s, storeDir, schema), batch)
         .write.mode("overwrite").parquet(s"$storeDir/v=$batchId")
       versions.drop(1).foreach(v => fs.delete(
         new org.apache.hadoop.fs.Path(s"$storeDir/v=$v"), true))
     }
   }
+
+  private[graft] def applyLeaderboardBatch(batch: DataFrame, storeDir: String,
+                                           batchId: Long): Unit =
+    applyMergeBatch(batch, storeDir, batchId, LeaderboardSchema,
+      graft.Pipelines.mergeLeaderboard)
 
   /** CONTINUOUS NEAR-DUP INGEST — [[graft.operators.Dedup.dedupeIncremental]]
     * as a streaming stage: each micro-batch of documents is admitted

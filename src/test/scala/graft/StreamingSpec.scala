@@ -289,6 +289,35 @@ class PipelinesSpec extends SparkSpec {
       q("a22_quantile_rollup").collect().toSeq)
   }
 
+  test("mergeRefresh drives the quantile-hist store: 2 batches == recompute, v0 retained") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val histSchema = "day STRING, bin BIGINT, n BIGINT"
+    val rows = Tables.events(sp, sf).select("ts", "value").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getDouble(1)))
+    val (c1, c2) = rows.splitAt(rows.length / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_qhist").toString
+    val ms = MemoryStream[(java.time.LocalDateTime, Double)]
+    def run(): Unit = {
+      val q = EventStream.mergeRefresh(ms.toDF.toDF("ts", "value"),
+        s"$root/store", s"$root/ckpt", histSchema,
+        Pipelines.mergeQuantileHist,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(); ()
+    }
+    ms.addData(c1.toIndexedSeq); run()
+    ms.addData(c2.toIndexedSeq); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("day", "bin").collect().toSeq
+    assert(canon(EventStream.currentStore(sp, s"$root/store", histSchema)) ===
+      canon(operators.Aggregations.histState(Tables.events(sp, sf))))
+    // the retained previous version is exactly the first chunk's state
+    assert(canon(EventStream.leaderboardAt(sp, s"$root/store", 0L)) ===
+      canon(operators.Aggregations.histState(
+        sp.createDataFrame(c1.toIndexedSeq).toDF("ts", "value"))))
+  }
+
   test("mergeDebuts: stored first-seen + delta equals the full recompute") {
     val secs = Tables.events(spark, sf)
       .select(col("user_id"),

@@ -461,8 +461,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PX15 — QUALITY-AWARE SURVIVOR SELECTION: for each d6 near-dup
+    * cluster keep the HIGHEST-quality member (tx2's score; min doc_id
+    * breaks ties) instead of d6's min-id canonical — the curation choice
+    * every production dedup actually makes (the duplicate you keep should
+    * be the cleanest copy, not the earliest crawl). Composed from the two
+    * registered cores — clusters and scores come from the same code paths
+    * the d6/tx2 gates verify — with one doc-grain join and a
+    * cluster-partitioned ranking window (bounded by cluster size). */
+  private val px15: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val clu = graft.operators.Dedup.queries("d6_neardup_clusters")(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val qual = tx2(s, d).select(col("doc_id"), col("quality_bp"))
+    clu.join(qual, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality_bp").desc, col("doc_id"))))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("n_members"), col("quality_bp").as("best_quality_bp"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "px13_novelty" -> px13,
+    "px15_best_of_cluster" -> px15,
     "px12_chunking" -> px12,
     "px11_sequence_pack" -> px11,
     "px10_group_split" -> px10,
@@ -521,6 +547,20 @@ object TextQueries {
       |   (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px15_best_of_cluster" ->
+      s"""WITH j AS (SELECT c.cluster_id, q.doc_id, q.quality_bp
+         |   FROM (${graft.operators.Dedup.oracles("d6_neardup_clusters")}) c
+         |   JOIN (SELECT doc_id, $qualityBpSql AS quality_bp
+         |         FROM (${qfSql()}) m) q
+         |     ON c.doc_id = q.doc_id),
+         | r AS (SELECT cluster_id, doc_id, quality_bp,
+         |     row_number() OVER (PARTITION BY cluster_id
+         |       ORDER BY quality_bp DESC, doc_id) AS rn,
+         |     count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+         | SELECT cluster_id, doc_id AS keep_id,
+         |   CAST(n_members AS BIGINT) AS n_members,
+         |   quality_bp AS best_quality_bp
+         | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "px7_pii_redact" ->
       s"""WITH a AS (SELECT doc_id,
          |   CASE WHEN doc_id % 3 = 0 THEN text

@@ -738,6 +738,24 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("px15 keeps the max-quality member per cluster, min-id tie-break, full cover") {
+    val clu = q("d6_neardup_clusters").select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qual = q("tx2_quality_score").select("doc_id", "quality_bp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = q("px15_best_of_cluster").collect()
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.length === clu.values.toSet.size)
+    out.foreach { r =>
+      val members = clu.collect { case (d, c) if c == r.getLong(0) => d }
+      assert(members.toSet.contains(r.getLong(1)))
+      assert(r.getLong(2) === members.size.toLong)
+      val best = members.map(qual).max
+      assert(r.getLong(3) === best)
+      assert(r.getLong(1) === members.filter(m => qual(m) == best).min)
+    }
+  }
+
   test("tx10 keywords: ranks contiguous per doc, weights ordered, ties lexicographic") {
     val rows = q("tx10_keywords").collect()
     assert(rows.nonEmpty)

@@ -105,8 +105,13 @@ object Retrieval {
     * aggregations for norms and dot products. The dot² / norm² products
     * exceed int64 (documented ExactRatio precondition), so they are
     * widened to 38-digit DECIMAL / HUGEINT BEFORE multiplying on both
-    * engines; magnitudes stay < 10³⁵ at any document length the token
-    * model admits. */
+    * engines. Ceilings, honestly: dot and n2 are int64 sums — they fail
+    * LOUDLY (ANSI) past 9.2·10¹⁸, and the widened dot²·2·10⁴ term must
+    * stay under DECIMAL38/HUGEINT, i.e. dot < ~7·10¹⁶ — satisfied while
+    * Σ tf·tw per shared-term pair stays below that, e.g. docs of ≤ 10⁴
+    * tokens with tw ≤ 10⁷ keep dot ≤ 10¹⁵ (Cauchy-Schwarz against
+    * n2 ≤ 10¹⁴ bounds it tighter). Past any ceiling BOTH engines raise —
+    * never a silent wrong pair. */
   private val tx9: Q = (s, d) => {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))

@@ -324,12 +324,16 @@ object Aggregations {
   /** The a22 histogram STATE of an events slice: (day, bin, n) rows.
     * Exposed as the unit Pipelines.mergeQuantileHist maintains
     * incrementally (histogram states merge by keyed sum — commutative,
-    * so stored + Δ == recompute exactly). */
+    * so stored + Δ == recompute exactly). The bin is clamped on BOTH
+    * ends into [0, QMaxBin]: the lower clamp makes negative values —
+    * where Spark's `div` (truncate toward zero) and DuckDB's `//`
+    * (floor) disagree — land in bin 0 identically on both engines, and
+    * restores the ≤ QMaxBin+1 state bound for any value domain. */
   private[graft] def histState(events: DataFrame): DataFrame =
     events.select(
       to_date(col("ts")).cast("string").as("day"),
-      least(call_function("div", round(col("value") * 100).cast("long"),
-        lit(QBinWidth)), lit(QMaxBin)).as("bin"))
+      greatest(least(call_function("div", round(col("value") * 100).cast("long"),
+        lit(QBinWidth)), lit(QMaxBin)), lit(0L)).as("bin"))
       .groupBy(col("day"), col("bin"))
       .agg(count(lit(1)).as("n"))
 
@@ -456,7 +460,8 @@ object Aggregations {
     },
     "a22_quantile_rollup" ->
       s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-         |     least(CAST(round(value * 100) AS BIGINT) // $QBinWidth, $QMaxBin) AS bin
+         |     greatest(least(CAST(round(value * 100) AS BIGINT) // $QBinWidth,
+         |       $QMaxBin), 0) AS bin
          |   FROM events),
          | h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
          | hh AS (SELECT * FROM h

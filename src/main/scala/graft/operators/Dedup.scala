@@ -28,7 +28,12 @@ object Dedup {
     * up as the regex split re-running per shingle (8s of 22s at sf0.1).
     * Multi-use refs also stop CollapseProject from re-inlining. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docShinglesOf(Tables.documents(s, d))
+
+  /** The same projection split for any documents frame — ONE definition,
+    * so the invariant above cannot be silently violated at a second site. */
+  private def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("shingles"))
 
@@ -66,9 +71,7 @@ object Dedup {
     * path ([[dedupeIncremental]]): ~4 small rows per document, no text,
     * no shingle sets, so the state is a fraction of corpus size. */
   private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
-    val sig = docs
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), shingles(col("tk")).as("shingles"))
+    val sig = docShinglesOf(docs)
       .select(col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs"))
       .select(
         col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
@@ -125,11 +128,19 @@ object Dedup {
     // bb feeds three consumers (two semi-joins + the state update):
     // materialize the signature pass once
     val bb = bandSignatures(batch).localCheckpoint(true)
+    (verdictsFor(state, batch, bb), state.unionByName(bb))
+  }
+
+  /** Verdicts from PRECOMPUTED batch bands — the streaming loop computes
+    * the signature pass once and reuses it for both the verdicts and the
+    * state append (the md5 over shingles IS the hot loop; running it
+    * twice per trigger would double the dominant cost). */
+  private[graft] def verdictsFor(state: DataFrame, batch: DataFrame,
+                                 bb: DataFrame): DataFrame = {
     val rejected = collisions(state, bb).union(collisions(bb, bb)).distinct()
-    val verdicts = batch.select(col("doc_id"))
+    batch.select(col("doc_id"))
       .join(rejected.withColumn("__rej", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("__rej").isNull.as("accepted"))
-    (verdicts, state.unionByName(bb))
   }
 
   /** Batch band rows colliding with a strictly-smaller doc_id in `older`

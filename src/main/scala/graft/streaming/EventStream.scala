@@ -463,22 +463,53 @@ object EventStream {
       }
       .start()
 
-  /** One idempotent ingest-dedup step (exposed for the replay spec). */
+  /** One idempotent ingest-dedup step (exposed for the replay spec).
+    * The batch's signature pass (tokenize → shingle → md5 — the dominant
+    * cost) runs ONCE, shared by the verdict joins and the state append.
+    * The nondecreasing-id ingest precondition is enforced LOUDLY against
+    * a high-water-mark file (`_max_doc_id`, one integer — no state scan):
+    * an out-of-order batch would be admitted wrongly (its dups collide
+    * only with SMALLER ids) and must fail instead. A replayed batch id is
+    * exempt — its ids are ≤ the marker precisely because it already ran. */
   private[graft] def applyDedupBatch(batch: DataFrame, stateDir: String,
                                      acceptedDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val markerPath = new org.apache.hadoop.fs.Path(stateDir, "_max_doc_id")
+    val marker: Option[(Long, Long)] = // (lastBatchId, maxDocId)
+      if (!fs.exists(markerPath)) None
+      else {
+        val in = fs.open(markerPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+        val Array(b, m) = txt.split(":").map(_.toLong); Some((b, m))
+      }
+    val bounds = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (bounds.isNullAt(0)) return // empty trigger: nothing to admit
+    val (batchMin, batchMax) = (bounds.getLong(0), bounds.getLong(1))
+    marker.foreach { case (lastB, maxId) =>
+      require(batchId <= lastB || batchMin > maxId,
+        s"out-of-order ingest: batch $batchId has min doc_id $batchMin " +
+          s"<= already-indexed max $maxId — near-dups of earlier docs " +
+          "would be silently admitted")
+    }
     val state =
       if (fs.exists(new org.apache.hadoop.fs.Path(stateDir)))
         // select away the b=<id> partition column parquet discovery adds
         s.read.parquet(stateDir).select("doc_id", "band_idx", "bh")
       else graft.operators.Dedup.bandSignatures(batch.limit(0))
-    val (verdicts, _) = graft.operators.Dedup.dedupeIncremental(state, batch)
+    val bb = graft.operators.Dedup.bandSignatures(batch).localCheckpoint(true)
+    val verdicts = graft.operators.Dedup.verdictsFor(state, batch, bb)
     batch.join(verdicts.filter(col("accepted")), Seq("doc_id"), "leftsemi")
       .write.mode("overwrite").parquet(s"$acceptedDir/b=$batchId")
-    graft.operators.Dedup.bandSignatures(batch)
-      .write.mode("overwrite").parquet(s"$stateDir/b=$batchId")
+    bb.write.mode("overwrite").parquet(s"$stateDir/b=$batchId")
+    if (marker.forall(_._1 < batchId)) {
+      val out = fs.create(markerPath, true)
+      try out.write(s"$batchId:${math.max(batchMax, marker.fold(Long.MinValue)(_._2))}"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** T1-equivalent continuous refresh: re-materialize the hourly rollup into

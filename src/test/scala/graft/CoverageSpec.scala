@@ -60,8 +60,8 @@ class CoverageSpec extends SparkSpec {
       val s = cents.sorted
       def pLo(bp: Long): Long = {
         val t = ((bp * s.length + 9999L) / 10000L).toInt
-        math.min(s(t - 1) / operators.Aggregations.QBinWidth,
-          operators.Aggregations.QMaxBin) * operators.Aggregations.QBinWidth
+        math.max(math.min(s(t - 1) / operators.Aggregations.QBinWidth,
+          operators.Aggregations.QMaxBin), 0L) * operators.Aggregations.QBinWidth
       }
       (s.length.toLong, pLo(5000L), pLo(9000L), pLo(9900L))
     }

@@ -248,6 +248,26 @@ class PipelinesSpec extends SparkSpec {
     assert(after.toSeq === before)
   }
 
+  test("dedup ingest rejects an out-of-order batch loudly, replay stays exempt") {
+    val sp = spark
+    val docs = Tables.documents(sp, sf).select("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ooo").toString
+    val (stateDir, accDir) = (s"$root/state", s"$root/accepted")
+    EventStream.applyDedupBatch(
+      docs.filter(col("doc_id").between(100, 200)), stateDir, accDir, 0L)
+    // an out-of-order batch (ids below the indexed high-water mark) would
+    // be silently admitted — the guard must throw instead
+    val e = intercept[IllegalArgumentException] {
+      EventStream.applyDedupBatch(
+        docs.filter(col("doc_id") < 60), stateDir, accDir, 1L)
+    }
+    assert(e.getMessage.contains("out-of-order ingest"))
+    // replaying an ALREADY-COMMITTED batch id is exempt (its ids are <=
+    // the marker precisely because it ran) and remains a no-op rewrite
+    EventStream.applyDedupBatch(
+      docs.filter(col("doc_id").between(100, 200)), stateDir, accDir, 0L)
+  }
+
   test("bounded streaming dedup re-admits duplicates once state ages out") {
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
     val sp = spark

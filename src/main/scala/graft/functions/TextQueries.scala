@@ -486,9 +486,25 @@ object TextQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** PX16 — corpus prep with QUALITY-CHOSEN survivors: px5's gate over
+    * px15's best-of-cluster keeps instead of the min-id canonicals, i.e.
+    * "keep the cleanest copy of each near-dup family, THEN gate" — the
+    * composition a production build actually wants (a family whose
+    * min-id member fails the quality gate but whose best member passes
+    * survives here and is lost in px5). Same single prep definition, so
+    * the three corpus-prep queries cannot drift on thresholds. Caveat,
+    * honestly: px15 picks the argmax language-blind, so coverage ⊇ px5
+    * holds when families are language-homogeneous (true of near-dup
+    * clusters in practice and asserted by the spec on this corpus) —
+    * a mixed-language family whose best copy is non-English would gate
+    * out here while px5 kept its English canonical. */
+  private val px16: Q = (s, d) =>
+    prep(s, d, px15(s, d).select(col("keep_id").as("doc_id")))
+
   val queries: Map[String, Q] = Map(
     "px13_novelty" -> px13,
     "px15_best_of_cluster" -> px15,
+    "px16_quality_prep" -> px16,
     "px12_chunking" -> px12,
     "px11_sequence_pack" -> px11,
     "px10_group_split" -> px10,
@@ -546,21 +562,31 @@ object TextQueries {
     """16 * (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) +
       |   (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)""".stripMargin
 
+  /** px15's oracle, factored so px16 can nest the keep set. */
+  private lazy val px15Sql: String =
+    s"""WITH j AS (SELECT c.cluster_id, q.doc_id, q.quality_bp
+       |   FROM (${graft.operators.Dedup.oracles("d6_neardup_clusters")}) c
+       |   JOIN (SELECT doc_id, $qualityBpSql AS quality_bp
+       |         FROM (${qfSql()}) m) q
+       |     ON c.doc_id = q.doc_id),
+       | r AS (SELECT cluster_id, doc_id, quality_bp,
+       |     row_number() OVER (PARTITION BY cluster_id
+       |       ORDER BY quality_bp DESC, doc_id) AS rn,
+       |     count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+       | SELECT cluster_id, doc_id AS keep_id,
+       |   CAST(n_members AS BIGINT) AS n_members,
+       |   quality_bp AS best_quality_bp
+       | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "px15_best_of_cluster" ->
-      s"""WITH j AS (SELECT c.cluster_id, q.doc_id, q.quality_bp
-         |   FROM (${graft.operators.Dedup.oracles("d6_neardup_clusters")}) c
-         |   JOIN (SELECT doc_id, $qualityBpSql AS quality_bp
-         |         FROM (${qfSql()}) m) q
-         |     ON c.doc_id = q.doc_id),
-         | r AS (SELECT cluster_id, doc_id, quality_bp,
-         |     row_number() OVER (PARTITION BY cluster_id
-         |       ORDER BY quality_bp DESC, doc_id) AS rn,
-         |     count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
-         | SELECT cluster_id, doc_id AS keep_id,
-         |   CAST(n_members AS BIGINT) AS n_members,
-         |   quality_bp AS best_quality_bp
-         | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "px15_best_of_cluster" -> px15Sql,
+    "px16_quality_prep" ->
+      s"""WITH keeps AS (SELECT keep_id AS doc_id FROM ($px15Sql)),
+         | m0 AS (${qfSql(" WHERE lang = 'en'")}),
+         | m AS (SELECT doc_id, n AS n_tokens, $qualityBpSql AS quality_bp FROM m0)
+         | SELECT m.doc_id, m.n_tokens, m.quality_bp
+         | FROM m JOIN keeps ON m.doc_id = keeps.doc_id
+         | WHERE m.quality_bp >= 5500 ORDER BY m.doc_id""".stripMargin,
     "px7_pii_redact" ->
       s"""WITH a AS (SELECT doc_id,
          |   CASE WHEN doc_id % 3 = 0 THEN text

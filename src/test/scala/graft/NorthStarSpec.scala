@@ -756,6 +756,24 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("px16 gates px15's keeps; its family coverage is a superset of px5's") {
+    val keeps = q("px15_best_of_cluster")
+      .select(col("keep_id").as("doc_id"), col("cluster_id"))
+    val out = q("px16_quality_prep")
+    // every surviving doc is a best-of-cluster keep passing the px5 gates
+    assert(out.join(keeps, Seq("doc_id"), "left_anti").count() === 0L)
+    assert(out.filter(col("quality_bp") < 5500L).count() === 0L)
+    // best quality >= canonical's quality, so any family whose min-id
+    // canonical passed px5's gate is also covered by px16 — PROVIDED the
+    // best member shares the canonical's language (near-dup families are
+    // language-homogeneous in practice; asserted here, not assumed)
+    val clusters = q("d6_neardup_clusters").select("doc_id", "cluster_id")
+    val px5Fams = q("px5_canonical_prep").join(clusters, Seq("doc_id"))
+      .select("cluster_id").distinct()
+    val px16Fams = out.join(keeps, Seq("doc_id")).select("cluster_id").distinct()
+    assert(px5Fams.join(px16Fams, Seq("cluster_id"), "left_anti").count() === 0L)
+  }
+
   test("tx10 keywords: ranks contiguous per doc, weights ordered, ties lexicographic") {
     val rows = q("tx10_keywords").collect()
     assert(rows.nonEmpty)

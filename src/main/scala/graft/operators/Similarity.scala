@@ -400,6 +400,56 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** MMR geometry: 5 picks, λ = 0.7 (relevance weight vs redundancy). */
+  private val MmrK = 5
+
+  /** X9 — MMR (maximal marginal relevance) DIVERSIFIED re-rank of x1's
+    * exact top-k: greedily pick the candidate maximizing
+    * λ·rel − (1−λ)·max sim-to-already-picked — the standard fix for an
+    * ANN result list full of near-duplicates of one answer (in a dedup
+    * engine the retrieval side should not re-surface the redundancy the
+    * dedup side removes). Candidate-candidate cosines are computed ONCE
+    * per query over the top-k only (k² rows per query, never corpus²),
+    * and every greedy round is a per-query window argmax over ≤ k rows.
+    * Cross-engine exactness: rel and sim are rounded to 4 dp FIRST, so
+    * both engines run the greedy on identical decimals with identical
+    * IEEE score arithmetic and vec_id tie-breaks — the pick sequence is
+    * oracle-gated, not just spec-bounded. */
+  private val x9: Q = (s, d) => {
+    val v = vecs(s, d).select(col("vec_id"), col("v"), col("norm"))
+    val cand = rerank(candX1(s, d))
+      .select(col("q_id"), col("neighbor_id").as("vec_id"), col("cos").as("rel"))
+      .join(v, Seq("vec_id"))
+      .localCheckpoint(true)
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("i"),
+        col("b.vec_id").as("j"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
+          .as("sim"))
+      .localCheckpoint(true)
+    val wSel = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    def pick(scored: DataFrame, r: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"),
+          col("rel"), col("score"))
+    var result = pick(cand.withColumn("score", col("rel")), 1)
+    for (r <- 2 to MmrK) {
+      val pen = sims
+        .join(result.select(col("q_id"), col("vec_id").as("j")), Seq("q_id", "j"))
+        .groupBy(col("q_id"), col("i")).agg(max(col("sim")).as("maxsim"))
+      val rem = cand
+        .join(result.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(pen.withColumnRenamed("i", "vec_id"), Seq("q_id", "vec_id"))
+        .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+      result = result.unionByName(pick(rem, r))
+    }
+    result.select(col("q_id"), col("mmr_rank"),
+        col("vec_id").as("neighbor_id"), col("rel"),
+        round(col("score"), 4).as("mmr_score"))
+      .orderBy(col("q_id"), col("mmr_rank"))
+  }
+
   /** X6 — EMBEDDING-LEVEL EVAL DECONTAMINATION: flag every eval-split
     * vector whose cosine to ANY train-split vector reaches the near-dup
     * threshold — the semantic counterpart of px4's n-gram decontamination
@@ -460,7 +510,8 @@ object Similarity {
     "x3_ann_ivf" -> x3,
     "x3b_ann_ivf_trained" -> x3b,
     "x5_ann_ivfpq" -> x5,
-    "x4_ann_recall" -> x4
+    "x4_ann_recall" -> x4,
+    "x9_mmr_rerank" -> x9
   )
 
   private def planeSql(j: Int): String =
@@ -618,7 +669,52 @@ object Similarity {
   }
 
   lazy val oracles: Map[String, String] =
-    oraclesBase + ("x4_ann_recall" -> x4Sql)
+    oraclesBase + ("x4_ann_recall" -> x4Sql) + ("x9_mmr_rerank" -> x9Sql)
+
+  /** x9's oracle: the greedy unrolled to [[MmrK]] stages, generated from
+    * the same constants as the Spark loop so k and λ cannot drift. */
+  private lazy val x9Sql: String = {
+    val simsDot = s"list_sum(list_transform(range($Dim), i -> a.v[i+1] * b.v[i+1]))"
+    val head =
+      s"""WITH $vCte,
+         | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM v WHERE vec_id < 5),
+         | c0 AS (SELECT q.q_id, a.vec_id, $dotQSql / ($normSql) AS cos_raw
+         |   FROM v a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         | cr AS (SELECT q_id, vec_id, cos_raw, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c0),
+         | cand AS (SELECT q_id, vec_id, round(cos_raw, 4) AS rel
+         |   FROM cr WHERE rank <= $TopK),
+         | cv AS (SELECT cand.q_id, cand.vec_id, cand.rel, v.v, v.norm
+         |   FROM cand JOIN v USING (vec_id)),
+         | sims AS (SELECT a.q_id, a.vec_id AS i, b.vec_id AS j,
+         |     round($simsDot / (a.norm * b.norm), 4) AS sim
+         |   FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+         | sel1 AS (SELECT q_id, vec_id, rel, rel AS score FROM
+         |   (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to MmrK).map { r =>
+      val selUnion = (1 until r).map(k => s"SELECT q_id, vec_id FROM sel$k")
+        .mkString(" UNION ALL ")
+      s""" pen$r AS (SELECT s.q_id, s.i AS vec_id, max(s.sim) AS maxsim
+         |   FROM sims s JOIN ($selUnion) t ON s.q_id = t.q_id AND s.j = t.vec_id
+         |   GROUP BY 1, 2),
+         | sc$r AS (SELECT c.q_id, c.vec_id, c.rel,
+         |     0.7 * c.rel - 0.3 * p.maxsim AS score
+         |   FROM cand c JOIN pen$r p ON c.q_id = p.q_id AND c.vec_id = p.vec_id
+         |   WHERE NOT EXISTS (SELECT 1 FROM ($selUnion) u
+         |     WHERE u.q_id = c.q_id AND u.vec_id = c.vec_id)),
+         | sel$r AS (SELECT q_id, vec_id, rel, score FROM
+         |   (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS rn FROM sc$r) WHERE rn = 1)""".stripMargin
+    }
+    val selAll = (1 to MmrK)
+      .map(k => s"SELECT q_id, vec_id, rel, score, $k AS mmr_rank FROM sel$k")
+      .mkString(" UNION ALL ")
+    s"$head,\n${rounds.mkString(",\n")}\n" +
+      " SELECT q_id, CAST(mmr_rank AS BIGINT) AS mmr_rank," +
+      " vec_id AS neighbor_id, rel, round(score, 4) AS mmr_score" +
+      s" FROM ($selAll) ORDER BY q_id, mmr_rank"
+  }
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "x7_int8_quant" ->

@@ -339,6 +339,30 @@ class SimilaritySpec extends SparkSpec {
     assert(q("x7_int8_quant").filter(col("n_sat") < 1).count() === 0L)
   }
 
+  test("x9 MMR: 5 distinct picks from x1's top-10, greedy scores shrink after rank 1") {
+    val top = q("x1_knn_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val first = q("x1_knn_bruteforce").collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val out = q("x9_mmr_rerank").collect()
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val s = rs.sortBy(_.getLong(1))
+      assert(s.map(_.getLong(1)).toSeq === (1L to 5L))
+      assert(s.map(_.getLong(2)).distinct.length === 5)
+      s.foreach(r => assert(top.contains((qid, r.getLong(2)))))
+      // rank 1 is pure relevance — x1's argmax
+      assert(s.head.getLong(2) === first(qid))
+      // from round 2 on, the pool shrinks and penalties grow monotonically,
+      // so the greedy max cannot increase (round 1→2 CAN increase when
+      // sims are negative — deliberately not asserted)
+      s.drop(1).sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+        case _ => ()
+      }
+    }
+    assert(out.length === 25)
+  }
+
   test("x6 decontamination flags exactly the eval vectors with a near train vector") {
     val out = q("x6_embed_decontam").cache()
     // every flagged vector is eval-split with a genuine contamination count

@@ -530,8 +530,13 @@ object Dedup {
     * on boilerplate-heavy ones), a position explode bounded to duplicated
     * windows only, and a doc-bounded reassembly groupBy. Never doc×doc,
     * no suffix array, no global sort. */
-  private[graft] def spanScrub(docs: DataFrame): DataFrame = {
-    val k = SpanTokens
+  private[graft] def spanScrub(docs: DataFrame): DataFrame =
+    spanScrubAt(SpanTokens)(docs)
+
+  /** The window grain is a REAL parameter (p3/w7 convention): px14 runs
+    * the 4-token grain, px14b the coarser 6-token grain — same plan at
+    * any k, oracle generated from the same constant. */
+  private[graft] def spanScrubAt(k: Int)(docs: DataFrame): DataFrame = {
     val toked = docs.select(col("doc_id"), toks(col("text")).as("tk"))
     val ws = toked.filter(size(col("tk")) >= k)
       .select(col("doc_id"), expr(
@@ -558,10 +563,12 @@ object Dedup {
   }
 
   private val px14: Q = (s, d) => spanScrub(Tables.documents(s, d))
+  private val px14b: Q = (s, d) => spanScrubAt(6)(Tables.documents(s, d))
 
   val queries: Map[String, Q] = Map(
     "px8_passage_dedup" -> px8,
     "px14_span_scrub" -> px14,
+    "px14b_span_scrub_6" -> px14b,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d9_incremental_dedup" -> d9,
@@ -573,6 +580,29 @@ object Dedup {
     "d8_simhash_clusters" -> d8,
     "px4_decontaminate" -> px4
   )
+
+  /** px14's oracle at window grain k — generated from the same constant
+    * as the Spark side so the two parameterizations cannot drift. */
+  private def spanScrubSql(k: Int): String = {
+    val winExpr = (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       | ws AS (SELECT doc_id, i AS p, $winExpr AS w
+       |   FROM d, UNNEST(range(len(tk) - ${k - 1})) AS r(i) WHERE len(tk) >= $k),
+       | cnt AS (SELECT w FROM ws GROUP BY w HAVING count(*) >= $SpanDupMin),
+       | cov AS (SELECT DISTINCT ws.doc_id, p + j AS tpos
+       |   FROM ws JOIN cnt USING (w), UNNEST(range($k)) AS rr(j)),
+       | tp AS (SELECT doc_id, i AS tpos, tk[i+1] AS tok
+       |   FROM d, UNNEST(range(len(tk))) AS r(i)),
+       | keptagg AS (SELECT tp.doc_id, count(*) AS n_kept,
+       |     md5(string_agg(tok, ' ' ORDER BY tp.tpos)) AS kept_md5
+       |   FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
+       |   WHERE cov.tpos IS NULL GROUP BY 1)
+       | SELECT d.doc_id, len(tk) AS n_tokens,
+       |   len(tk) - coalesce(n_kept, 0) AS n_removed,
+       |   coalesce(kept_md5, md5('')) AS kept_md5
+       | FROM d LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
+       | ORDER BY d.doc_id""".stripMargin
+  }
 
   private val docShinglesSql =
     s"""SELECT doc_id, $shinglesSql AS shingles
@@ -621,27 +651,8 @@ object Dedup {
     "d2_minhash_lsh" ->
       s"""WITH $candSql
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
-    "px14_span_scrub" -> {
-      val k = SpanTokens
-      val winExpr = (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
-      s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         | ws AS (SELECT doc_id, i AS p, $winExpr AS w
-         |   FROM d, UNNEST(range(len(tk) - ${k - 1})) AS r(i) WHERE len(tk) >= $k),
-         | cnt AS (SELECT w FROM ws GROUP BY w HAVING count(*) >= $SpanDupMin),
-         | cov AS (SELECT DISTINCT ws.doc_id, p + j AS tpos
-         |   FROM ws JOIN cnt USING (w), UNNEST(range($k)) AS rr(j)),
-         | tp AS (SELECT doc_id, i AS tpos, tk[i+1] AS tok
-         |   FROM d, UNNEST(range(len(tk))) AS r(i)),
-         | keptagg AS (SELECT tp.doc_id, count(*) AS n_kept,
-         |     md5(string_agg(tok, ' ' ORDER BY tp.tpos)) AS kept_md5
-         |   FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.tpos = cov.tpos
-         |   WHERE cov.tpos IS NULL GROUP BY 1)
-         | SELECT d.doc_id, len(tk) AS n_tokens,
-         |   len(tk) - coalesce(n_kept, 0) AS n_removed,
-         |   coalesce(kept_md5, md5('')) AS kept_md5
-         | FROM d LEFT JOIN keptagg ON d.doc_id = keptagg.doc_id
-         | ORDER BY d.doc_id""".stripMargin
-    },
+    "px14_span_scrub" -> spanScrubSql(SpanTokens),
+    "px14b_span_scrub_6" -> spanScrubSql(6),
     "d9_incremental_dedup" ->
       s"""WITH $candSql,
          | sp AS (SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 3 // 4 AS split

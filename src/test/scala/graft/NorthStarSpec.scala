@@ -174,6 +174,16 @@ class DedupSpec extends SparkSpec {
     assert(scrubbed.filter(col("kept_md5") =!= md5(lit(""))).count() === 0L)
   }
 
+  test("px14b: a coarser span grain never removes more than the finer one") {
+    // every 4-token subwindow of a duplicated 6-token window is itself
+    // duplicated, so the k=6 covered set is a subset of the k=4 one
+    val fine = q("px14_span_scrub").select("doc_id", "n_removed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val coarse = q("px14b_span_scrub_6").collect()
+    assert(coarse.nonEmpty)
+    coarse.foreach(r => assert(r.getLong(2) <= fine(r.getLong(0))))
+  }
+
   test("d9 identity law: incremental over 3 batches == one-shot over the union") {
     val docs = Tables.documents(spark, sf)
     val empty = operators.Dedup.bandSignatures(docs.limit(0))

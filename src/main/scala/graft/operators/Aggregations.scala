@@ -292,7 +292,7 @@ object Aggregations {
     * count reaches ⌈bp·n/10⁴⌉ — all-integer, so the SAME rule runs
     * exactly on both engines. The cumsum window partitions by day over
     * ≤ [[QMaxBin]]+1 rows — bounded by geometry, never by data. */
-  private def histQuantiles(hist: DataFrame): DataFrame = {
+  private def histQuantiles(hist: DataFrame, binWidth: Long = QBinWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cum = hist
       .withColumn("cum", sum(col("n")).over(
@@ -301,7 +301,7 @@ object Aggregations {
     def pLo(bp: Long) = min(when(
       col("cum") >= call_function("div",
         lit(bp) * col("tot") + lit(9999L), lit(10000L)),
-      col("bin") * QBinWidth))
+      col("bin") * binWidth))
     cum.groupBy(col("day")).agg(
       max(col("tot")).as("n_events"),
       pLo(5000L).as("p50_cents"),
@@ -330,23 +330,56 @@ object Aggregations {
     * (floor) disagree — land in bin 0 identically on both engines, and
     * restores the ≤ QMaxBin+1 state bound for any value domain. */
   private[graft] def histState(events: DataFrame): DataFrame =
+    histStateAt(QBinWidth, QMaxBin)(events)
+
+  /** The geometry is a REAL parameter (p3/w7 convention): a22 runs the
+    * 500-cent/200-bin grain, a22b a 100-cent/1000-bin fine grain — same
+    * plan and state-bound law at any (width, maxBin). */
+  private[graft] def histStateAt(binWidth: Long, maxBin: Long)(events: DataFrame): DataFrame =
     events.select(
       to_date(col("ts")).cast("string").as("day"),
       greatest(least(call_function("div", round(col("value") * 100).cast("long"),
-        lit(QBinWidth)), lit(QMaxBin)), lit(0L)).as("bin"))
+        lit(binWidth)), lit(maxBin)), lit(0L)).as("bin"))
       .groupBy(col("day"), col("bin"))
       .agg(count(lit(1)).as("n"))
 
   /** Quantile rows (per-day + ALL) from histogram state — a22's read
     * side, reusable over any maintained state. */
-  private[graft] def quantilesFromHist(daily: DataFrame): DataFrame = {
+  private[graft] def quantilesFromHist(daily: DataFrame,
+                                       binWidth: Long = QBinWidth): DataFrame = {
     val global = daily.groupBy(col("bin")).agg(sum(col("n")).as("n"))
       .select(lit("ALL").as("day"), col("bin"), col("n"))
-    histQuantiles(daily.unionByName(global)).orderBy(col("day"))
+    histQuantiles(daily.unionByName(global), binWidth).orderBy(col("day"))
   }
 
   private val a22: Q = (s, d) =>
     quantilesFromHist(histState(Tables.events(s, d)))
+
+  private val a22b: Q = (s, d) =>
+    quantilesFromHist(histStateAt(100L, 1000L)(Tables.events(s, d)), 100L)
+
+  /** a22's oracle at geometry (binWidth, maxBin) — generated from the
+    * same constants as the Spark side. */
+  private def a22Sql(binWidth: Long, maxBin: Long): String =
+    s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |     greatest(least(CAST(round(value * 100) AS BIGINT) // $binWidth,
+       |       $maxBin), 0) AS bin
+       |   FROM events),
+       | h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+       | hh AS (SELECT * FROM h
+       |   UNION ALL
+       |   SELECT 'ALL' AS day, bin, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY bin),
+       | c AS (SELECT day, bin, n,
+       |     sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+       |     sum(n) OVER (PARTITION BY day) AS tot FROM hh)
+       | SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
+       |   CAST(min(CASE WHEN cum >= (5000 * tot + 9999) // 10000
+       |     THEN bin * $binWidth END) AS BIGINT) AS p50_cents,
+       |   CAST(min(CASE WHEN cum >= (9000 * tot + 9999) // 10000
+       |     THEN bin * $binWidth END) AS BIGINT) AS p90_cents,
+       |   CAST(min(CASE WHEN cum >= (9900 * tot + 9999) // 10000
+       |     THEN bin * $binWidth END) AS BIGINT) AS p99_cents
+       | FROM c GROUP BY day ORDER BY day""".stripMargin
 
   /** A20 — FUNNEL: users progressing view → click → purchase IN ORDER
     * (each stage's clock starts at the previous stage's first completion
@@ -413,6 +446,7 @@ object Aggregations {
     "a19_exact_by_day" -> a19x,
     "a19_sketch_rollup" -> a19,
     "a22_quantile_rollup" -> a22,
+    "a22b_quantile_fine" -> a22b,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -458,26 +492,8 @@ object Aggregations {
          | SELECT n_view, n_click, n_purchase,
          |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
     },
-    "a22_quantile_rollup" ->
-      s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-         |     greatest(least(CAST(round(value * 100) AS BIGINT) // $QBinWidth,
-         |       $QMaxBin), 0) AS bin
-         |   FROM events),
-         | h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
-         | hh AS (SELECT * FROM h
-         |   UNION ALL
-         |   SELECT 'ALL' AS day, bin, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY bin),
-         | c AS (SELECT day, bin, n,
-         |     sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
-         |     sum(n) OVER (PARTITION BY day) AS tot FROM hh)
-         | SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
-         |   CAST(min(CASE WHEN cum >= (5000 * tot + 9999) // 10000
-         |     THEN bin * $QBinWidth END) AS BIGINT) AS p50_cents,
-         |   CAST(min(CASE WHEN cum >= (9000 * tot + 9999) // 10000
-         |     THEN bin * $QBinWidth END) AS BIGINT) AS p90_cents,
-         |   CAST(min(CASE WHEN cum >= (9900 * tot + 9999) // 10000
-         |     THEN bin * $QBinWidth END) AS BIGINT) AS p99_cents
-         | FROM c GROUP BY day ORDER BY day""".stripMargin,
+    "a22_quantile_rollup" -> a22Sql(QBinWidth, QMaxBin),
+    "a22b_quantile_fine" -> a22Sql(100L, 1000L),
     "a19_exact_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |   count(DISTINCT user_id) AS exact_users

@@ -72,6 +72,20 @@ class CoverageSpec extends SparkSpec {
     assert(out.size === ev.map(_._1).distinct.length + 1)
   }
 
+  test("a22b: the fine grain refines the coarse one within a coarse bin") {
+    // both grains floor the SAME order statistic (clamp caps coincide at
+    // 100,000 cents), so coarse <= fine < coarse + 500 per percentile
+    val coarse = q("a22_quantile_rollup").collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val fine = q("a22b_quantile_fine").collect()
+    assert(fine.nonEmpty)
+    fine.foreach { r =>
+      val (c50, c90, c99) = coarse(r.getString(0))
+      for ((c, f) <- Seq((c50, r.getLong(2)), (c90, r.getLong(3)), (c99, r.getLong(4))))
+        assert(c <= f && f < c + 500L, s"day ${r.getString(0)}: coarse $c fine $f")
+    }
+  }
+
   test("tx5 vocab: tf >= df, descending tf, at most 100 terms") {
     val rows = q("tx5_vocab").collect()
     assert(rows.length <= 100)

@@ -458,6 +458,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** px17's flag threshold (basis points of the test doc's shingles). */
+  private[graft] val ContainMinBp = 5000L
+
+  /** PX17 — CONTAINMENT decontamination: px4's shingle-overlap check is
+    * symmetric ("shares any shingle with train"); the leak that actually
+    * poisons an eval is ASYMMETRIC — a short benchmark item embedded
+    * verbatim inside a much larger training document. Score each test doc
+    * by its max containment C(t,r) = |sh(t) ∩ sh(r)| / |sh(t)| over train
+    * docs r — the direction Jaccard dilutes (a 50-token test item inside a
+    * 5000-token train doc has J ≈ 1% but C = 100%), which is why eval
+    * decontamination (and d4-style symmetric verification) need different
+    * scores. Scale shape: per-doc DISTINCT shingles explode to shingle
+    * grain, ONE equi-join on the shingle, count per (test, train) pair —
+    * candidate pairs exist only where a shingle is shared, never doc×doc;
+    * the per-test argmax is a window over that candidate set, bounded by
+    * the matching train docs. At production scale the promiscuous-shingle
+    * tail (boilerplate matching everything) takes a df-cap prefilter
+    * first — tx9's blocking economics. */
+  private val px17: Q = (s, d) => containment(Tables.documents(s, d))
+
+  /** px17's core over any documents frame — exposed so the spec can drive
+    * a planted full-containment fixture through the exact production path. */
+  private[graft] def containment(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShinglesOf(docs)
+    val test = ds.filter(col("doc_id") % 10 === 7)
+    val testSh = test.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val trainSh = ds.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+    val best = testSh.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_shared").desc, col("train_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("train_id"), col("n_shared"))
+    test.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("train_id"), lit(-1L)).as("best_train_id"),
+        graft.functions.ExactRatio.scaled(
+          coalesce(col("n_shared"), lit(0L)), col("n_shingles"), 10000L)
+          .as("containment_bp"))
+      .withColumn("contaminated", col("containment_bp") >= ContainMinBp)
+      .orderBy(col("doc_id"))
+  }
+
   /** Passage grain for px8: non-overlapping token windows of this width.
     * Small here so the toy corpus actually repeats passages; at production
     * scale CCNet-style boilerplate removal uses lines or ~50-token spans —
@@ -578,7 +626,8 @@ object Dedup {
     "d6_neardup_clusters" -> d6,
     "d7_embedding_clusters" -> d7,
     "d8_simhash_clusters" -> d8,
-    "px4_decontaminate" -> px4
+    "px4_decontaminate" -> px4,
+    "px17_containment" -> px17
   )
 
   /** px14's oracle at window grain k — generated from the same constant
@@ -747,6 +796,27 @@ object Dedup {
          |   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |   coalesce(h.n_contaminated, 0) > 0 AS contaminated
          | FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
+    "px17_containment" ->
+      s"""WITH ds AS ($docShinglesSql),
+         | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),
+         | test_sh AS (SELECT doc_id, unnest(shingles) AS sh FROM test),
+         | train_sh AS (SELECT doc_id AS train_id, unnest(shingles) AS sh
+         |   FROM ds WHERE doc_id % 10 <> 7),
+         | pairs AS (SELECT t.doc_id, r.train_id, count(*) AS n_shared
+         |   FROM test_sh t JOIN train_sh r USING (sh) GROUP BY 1, 2),
+         | best AS (SELECT doc_id, train_id, n_shared FROM (
+         |     SELECT doc_id, train_id, n_shared, row_number() OVER (
+         |       PARTITION BY doc_id ORDER BY n_shared DESC, train_id) AS rn
+         |     FROM pairs) WHERE rn = 1),
+         | scored AS (SELECT t.doc_id,
+         |     CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+         |     CAST(coalesce(b.train_id, -1) AS BIGINT) AS best_train_id,
+         |     ${graft.functions.ExactRatio.scaledSql("coalesce(b.n_shared, 0)",
+              "len(t.shingles)", 10000L)} AS containment_bp
+         |   FROM test t LEFT JOIN best b ON t.doc_id = b.doc_id)
+         | SELECT doc_id, n_shingles, best_train_id, containment_bp,
+         |   containment_bp >= $ContainMinBp AS contaminated
+         | FROM scored ORDER BY doc_id""".stripMargin,
     "d5_embedding_neardup" -> d5PairSql,
     // same chunking via zipped unnest + generate_subscripts: DuckDB's
     // (pos-1)//W group IS Spark's slice(toks, i*W+1, W) passage

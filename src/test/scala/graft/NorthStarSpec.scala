@@ -142,6 +142,41 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("n_contaminated") > col("n_shingles")).count() === 0L)
   }
 
+  test("px17 containment covers the test split; flags consistent; argmax is a train doc") {
+    val out = q("px17_containment").cache()
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 7).count()
+    assert(out.count() === expect)
+    assert(out.filter(col("contaminated") =!=
+      (col("containment_bp") >= operators.Dedup.ContainMinBp)).count() === 0L)
+    assert(out.filter(col("containment_bp") < 0L ||
+      col("containment_bp") > 10000L).count() === 0L)
+    // the argmax partner is always from the train split (or -1 = no overlap)
+    assert(out.filter(col("best_train_id") =!= -1L &&
+      col("best_train_id") % 10 === 7).count() === 0L)
+    out.unpersist()
+  }
+
+  test("px17 planted fixture: full containment scores 10000 where Jaccard dilutes") {
+    val sp = spark; import sp.implicits._
+    // test doc 17 is embedded verbatim in the much larger train doc 1:
+    // containment = 100% while Jaccard is ~8/48 — the asymmetry px17 exists
+    // to catch. Test doc 7 shares nothing and must score 0 with no partner.
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val hay = needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, hay), (2L, (1 to 30).map(i => s"y$i").mkString(" ")),
+      (17L, needle), (7L, "q1 q2 q3 q4 q5"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.containment(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(17L).getLong(2) === 1L)      // best_train_id
+    assert(out(17L).getLong(3) === 10000L)  // containment_bp
+    assert(out(17L).getBoolean(4))
+    assert(out(7L).getLong(2) === -1L && out(7L).getLong(3) === 0L)
+    assert(!out(7L).getBoolean(4))
+  }
+
   test("px14 span scrub removes exactly the planted duplicated span (hand-computed)") {
     val sp = spark; import sp.implicits._
     // A and B share the 5-token span "a b c d e": windows "a b c d" and

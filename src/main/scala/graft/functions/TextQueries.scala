@@ -501,7 +501,43 @@ object TextQueries {
   private val px16: Q = (s, d) =>
     prep(s, d, px15(s, d).select(col("keep_id").as("doc_id")))
 
+  /** TX12's core: the BPE-training counting kernel over any documents
+    * frame — exposed so the spec can hand-check a planted vocabulary.
+    * Returns the FULL adjacent-pair inventory; the registered query takes
+    * the top-[[BpeTop]]. */
+  private[graft] def bpePairs(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    words
+      .select(col("wf"), explode(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => concat(col("w").substr(i, lit(1)), col("w").substr(i + 1, lit(1)))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("pair_count"))
+  }
+
+  private[graft] val BpeTop = 20
+
+  /** TX12 — BPE MERGE-PAIR COUNTING: the kernel of byte-pair-encoding
+    * tokenizer training at corpus scale. One word-grain count shuffle
+    * collapses the token stream to the vocabulary (the classic BPE trick —
+    * pair statistics are computed over the word-frequency table, each
+    * word's pairs weighted by its count, never over the raw stream), then
+    * one pair-grain sum; the top pair is the next merge. Both aggregations
+    * are map-side-combining hash aggs at vocab/char-pair cardinality —
+    * at 100 TB the first shuffle's output is the vocabulary, millions of
+    * rows, and every later BPE round iterates on THAT table, not the
+    * corpus. This registers the counting round; iterating merges re-runs
+    * it over the re-symbolized vocab. */
+  private val tx12: Q = (s, d) =>
+    bpePairs(Tables.documents(s, d))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(BpeTop)
+
   val queries: Map[String, Q] = Map(
+    "tx12_bpe_pairs" -> tx12,
     "px13_novelty" -> px13,
     "px15_best_of_cluster" -> px15,
     "px16_quality_prep" -> px16,
@@ -579,6 +615,14 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tx12_bpe_pairs" ->
+      s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+         | wf AS (SELECT w, count(*) AS wf FROM w0 GROUP BY 1),
+         | p AS (SELECT wf, unnest(list_transform(range(len(w)-1),
+         |     i -> substring(w, i+1, 1) || substring(w, i+2, 1))) AS pair
+         |   FROM wf WHERE len(w) >= 2)
+         | SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+         | FROM p GROUP BY 1 ORDER BY pair_count DESC, pair LIMIT $BpeTop""".stripMargin,
     "px15_best_of_cluster" -> px15Sql,
     "px16_quality_prep" ->
       s"""WITH keeps AS (SELECT keep_id AS doc_id FROM ($px15Sql)),

@@ -616,6 +616,32 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("tx12 BPE pairs: planted vocabulary hand-check") {
+    val sp = spark; import sp.implicits._
+    // wf: ab=2, abc=1, a=3 (single char: no pairs)
+    // pairs: 'ab' from "ab"(2) + "abc"(1) = 3; 'bc' from "abc"(1) = 1
+    val docs = Seq((1L, "ab a abc"), (2L, "a ab a")).toDF("doc_id", "text")
+    val got = functions.TextQueries.bpePairs(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("tx12 pair mass equals sum of wf*(len-1) over the vocabulary") {
+    val inventory = functions.TextQueries.bpePairs(Tables.documents(spark, sf))
+    val mass = inventory.agg(sum(col("pair_count"))).head().getLong(0)
+    val expect = Tables.documents(spark, sf)
+      .select(explode(functions.TextOps.toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")) - 1).cast("long")).head().getLong(0)
+    assert(mass === expect)
+    // and the registered query is the top-20 of that inventory, total order
+    val top = q("tx12_bpe_pairs").collect()
+    assert(top.length === functions.TextQueries.BpeTop)
+    val pairs = top.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall(p => p.length < 2 ||
+      p(0)._1 > p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
+  }
+
   test("px5 is px1 with near-dup canonicals: subset of filters, only canonicals kept") {
     val px5 = q("px5_canonical_prep")
     val px1 = q("px1_corpus_prep")

@@ -506,6 +506,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** px18's chunk grain at (doc, chunk) level — exposed for the spec's
+    * reassembly and shift-invariance drives. A token CUTS (ends a chunk)
+    * iff its md5 starts with '0' — a 1-in-16 content-defined boundary,
+    * mean chunk ≈ 16 tokens. Everything row-local: boundary positions,
+    * distinct-ing, and slicing are higher-order functions over the token
+    * array; the only shuffle is the corpus-wide chunk count downstream. */
+  private[graft] def cdcChunkGrain(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        // [0] ++ ascending cut positions ++ [n], distinct keeps it sorted
+        array_distinct(concat(
+          array(lit(0)),
+          when(size(col("tk")) >= 1,
+            filter(sequence(lit(1), size(col("tk"))),
+              i => substring(md5(element_at(col("tk"), i)), 1, 1) === "0"))
+            .otherwise(array().cast("array<int>")),
+          array(size(col("tk"))))).as("cuts"))
+    base.select(col("doc_id"),
+      posexplode(
+        when(size(col("cuts")) >= 2,
+          transform(sequence(lit(1), size(col("cuts")) - 1), j =>
+            concat_ws(" ", slice(col("tk"),
+              element_at(col("cuts"), j) + 1,
+              element_at(col("cuts"), j + 1) - element_at(col("cuts"), j)))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** PX18 — CONTENT-DEFINED CHUNK dedup: px8 chunks at fixed offsets, so
+    * one inserted token shifts every later passage and defeats the dedup;
+    * CDC cuts where the CONTENT says to (md5(token) prefix — the gear/
+    * rolling-hash trick at token grain), so chunk boundaries re-align
+    * after any insertion and shared suffixes dedup across edits — the
+    * rsync/LBFS economics, and the shape storage-level dedup of a 100 TB
+    * crawl actually uses. Chunks tile each doc exactly (spec: verbatim
+    * reassembly); a chunk is duplicated if its content occurs ≥2 times
+    * corpus-wide. Scale shape: boundaries and slicing are row-local HOFs,
+    * then ONE count shuffle at chunk grain and a doc-grain re-aggregation
+    * — never doc×doc, no positional alignment anywhere. */
+  private val px18: Q = (s, d) => {
+    val grain = cdcChunkGrain(Tables.documents(s, d))
+    val counted = grain.groupBy(col("chunk")).agg(count(lit(1)).as("n_occ"))
+    val perDoc = grain.join(counted, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        graft.functions.ExactRatio.scaled(
+          coalesce(col("n_dup_chunks"), lit(0L)),
+          coalesce(col("n_chunks"), lit(0L)), 10000L).as("dup_chunk_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Passage grain for px8: non-overlapping token windows of this width.
     * Small here so the toy corpus actually repeats passages; at production
     * scale CCNet-style boilerplate removal uses lines or ~50-token spans —
@@ -627,7 +686,8 @@ object Dedup {
     "d7_embedding_clusters" -> d7,
     "d8_simhash_clusters" -> d8,
     "px4_decontaminate" -> px4,
-    "px17_containment" -> px17
+    "px17_containment" -> px17,
+    "px18_cdc_chunks" -> px18
   )
 
   /** px14's oracle at window grain k — generated from the same constant
@@ -817,6 +877,25 @@ object Dedup {
          | SELECT doc_id, n_shingles, best_train_id, containment_bp,
          |   containment_bp >= $ContainMinBp AS contaminated
          | FROM scored ORDER BY doc_id""".stripMargin,
+    "px18_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         | c AS (SELECT doc_id, tk, list_sort(list_distinct(
+         |     [0] || list_filter(range(1, len(tk)+1),
+         |       i -> substring(md5(tk[i]), 1, 1) = '0') || [len(tk)])) AS cuts
+         |   FROM t),
+         | ch AS (SELECT doc_id,
+         |     array_to_string(list_slice(tk, cuts[j+1] + 1, cuts[j+2]), ' ') AS chunk
+         |   FROM c, UNNEST(range(len(cuts) - 1)) AS r(j) WHERE len(cuts) >= 2),
+         | cnt AS (SELECT chunk, count(*) AS n_occ FROM ch GROUP BY 1),
+         | pd AS (SELECT doc_id, count(*) AS n_chunks,
+         |     sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup_chunks
+         |   FROM ch JOIN cnt USING (chunk) GROUP BY 1)
+         | SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |   CAST(coalesce(pd.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |   CAST(coalesce(pd.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+         |   ${graft.functions.ExactRatio.scaledSql("coalesce(pd.n_dup_chunks, 0)",
+              "coalesce(pd.n_chunks, 0)", 10000L)} AS dup_chunk_bp
+         | FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id ORDER BY t.doc_id""".stripMargin,
     "d5_embedding_neardup" -> d5PairSql,
     // same chunking via zipped unnest + generate_subscripts: DuckDB's
     // (pos-1)//W group IS Spark's slice(toks, i*W+1, W) passage

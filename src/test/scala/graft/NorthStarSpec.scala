@@ -177,6 +177,54 @@ class DedupSpec extends SparkSpec {
     assert(!out(7L).getBoolean(4))
   }
 
+  test("px18 CDC chunks tile each doc verbatim and respect the boundary rule") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf)
+    val grain = operators.Dedup.cdcChunkGrain(docs).cache()
+    // reassembly: chunks in idx order == the original token stream
+    val re = grain.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("re"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws(" ", functions.TextOps.toks(col("text"))).as("t"))
+    assert(re.join(orig, Seq("doc_id")).filter(col("re") =!= col("t")).count() === 0L)
+    // boundary rule: the last token of every non-final chunk is a cutter,
+    // and no interior token of any chunk is
+    val ck = grain
+      .withColumn("ctk", split(col("chunk"), " "))
+      .withColumn("maxidx", max(col("chunk_idx")).over(Window.partitionBy(col("doc_id"))))
+    assert(ck.filter(col("chunk_idx") < col("maxidx"))
+      .filter(substring(md5(element_at(col("ctk"), size(col("ctk")))), 1, 1) =!= "0")
+      .count() === 0L)
+    assert(ck.select(col("ctk"), posexplode(col("ctk")).as(Seq("p", "tok")))
+      .filter(col("p") < size(col("ctk")) - 1)
+      .filter(substring(md5(col("tok")), 1, 1) === "0").count() === 0L)
+    grain.unpersist()
+  }
+
+  test("px18 boundaries are content-defined: chunks re-align after an inserted prefix") {
+    val sp = spark; import sp.implicits._
+    def isCutter(w: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+      (d(0) & 0xf0) == 0
+    }
+    val words = (0 until 300).map(i => s"t$i")
+    val cut = words.filter(isCutter); val non = words.filterNot(isCutter)
+    assert(cut.length >= 2)
+    val t = Seq(non(0), non(1), cut(0), non(2), non(3), cut(1), non(4), non(5))
+    val docs = Seq((1L, t.mkString(" ")), (2L, (non(6) +: t).mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = operators.Dedup.cdcChunkGrain(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    // fixed-offset chunking would shift every passage; CDC re-aligns after
+    // the first boundary — all chunks but the first are identical
+    assert(g(1L).length === 3 && g(2L).length === 3)
+    assert(g(2L).head === s"${non(6)} ${g(1L).head}")
+    assert(g(1L).tail === g(2L).tail)
+  }
+
   test("px14 span scrub removes exactly the planted duplicated span (hand-computed)") {
     val sp = spark; import sp.implicits._
     // A and B share the 5-token span "a b c d e": windows "a b c d" and

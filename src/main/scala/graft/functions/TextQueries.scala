@@ -536,7 +536,53 @@ object TextQueries {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(BpeTop)
 
+  /** tx11 thresholds — tuned on the corpus feature distributions so every
+    * rule actually fires on some docs (dominance > 1500 bp: ~8%; diversity
+    * < 3500 bp and length geometry: tails; < 20 tokens: ~9%). */
+  private[graft] val RuleMaxTopBp = 1500L
+  private[graft] val RuleMinDistinctBp = 3500L
+  private[graft] val RuleMinTokens = 20L
+  private[graft] val RuleLenLoMilli = 3800L
+  private[graft] val RuleLenHiMilli = 5200L
+
+  /** tx11's core over any documents frame — exposed for the spec's planted
+    * hand-check. */
+  private[graft] def ruleGate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        ExactRatio.scaled(
+          array_max(transform(array_distinct(col("tk")),
+            t => size(filter(col("tk"), x => x === t)))).cast("long"),
+          size(col("tk")).cast("long"), 10000L).as("top_share_bp"),
+        ExactRatio.scaled(size(array_distinct(col("tk"))).cast("long"),
+          size(col("tk")).cast("long"), 10000L).as("distinct_ratio_bp"),
+        ExactRatio.scaled(
+          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)),
+          size(col("tk")).cast("long"), 1000L).as("mean_len_milli"))
+      .withColumn("reasons",
+        when(col("top_share_bp") > RuleMaxTopBp, 1L).otherwise(0L) +
+          when(col("distinct_ratio_bp") < RuleMinDistinctBp, 2L).otherwise(0L) +
+          when(col("n_tokens") < RuleMinTokens, 4L).otherwise(0L) +
+          when(col("mean_len_milli") < RuleLenLoMilli ||
+            col("mean_len_milli") > RuleLenHiMilli, 8L).otherwise(0L))
+      .withColumn("keep", col("reasons") === 0L)
+      .orderBy(col("doc_id"))
+
+  /** TX11 — RULE-GATE battery with an EXPLAINABLE verdict: the C4/Gopher-
+    * style repetition-and-shape filters tx2's weighted score does not
+    * cover — single-token dominance (max term share), type/token diversity,
+    * minimum length, and word-length geometry — each rule a bit in a
+    * `reasons` bitmask so a rejected doc says WHY (the thing a production
+    * filter pass needs for audits and threshold tuning; a scalar score
+    * can't be decomposed after the fact). Entirely row-local HOFs over the
+    * token array — one scan, no shuffle beyond the presentation sort; the
+    * dominance feature is O(distinct·n) per row, bounded by doc length. */
+  private val tx11: Q = (s, d) => ruleGate(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
+    "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
     "px13_novelty" -> px13,
     "px15_best_of_cluster" -> px15,
@@ -615,6 +661,26 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tx11_rule_gate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         | f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |   ${ExactRatio.scaledSql(
+              "list_max(list_transform(list_distinct(tk), u -> len(list_filter(tk, x -> x = u))))",
+              "len(tk)", 10000L)} AS top_share_bp,
+         |   ${ExactRatio.scaledSql("len(list_distinct(tk))", "len(tk)", 10000L)} AS distinct_ratio_bp,
+         |   ${ExactRatio.scaledSql("list_sum(list_transform(tk, x -> len(x)))",
+              "len(tk)", 1000L)} AS mean_len_milli
+         |  FROM t),
+         | r AS (SELECT *,
+         |   (CASE WHEN top_share_bp > $RuleMaxTopBp THEN 1 ELSE 0 END +
+         |    CASE WHEN distinct_ratio_bp < $RuleMinDistinctBp THEN 2 ELSE 0 END +
+         |    CASE WHEN n_tokens < $RuleMinTokens THEN 4 ELSE 0 END +
+         |    CASE WHEN mean_len_milli < $RuleLenLoMilli
+         |      OR mean_len_milli > $RuleLenHiMilli THEN 8 ELSE 0 END) AS rs
+         |  FROM f)
+         | SELECT doc_id, n_tokens, top_share_bp, distinct_ratio_bp,
+         |   mean_len_milli, CAST(rs AS BIGINT) AS reasons, rs = 0 AS keep
+         | FROM r ORDER BY doc_id""".stripMargin,
     "tx12_bpe_pairs" ->
       s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
          | wf AS (SELECT w, count(*) AS wf FROM w0 GROUP BY 1),

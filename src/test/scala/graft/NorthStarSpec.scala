@@ -664,6 +664,31 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("tx11 rule gate: planted doc hand-check and bitmask consistency") {
+    val sp = spark; import sp.implicits._
+    // "a a a a b": top share 8000 bp (flag 1), distinct 4000 bp (no flag 2),
+    // 5 tokens (flag 4), mean len 1000 milli (flag 8) -> reasons 13
+    val planted = functions.TextQueries.ruleGate(
+      Seq((1L, "a a a a b")).toDF("doc_id", "text")).head()
+    assert(planted.getLong(2) === 8000L && planted.getLong(3) === 4000L)
+    assert(planted.getLong(4) === 1000L && planted.getLong(5) === 13L)
+    assert(!planted.getBoolean(6))
+    // corpus: verdict splits non-trivially and every bit matches its rule
+    val out = q("tx11_rule_gate").cache()
+    assert(out.filter(col("keep")).count() > 0L)
+    assert(out.filter(!col("keep")).count() > 0L)
+    import functions.TextQueries._
+    assert(out.filter((col("reasons") === 0L) =!= col("keep")).count() === 0L)
+    assert(out.filter(
+      (col("reasons").bitwiseAND(1L) =!= 0L) =!= (col("top_share_bp") > RuleMaxTopBp) ||
+      (col("reasons").bitwiseAND(2L) =!= 0L) =!= (col("distinct_ratio_bp") < RuleMinDistinctBp) ||
+      (col("reasons").bitwiseAND(4L) =!= 0L) =!= (col("n_tokens") < RuleMinTokens) ||
+      (col("reasons").bitwiseAND(8L) =!= 0L) =!=
+        (col("mean_len_milli") < RuleLenLoMilli || col("mean_len_milli") > RuleLenHiMilli))
+      .count() === 0L)
+    out.unpersist()
+  }
+
   test("tx12 BPE pairs: planted vocabulary hand-check") {
     val sp = spark; import sp.implicits._
     // wf: ab=2, abc=1, a=3 (single char: no pairs)

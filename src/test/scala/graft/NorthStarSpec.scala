@@ -664,6 +664,27 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("px19 curriculum: deciles bounded, monotone in length, defining equation holds") {
+    val out = q("px19_curriculum").cache()
+    assert(out.filter(col("decile") < 0L || col("decile") > 9L).count() === 0L)
+    // monotone: a longer bin never gets a smaller decile
+    val perBin = out.groupBy(col("bin"))
+      .agg(min(col("decile")).as("dmin"), max(col("decile")).as("dmax"))
+      .collect().sortBy(_.getLong(0))
+    assert(perBin.forall(r => r.getLong(1) === r.getLong(2))) // one decile per bin
+    assert(perBin.map(_.getLong(1)).sliding(2)
+      .forall(p => p.length < 2 || p(0) <= p(1)))
+    // defining equation, recomputed independently at doc grain
+    val tot = out.count()
+    val byBin = out.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = byBin.keys.map { b =>
+      b -> math.min(9L, 10L * byBin.filter(_._1 < b).values.sum / tot)
+    }.toMap
+    assert(perBin.forall(r => expect(r.getLong(0)) === r.getLong(1)))
+    out.unpersist()
+  }
+
   test("tx11 rule gate: planted doc hand-check and bitmask consistency") {
     val sp = spark; import sp.implicits._
     // "a a a a b": top share 8000 bp (flag 1), distinct 4000 bp (no flag 2),

@@ -621,7 +621,54 @@ object TextQueries {
     * the histogram is mergeable across shards/days for free. */
   private val px19: Q = (s, d) => curriculum(Tables.documents(s, d))
 
+  /** tx13's phrase parameters — both parameterizations gate the SAME core
+    * (p3/w7 convention); chosen to be non-empty at every test scale. */
+  private[graft] val Phrase2 = Seq("the", "table")
+  private[graft] val Phrase3 = Seq("big", "order", "scan")
+
+  /** TX13's core — POSITIONAL-INDEX PHRASE SEARCH over any documents
+    * frame: find exact phrase occurrences by joining query-term postings
+    * on anchored positions (term i at pos p−i), the classic positional
+    * inverted-index plan. Scale shape: postings are pruned to the query
+    * terms BEFORE any shuffle (tx8's explode-then-filter trick), so every
+    * join runs at query-term posting grain — the naive alternative scans
+    * and substring-matches 100 TB of text per query; this touches only
+    * the matching terms' positions. */
+  private[graft] def phraseSearch(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val post = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(terms))
+    val first = post.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      val p = post.filter(col("tok") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+      acc.join(p, Seq("doc_id", "pos"))
+    }
+    matched.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx13: Q = (s, d) => phraseSearch(Tables.documents(s, d), Phrase2)
+  private val tx13b: Q = (s, d) => phraseSearch(Tables.documents(s, d), Phrase3)
+
+  /** tx13's oracle for a phrase — generated from the same term Seq as the
+    * Spark side so the two parameterizations cannot drift. */
+  private def phraseSql(terms: Seq[String]): String = {
+    val chain = terms.zipWithIndex.tail.map { case (t, i) =>
+      s"JOIN p p$i ON p$i.doc_id = q.doc_id AND p$i.pos = q.pos + $i AND p$i.tok = '$t'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       | p AS (SELECT doc_id, unnest(tk) AS tok,
+       |     generate_subscripts(tk, 1) AS pos FROM t),
+       | q AS (SELECT doc_id, pos FROM p WHERE tok = '${terms.head}')
+       | SELECT q.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       | FROM q $chain GROUP BY 1 ORDER BY q.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx13_phrase" -> tx13,
+    "tx13_phrase3" -> tx13b,
     "px19_curriculum" -> px19,
     "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
@@ -702,6 +749,8 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tx13_phrase" -> phraseSql(Phrase2),
+    "tx13_phrase3" -> phraseSql(Phrase3),
     "px19_curriculum" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |   FROM documents),

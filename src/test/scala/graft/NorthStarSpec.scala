@@ -664,6 +664,30 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("tx13 phrase search agrees with a sliding-window recount for both phrases") {
+    for ((name, terms) <- Seq(
+        "tx13_phrase" -> functions.TextQueries.Phrase2,
+        "tx13_phrase3" -> functions.TextQueries.Phrase3)) {
+      val phrase = terms.mkString(" ")
+      val k = terms.length
+      // first-principles recount: per doc, number of k-token windows equal
+      // to the phrase — no postings, no join
+      val recount = Tables.documents(spark, sf)
+        .select(col("doc_id"), functions.TextOps.toks(col("text")).as("tk"))
+        .select(col("doc_id"),
+          when(size(col("tk")) >= k,
+            size(filter(transform(sequence(lit(0), size(col("tk")) - k),
+              i => concat_ws(" ", (0 until k).map(j =>
+                element_at(col("tk"), i + j + 1)): _*)),
+              w => w === phrase))).otherwise(0).cast("long").as("m"))
+        .filter(col("m") > 0L)
+      val out = q(name)
+      assert(out.count() === recount.count(), s"$name doc count")
+      assert(out.join(recount, Seq("doc_id"))
+        .filter(col("n_matches") =!= col("m")).count() === 0L, s"$name counts")
+    }
+  }
+
   test("px19 curriculum: deciles bounded, monotone in length, defining equation holds") {
     val out = q("px19_curriculum").cache()
     assert(out.filter(col("decile") < 0L || col("decile") > 9L).count() === 0L)

@@ -482,7 +482,18 @@ object Dedup {
     * a planted full-containment fixture through the exact production path. */
   private[graft] def containment(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ds = docShinglesOf(docs)
+    // Materialized, not just projected: this frame is consumed by a
+    // Generate on BOTH join sides, and InferFiltersFromGenerate pushes
+    // `size(shingles) > 0` below the projection — predicate pushdown
+    // substitutes aliases unconditionally (CollapseProject's multi-use
+    // guard doesn't apply to Filter), re-inlining the tokenizer inside
+    // every element_at lambda, i.e. O(tokens) work PER SHINGLE per doc
+    // in the pushed filter (measured 24.9 s at sf0.1, vs ~1 s for one
+    // honest shingling pass). The checkpoint pins the shingle arrays so
+    // nothing can be pushed into or re-derived from the text. At 100 TB
+    // this is the persisted shingle-grain intermediate a real
+    // decontamination pipeline materializes anyway.
+    val ds = docShinglesOf(docs).localCheckpoint(true)
     val test = ds.filter(col("doc_id") % 10 === 7)
     val testSh = test.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val trainSh = ds.filter(col("doc_id") % 10 =!= 7)

@@ -138,6 +138,22 @@ object Pipelines {
       .groupBy(col("day"), col("bin"))
       .agg(sum(col("n")).as("n"))
 
+  /** INCREMENTAL SECOND-MOMENT MAINTENANCE — the fourth member of the
+    * merge family: fold a raw documents delta into a stored per-language
+    * sufficient-statistics table (n, Σx, Σy, Σxy, Σx², Σy² — see
+    * [[graft.operators.Profiling.suffStatsState]]) by keyed addition.
+    * Power sums are commutative-mergeable, so stored + Δ equals the full
+    * recompute EXACTLY, and pr6's covariance / regression slope are read
+    * off the maintained state without rescanning history. State size:
+    * one 7-column row per language, regardless of corpus volume. */
+  def mergeSuffStats(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(graft.operators.Profiling.suffStatsState(delta))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"),
+        sum(col("sx2")).as("sx2"), sum(col("sy2")).as("sy2"))
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

@@ -666,7 +666,61 @@ object TextQueries {
        | FROM q $chain GROUP BY 1 ORDER BY q.doc_id""".stripMargin
   }
 
+  /** px20's shard count — small here; at 100 TB this is the data-loader's
+    * reader parallelism (thousands), and the design is shard-count-free:
+    * work per shard is 1/nShards of the corpus either way. */
+  private[graft] val ShuffleShards = 4
+
+  /** px20's core for any documents frame + epoch — exposed for the spec's
+    * permutation / epoch-decorrelation drives. */
+  private[graft] def epochShuffle(docs: DataFrame, epoch: Int): DataFrame = {
+    val key = md5(concat_ws(":", lit("epoch"), lit(epoch),
+      col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      // md5 keys are unique for distinct doc_ids in any real corpus, but
+      // the gate hashes values bit-for-bit — tie-break to a TOTAL order
+      .orderBy(col("key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), key.as("key"))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(key, 1, 1))") - 1)
+          % ShuffleShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** PX20 — DETERMINISTIC EPOCH SHUFFLE: the training data loader's
+    * permutation as a query. Each document draws a pseudorandom key
+    * md5(epoch:doc_id), lands in a shard by the key's first hex digit,
+    * and takes its within-shard rank as the read position. Deterministic
+    * (same epoch ⇒ byte-identical order: resumable training, reproducible
+    * runs) yet decorrelated across epochs (different epoch ⇒ an unrelated
+    * permutation — no stale curriculum). Scale shape: NO GLOBAL SORT —
+    * the only ordering is a per-shard window, exactly the per-reader-file
+    * sort a 1000-shard writer does; shards map 1:1 to output files and
+    * each holds ~1/nShards of the corpus by md5 uniformity. */
+  private val px20: Q = (s, d) => epochShuffle(Tables.documents(s, d), 1)
+  private val px20b: Q = (s, d) => epochShuffle(Tables.documents(s, d), 2)
+
+  /** px20's oracle for an epoch — generated from the same constants as the
+    * Spark side so the parameterizations cannot drift. */
+  private def epochShuffleSql(epoch: Int): String =
+    s"""WITH k AS (SELECT doc_id,
+       |     md5('epoch:$epoch:' || CAST(doc_id AS VARCHAR)) AS key
+       |   FROM documents),
+       | s AS (SELECT doc_id, key,
+       |   CAST((instr('0123456789abcdef', substring(key, 1, 1)) - 1)
+       |     % $ShuffleShards AS BIGINT) AS shard FROM k)
+       | SELECT doc_id, shard,
+       |   CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+       |     AS BIGINT) AS pos
+       | FROM s ORDER BY shard, pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "px20_epoch_shuffle" -> px20,
+    "px20_epoch2" -> px20b,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
     "px19_curriculum" -> px19,
@@ -749,6 +803,8 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px20_epoch_shuffle" -> epochShuffleSql(1),
+    "px20_epoch2" -> epochShuffleSql(2),
     "tx13_phrase" -> phraseSql(Phrase2),
     "tx13_phrase3" -> phraseSql(Phrase3),
     "px19_curriculum" ->

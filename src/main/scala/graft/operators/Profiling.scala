@@ -157,12 +157,157 @@ object Profiling {
       .orderBy(col("day"))
   }
 
+  /** pr6's MERGEABLE SUFFICIENT-STATISTICS state at language grain: the
+    * six power sums (n, Σx, Σy, Σxy, Σx², Σy²) over x = chars, y = tokens
+    * per document. Every second-moment statistic — covariance, variance,
+    * correlation, least-squares slope — is a pure function of this state,
+    * and the state merges by KEYED ADDITION (the same commutative-merge
+    * family as mergeLeaderboard / mergeDebuts / mergeQuantileHist), so a
+    * 100 TB corpus maintains regression-grade statistics incrementally:
+    * each ingest batch contributes its local sums and history is never
+    * rescanned. Sums ride DECIMAL(38,0), so per-row products up to ~10¹⁸
+    * and corpus sums up to 10³⁸ cannot overflow. Exposed for the
+    * merge-law spec and [[graft.Pipelines.mergeSuffStats]]. */
+  private[graft] def suffStatsState(docs: DataFrame): DataFrame = {
+    import graft.functions.TextOps.toks
+    val dec = "decimal(38,0)"
+    docs
+      .select(col("lang"),
+        col("n_chars").cast(dec).as("x"),
+        size(toks(col("text"))).cast(dec).as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+  }
+
+  /** PR6 — COVARIANCE / REGRESSION profile from mergeable state: reads the
+    * population covariance and the least-squares slope of chars-on-tokens
+    * per language off [[suffStatsState]], all integer-exact (the float
+    * covar_pop would disagree across engines in the last ulp; the milli-
+    * scaled rationals agree bit-for-bit). cov = (n·Σxy − ΣxΣy)/n²;
+    * slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) — numerator may be negative,
+    * both denominators are non-negative (n², Cauchy–Schwarz), which is
+    * exactly ExactRatio's contract. ONE scan, one map-side-partial
+    * aggregate at language cardinality; the derived columns are row-local
+    * over the aggregated frame. */
+  private val pr6: Q = (s, d) => {
+    val st = suffStatsState(Tables.documents(s, d))
+    val n = col("n_docs").cast("decimal(38,0)")
+    val covNum = (n * col("sxy") - col("sx") * col("sy")).cast("long")
+    st.select(col("lang"), col("n_docs"),
+      col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+      col("sxy").cast("long").as("sxy"),
+      col("sx2").cast("long").as("sx2"), col("sy2").cast("long").as("sy2"),
+      graft.functions.ExactRatio.scaled(
+        covNum, (n * n).cast("long"), 1000L).as("cov_milli"),
+      graft.functions.ExactRatio.scaled(
+        covNum, (n * col("sx2") - col("sx") * col("sx")).cast("long"), 1000L)
+        .as("slope_milli"))
+      .orderBy(col("lang"))
+  }
+
+  /** pr7's per-edge audit core — exposed so the spec can plant orphans and
+    * drive them through the exact production path. Scale shape: the child
+    * side aggregates to DISTINCT-KEY grain FIRST (orphan detection only
+    * needs the key set + its row count — cardinality ≪ rows), then ONE
+    * left join against the parent's distinct keys; small parents (nation,
+    * region) broadcast. NULL foreign keys are counted separately, not as
+    * orphans — SQL FK semantics, and the null group never matches the
+    * join anyway. */
+  private[graft] def riEdge(child: DataFrame, fkCol: String,
+                            parent: DataFrame, pkCol: String,
+                            edge: String): DataFrame = {
+    val keyCnt = child
+      .groupBy(col(fkCol).cast("long").as("fk"))
+      .agg(count(lit(1)).as("cnt"))
+    val pk = parent.select(col(pkCol).cast("long").as("fk")).distinct()
+      .withColumn("present", lit(1))
+    keyCnt.join(pk, Seq("fk"), "left")
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("fk").isNull, col("cnt"))), lit(0L))
+          .as("n_null_fk"),
+        coalesce(sum(when(col("fk").isNotNull && col("present").isNull,
+          col("cnt"))), lit(0L)).as("n_orphan_rows"),
+        count(when(col("fk").isNotNull && col("present").isNull, lit(1)))
+          .as("n_orphan_keys"))
+      .select(lit(edge).as("edge"), col("n_rows"), col("n_null_fk"),
+        col("n_orphan_rows"), col("n_orphan_keys"),
+        graft.functions.ExactRatio.scaled(
+          col("n_orphan_rows"), col("n_rows"), 10000L).as("orphan_bp"))
+  }
+
+  /** The audited FK graph: every edge of the TPC-H-ish snowflake. */
+  private val RiEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** PR7 — REFERENTIAL-INTEGRITY audit: orphan-row and orphan-key counts
+    * for every foreign-key edge in the schema, one summary row per edge.
+    * This is the ingest-time join-health probe a 100 TB pipeline runs
+    * before fanning out joins: an orphan rate > 0 on an edge means every
+    * downstream inner join on it silently drops rows. Each edge is an
+    * independent aggregate-then-join at distinct-key grain (never a
+    * row-grain anti join), and the 7 single-row results union for free. */
+  private val pr7: Q = (s, d) => {
+    val tbl: Map[String, DataFrame] = Map(
+      "lineitem" -> Tables.lineitem(s, d), "orders" -> Tables.orders(s, d),
+      "part" -> Tables.part(s, d), "supplier" -> Tables.supplier(s, d),
+      "customer" -> Tables.customer(s, d), "nation" -> Tables.nation(s, d),
+      "region" -> Tables.region(s, d))
+    RiEdges.map { case (c, fk, p, pkc) =>
+      riEdge(tbl(c), fk, tbl(p), pkc, s"$c.$fk->$p")
+    }.reduce(_.unionByName(_)).orderBy(col("edge"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
     "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
-    "pr5_outlier_days" -> pr5)
+    "pr5_outlier_days" -> pr5, "pr6_covariance" -> pr6,
+    "pr7_ref_integrity" -> pr7)
 
   val oracles: Map[String, String] = Map(
+    "pr6_covariance" -> {
+      import graft.functions.ExactRatio.scaledSql
+      val covNum = "n_docs*sxy - sx*sy"
+      s"""WITH t AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+         |   CAST(len(${graft.functions.TextOps.toksSql}) AS HUGEINT) AS y
+         |   FROM documents),
+         | st AS (SELECT lang, count(*) AS n_docs, sum(x) AS sx, sum(y) AS sy,
+         |   sum(x*y) AS sxy, sum(x*x) AS sx2, sum(y*y) AS sy2
+         |   FROM t GROUP BY 1)
+         | SELECT lang, n_docs, CAST(sx AS BIGINT) AS sx,
+         |   CAST(sy AS BIGINT) AS sy, CAST(sxy AS BIGINT) AS sxy,
+         |   CAST(sx2 AS BIGINT) AS sx2, CAST(sy2 AS BIGINT) AS sy2,
+         |   ${scaledSql(covNum, "n_docs*n_docs", 1000L)} AS cov_milli,
+         |   ${scaledSql(covNum, "n_docs*sx2 - sx*sx", 1000L)} AS slope_milli
+         | FROM st ORDER BY lang""".stripMargin
+    },
+    "pr7_ref_integrity" -> {
+      import graft.functions.ExactRatio.scaledSql
+      val one = RiEdges.map { case (c, fk, p, pkc) =>
+        s"""SELECT '$c.$fk->$p' AS edge,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           |  CAST(sum(CASE WHEN fk IS NOT NULL AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+           |  CAST(count(DISTINCT CASE WHEN pk IS NULL THEN fk END) AS BIGINT) AS n_orphan_keys
+           | FROM (SELECT CAST($fk AS BIGINT) AS fk FROM $c) c
+           | LEFT JOIN (SELECT DISTINCT CAST($pkc AS BIGINT) AS pk FROM $p) p
+           |   ON c.fk = p.pk""".stripMargin
+      }.mkString("(", ") UNION ALL (", ")")
+      s"""WITH e AS ($one)
+         | SELECT edge, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys,
+         |   ${scaledSql("n_orphan_rows", "n_rows", 10000L)} AS orphan_bp
+         | FROM e ORDER BY edge""".stripMargin
+    },
     "pr5_outlier_days" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
         |   FROM events GROUP BY 1),

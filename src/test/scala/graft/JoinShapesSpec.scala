@@ -188,6 +188,62 @@ class JoinShapesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pr6 covariance matches a hand-computed fixture exactly") {
+    val sp = spark; import sp.implicits._
+    // lang aa: (x,y) = (1,1),(2,2),(3,3) — perfectly linear:
+    // cov = (3·14 − 36)/9 = 2/3 → 667 milli (round-half-up), slope = 1.
+    // lang bb: (x,y) = (1,2),(3,1) — anti-correlated: n·Σxy − ΣxΣy =
+    // 2·5 − 12 = −2; cov = −2/4 = −0.5 → −500; slope = −2/(2·10−16) = −0.5.
+    val docs = Seq(
+      (1L, "w", "aa", 1L), (2L, "w w", "aa", 2L), (3L, "w w w", "aa", 3L),
+      (4L, "w w", "bb", 1L), (5L, "w", "bb", 3L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = operators.Profiling.suffStatsState(docs)
+    val st = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(st("aa").getLong(1) === 3L)
+    assert(Seq(2, 3, 4, 5, 6).map(i => st("aa").getDecimal(i).longValueExact())
+      === Seq(6L, 6L, 14L, 14L, 14L))
+    val pr6 = q("pr6_covariance")  // registered path, real table — just shape
+    assert(pr6.columns.toSeq.contains("cov_milli"))
+    // fixture through the same derivation the registered query uses:
+    // rebuild pr6's select over the fixture state via a tiny local frame
+    val n = col("n_docs").cast("decimal(38,0)")
+    val covNum = (n * col("sxy") - col("sx") * col("sy")).cast("long")
+    val derived = out.select(col("lang"),
+      functions.ExactRatio.scaled(covNum, (n * n).cast("long"), 1000L)
+        .as("cov_milli"),
+      functions.ExactRatio.scaled(covNum,
+        (n * col("sx2") - col("sx") * col("sx")).cast("long"), 1000L)
+        .as("slope_milli"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(derived("aa") === ((667L, 1000L)))
+    assert(derived("bb") === ((-500L, -500L)))
+  }
+
+  test("pr7 flags planted orphans and null FKs through the production path") {
+    val sp = spark; import sp.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(9L), None)
+      .toDF("fk_col")
+    val parent = Seq(1L, 2L, 3L).toDF("pk_col")
+    val r = operators.Profiling
+      .riEdge(child, "fk_col", parent, "pk_col", "t.fk->p").head()
+    assert(r.getString(0) === "t.fk->p")
+    assert(r.getLong(1) === 5L)  // n_rows
+    assert(r.getLong(2) === 1L)  // n_null_fk
+    assert(r.getLong(3) === 1L)  // n_orphan_rows (fk=9)
+    assert(r.getLong(4) === 1L)  // n_orphan_keys
+    assert(r.getLong(5) === 2000L)  // 1/5 in bp
+    // the shipped graph on the consistent synthetic data: zero everywhere,
+    // row counts equal the table sizes
+    val out = q("pr7_ref_integrity").cache()
+    assert(out.count() === 7L)
+    assert(out.filter(col("n_orphan_rows") =!= 0L ||
+      col("n_null_fk") =!= 0L || col("orphan_bp") =!= 0L).isEmpty)
+    assert(out.filter(col("edge") === "lineitem.l_orderkey->orders")
+      .head().getLong(1) === Tables.lineitem(spark, sf).count())
+    out.unpersist()
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

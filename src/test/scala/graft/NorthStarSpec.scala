@@ -664,6 +664,38 @@ class TextOpsSpec extends SparkSpec {
 }
 
 class TextQueriesSpec extends SparkSpec {
+  test("px20 epoch shuffle is a permutation: dense per-shard positions, all docs") {
+    val docs = Tables.documents(spark, sf)
+    val out = q("px20_epoch_shuffle").cache()
+    assert(out.count() === docs.count())
+    // every doc exactly once
+    assert(out.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1L).isEmpty)
+    // positions dense 1..n_s within each shard, no (shard,pos) collisions
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"))
+    assert(perShard.filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+      col("nd") =!= col("n")).isEmpty)
+    // all shards populated (md5 uniformity at corpus size)
+    assert(perShard.count() === functions.TextQueries.ShuffleShards.toLong)
+    out.unpersist()
+  }
+
+  test("px20 epochs decorrelate but each epoch is deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val e1 = functions.TextQueries.epochShuffle(docs, 1)
+    val e2 = functions.TextQueries.epochShuffle(docs, 2)
+    // same epoch twice: byte-identical order (resumable training)
+    assert(e1.collect().toSeq ===
+      functions.TextQueries.epochShuffle(docs, 1).collect().toSeq)
+    // different epoch: a genuinely different permutation — most docs move
+    val moved = e1.withColumnRenamed("pos", "p1").withColumnRenamed("shard", "s1")
+      .join(e2, Seq("doc_id"))
+      .filter(col("s1") =!= col("shard") || col("p1") =!= col("pos"))
+    assert(moved.count() > docs.count() / 2)
+  }
+
   test("tx13 phrase search agrees with a sliding-window recount for both phrases") {
     for ((name, terms) <- Seq(
         "tx13_phrase" -> functions.TextQueries.Phrase2,

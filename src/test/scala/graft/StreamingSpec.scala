@@ -338,6 +338,17 @@ class PipelinesSpec extends SparkSpec {
         sp.createDataFrame(c1.toIndexedSeq).toDF("ts", "value"))))
   }
 
+  test("mergeSuffStats: stored + delta == full recompute, pr6 reads off the state") {
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val delta = docs.filter(col("doc_id") % 3 === 0)
+    val merged = Pipelines.mergeSuffStats(
+      operators.Profiling.suffStatsState(old), delta)
+    val full = operators.Profiling.suffStatsState(docs)
+    assert(merged.orderBy("lang").collect().toSeq ===
+      full.orderBy("lang").collect().toSeq)
+  }
+
   test("mergeDebuts: stored first-seen + delta equals the full recompute") {
     val secs = Tables.events(spark, sf)
       .select(col("user_id"),

@@ -84,12 +84,9 @@ object Dedup {
         md5(concat_ws(":", col("h6"), col("h7"))))).as(Seq("band_idx", "bh")))
   }
 
-  /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
-    * are candidate pairs. The band-bucket equi-join is what makes this
-    * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
-    * pattern. */
-  private val d2: Q = (s, d) => {
-    val bands = bandSignatures(Tables.documents(s, d))
+  /** The LSH collision pairs of a band frame — d2's join, shared with d10's
+    * verify stage so the candidate set cannot drift between them. */
+  private[graft] def lshPairs(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -97,8 +94,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .orderBy(col("d1"), col("d2"))
   }
+
+  /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
+    * are candidate pairs. The band-bucket equi-join is what makes this
+    * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
+    * pattern. */
+  private val d2: Q = (s, d) =>
+    lshPairs(bandSignatures(Tables.documents(s, d)))
+      .orderBy(col("d1"), col("d2"))
 
   /** INCREMENTAL dedup — admit a new ingest batch against a persisted LSH
     * band index WITHOUT rescanning the corpus. `state` is a band frame
@@ -517,6 +521,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d10's near-dup flag rule, as a PURE INTEGER inequality: a pair is a
+    * near-dup iff dist·10000 ≤ 2000·maxLen (edit similarity ≥ 80%, no
+    * rounding anywhere near the decision boundary). */
+  private[graft] val EditMaxDistBp = 2000L
+
+  /** d10's core over an explicit pair frame — exposed so the spec can
+    * plant pairs (one-edit twins, a length-gap prune case) without having
+    * to force LSH collisions. `pairs` = (d1, d2); `docs` = documents. */
+  private[graft] def editVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"),
+      length(col("text")).cast("long").as("len"))
+    val j = pairs
+      .join(t.select(col("doc_id").as("d1"), col("text").as("t1"),
+        col("len").as("len1")), Seq("d1"))
+      .join(t.select(col("doc_id").as("d2"), col("text").as("t2"),
+        col("len").as("len2")), Seq("d2"))
+    val maxLen = greatest(col("len1"), col("len2"))
+    val gap = abs(col("len1") - col("len2"))
+    // dist >= |len1 - len2| unconditionally, so a gap that alone violates
+    // the flag inequality proves the verdict without running the DP. The
+    // prune is EXACTLY the flag rule's complement through that bound —
+    // no rounding, so pruned pairs can never be flag-eligible.
+    val pruned = gap * 10000L > maxLen * EditMaxDistBp
+    j.select(col("d1"), col("d2"), maxLen.as("max_len"),
+        when(pruned, lit(-1L))
+          .otherwise(levenshtein(col("t1"), col("t2")).cast("long"))
+          .as("edit_dist"))
+      .select(col("d1"), col("d2"), col("edit_dist"),
+        when(col("edit_dist") === -1L, lit(-1L))
+          .otherwise(graft.functions.ExactRatio.scaled(
+            col("max_len") - col("edit_dist"), col("max_len"), 10000L))
+          .as("edit_sim_bp"),
+        (col("edit_dist") =!= -1L &&
+          col("edit_dist") * 10000L <= col("max_len") * EditMaxDistBp)
+          .as("is_near_dup"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** D10 — EDIT-DISTANCE VERIFICATION of the LSH candidates: fuzzy dedup's
+    * exact verify stage. d2/d4 verify by SET overlap (shingles), which is
+    * order-blind — two docs with the same vocabulary but scrambled
+    * sentences score high Jaccard; Levenshtein is the order-sensitive
+    * ground truth ("how many edits apart"). Scale shape: the O(n·m) DP
+    * runs ONLY at LSH-candidate grain (never doc×doc), and the length-gap
+    * prune skips it wherever |len1−len2| alone settles the verdict
+    * (dist ≥ gap), emitting dist/sim = −1 — the standard cheap lower
+    * bound that, at 100 TB, eliminates most of the DP spend because near
+    * dups have near-equal lengths. Both engines share the prune and the
+    * integer flag rule, so the gate compares bit-for-bit. */
+  private val d10: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    editVerify(lshPairs(bandSignatures(docs)), docs)
+  }
+
   /** px18's chunk grain at (doc, chunk) level — exposed for the spec's
     * reassembly and shift-invariance drives. A token CUTS (ends a chunk)
     * iff its md5 starts with '0' — a 1-in-16 content-defined boundary,
@@ -690,6 +748,7 @@ object Dedup {
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
     "d9_incremental_dedup" -> d9,
+    "d10_edit_verify" -> d10,
     "d3_simhash" -> d3,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -771,6 +830,21 @@ object Dedup {
     "d2_minhash_lsh" ->
       s"""WITH $candSql
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "d10_edit_verify" ->
+      s"""WITH $candSql,
+         | t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len
+         |   FROM documents),
+         | p AS (SELECT d1, d2, greatest(a.len, b.len) AS max_len,
+         |     CASE WHEN abs(a.len - b.len) * 10000 > greatest(a.len, b.len) * $EditMaxDistBp
+         |          THEN -1 ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS edit_dist
+         |   FROM cand JOIN t a ON cand.d1 = a.doc_id JOIN t b ON cand.d2 = b.doc_id)
+         | SELECT d1, d2, edit_dist,
+         |   CASE WHEN edit_dist = -1 THEN -1
+         |        ELSE ${graft.functions.ExactRatio.scaledSql(
+                   "max_len - edit_dist", "max_len", 10000L)} END AS edit_sim_bp,
+         |   edit_dist <> -1 AND edit_dist * 10000 <= max_len * $EditMaxDistBp
+         |     AS is_near_dup
+         | FROM p ORDER BY d1, d2""".stripMargin,
     "px14_span_scrub" -> spanScrubSql(SpanTokens),
     "px14b_span_scrub_6" -> spanScrubSql(6),
     "d9_incremental_dedup" ->

@@ -179,10 +179,51 @@ object JoinStrategies {
     mergeUpsert(Tables.customer(s, d), changes(s, d))
       .orderBy(col("c_custkey"))
 
+  /** u2's history builder over any (user_id, ts_us, event_id, event_type)
+    * frame — exposed for the spec's planted change sequences. A new
+    * version opens ONLY where the tracked attribute CHANGES (consecutive
+    * equal values collapse — the defining SCD2 rule); each version is
+    * valid [its change's ts, the next change's ts), the last is open
+    * (valid_to = −1, is_current). Ties at the same ts order by event_id —
+    * a total order, so both engines agree bit-for-bit. */
+  private[graft] def scd2Build(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    // change detection over ALL events, then versioning over the CHANGE
+    // rows: same partitioning and sort key, so the second window reuses
+    // the first's Exchange + Sort — the whole build is ONE shuffle
+    val changes = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("version_n", row_number().over(w).cast("long"))
+      .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("version_n"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(col("nxt"), lit(-1L)).as("valid_to_us"),
+        col("nxt").isNull.as("is_current"))
+  }
+
+  /** U2 — SCD2 DIMENSION-HISTORY BUILDER: turn a raw change feed into the
+    * versioned dimension table warehouses join against (the build step
+    * whose OUTPUT w9's as-of join and u1's merge consume). Tracked
+    * attribute: each user's event_type over the events stream. Scale
+    * shape: one shuffle on the dimension key; both windows share it; no
+    * self-join, no global sort — at 100 TB this is the nightly
+    * dim-history rebuild, and incrementally the same logic applies to
+    * (current open version ∪ delta) per touched key only. */
+  private val u2: Q = (s, d) =>
+    scd2Build(Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id"), col("event_type")))
+      .orderBy(col("user_id"), col("version_n"))
+
   val queries: Map[String, Q] = Map(
     "j16_salted_join" -> j16,
     "j17_bloom_prune" -> j17,
-    "u1_merge_upsert" -> u1
+    "u1_merge_upsert" -> u1,
+    "u2_scd2_build" -> u2
   )
 
   private val fee = Domain.feeSql
@@ -212,6 +253,19 @@ object JoinStrategies {
         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         | WHERE o.o_orderpriority = '1-URGENT'
         | GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin,
+    "u2_scd2_build" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |     event_id, event_type FROM events),
+        | m AS (SELECT *, lag(event_type) OVER
+        |     (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        | c AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type),
+        | v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+        |     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version_n,
+        |     lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
+        |   FROM c)
+        | SELECT user_id, version_n, event_type, valid_from_us,
+        |   coalesce(nxt, -1) AS valid_to_us, nxt IS NULL AS is_current
+        | FROM v ORDER BY user_id, version_n""".stripMargin,
     "u1_merge_upsert" ->
       s"""WITH $changesSql
          | SELECT coalesce(c.c_custkey, g.k) AS c_custkey,

@@ -253,6 +253,50 @@ class JoinShapesSpec extends SparkSpec {
       assert(out.agg(sum(col(t))).head().getLong(0) === byType(t), s"column $t")
   }
 
+  test("u2 scd2: a planted change sequence builds exactly the collapsed versions") {
+    val sp = spark; import sp.implicits._
+    // A A B B A → versions A[10,30) B[30,50) A[50,∞): consecutive equal
+    // values collapse; a repeated attribute value still re-opens later
+    val ev = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "B"), (1L, 50L, 5L, "A"), (2L, 5L, 6L, "X"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val out = operators.JoinStrategies.scd2Build(ev)
+      .orderBy("user_id", "version_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "A", 10L, 30L, false),
+      (1L, 2L, "B", 30L, 50L, false),
+      (1L, 3L, "A", 50L, -1L, true),
+      (2L, 1L, "X", 5L, -1L, true)))
+  }
+
+  test("u2 invariants: one open version per user; versions tile; no uncollapsed runs") {
+    val out = q("u2_scd2_build").cache()
+    // exactly one current version per user, and it's the last one
+    val cur = out.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"),
+        max("version_n").as("vmax"),
+        max(when(col("is_current"), col("version_n"))).as("vcur"))
+    assert(cur.filter(col("n_cur") =!= 1L || col("vcur") =!= col("vmax")).isEmpty)
+    // adjacency: valid_to of version k == valid_from of version k+1,
+    // and consecutive versions never carry the same attribute value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version_n")
+    val adj = out.withColumn("nxt_from", lead("valid_from_us", 1).over(w))
+      .withColumn("nxt_type", lead("event_type", 1).over(w))
+    assert(adj.filter(col("nxt_from").isNotNull &&
+      col("valid_to_us") =!= col("nxt_from")).isEmpty)
+    assert(adj.filter(col("nxt_type").isNotNull &&
+      col("event_type") === col("nxt_type")).isEmpty)
+    // the first version opens at the user's first event
+    val first = Tables.events(spark, sf).groupBy("user_id")
+      .agg(min(unix_micros(col("ts").cast("timestamp"))).as("t0"))
+    assert(out.filter(col("version_n") === 1L).join(first, "user_id")
+      .filter(col("valid_from_us") =!= col("t0")).isEmpty)
+    out.unpersist()
+  }
+
   test("j16 salted join equals the unsalted join, row for row") {
     val c = Domain.commits(spark, sf)
     val dim = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))

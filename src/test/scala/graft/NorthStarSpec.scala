@@ -33,6 +33,55 @@ class DedupSpec extends SparkSpec {
     assert(truth.except(cand).count() === 0L)
   }
 
+  test("d10 edit verify: one-edit twins, order-scrambled docs, and the length-gap prune") {
+    val sp = spark; import sp.implicits._
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val aEdit = a.replace("w7 ", "w7x ")                       // one inserted char
+    val scrambled = (30 to 1 by -1).map(i => s"w$i").mkString(" ") // same vocab, reversed
+    val big = ((1 to 30) ++ (1001 to 1300)).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, aEdit), (3L, scrambled), (4L, big))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("d1", "d2")
+    val out = operators.Dedup.editVerify(pairs, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // one char apart: dist 1, similarity ~10000, flagged
+    assert(out((1L, 2L)).getLong(2) === 1L)
+    assert(out((1L, 2L)).getBoolean(4))
+    // same token SET, reversed order: set measures (d4 Jaccard) say "dup",
+    // the order-sensitive edit distance says NOT — d10's reason to exist
+    assert(out((1L, 3L)).getLong(2) > 22L)
+    assert(!out((1L, 3L)).getBoolean(4))
+    // the length gap alone settles it: DP skipped, sentinel emitted
+    assert(out((1L, 4L)).getLong(2) === -1L)
+    assert(out((1L, 4L)).getLong(3) === -1L)
+    assert(!out((1L, 4L)).getBoolean(4))
+  }
+
+  test("d10 covers exactly the d2 candidate set; prune and flag laws hold") {
+    val out = q("d10_edit_verify").cache()
+    val cand = q("d2_minhash_lsh").select("d1", "d2")
+    assert(out.select("d1", "d2").except(cand).isEmpty)
+    assert(cand.except(out.select("d1", "d2")).isEmpty)
+    assert(out.count() === cand.count())
+    // recompute lengths; check the prune fired exactly on the gap bound
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val j = out
+      .join(lens.select(col("doc_id").as("d1"), col("len").as("len1")), "d1")
+      .join(lens.select(col("doc_id").as("d2"), col("len").as("len2")), "d2")
+      .withColumn("max_len", greatest(col("len1"), col("len2")))
+      .withColumn("gap", abs(col("len1") - col("len2")))
+    assert(j.filter((col("edit_dist") === -1L) =!=
+      (col("gap") * 10000L > col("max_len") *
+        operators.Dedup.EditMaxDistBp)).isEmpty)
+    assert(j.filter(col("edit_dist") =!= -1L)
+      .filter(col("is_near_dup") =!= (col("edit_dist") * 10000L <=
+        col("max_len") * operators.Dedup.EditMaxDistBp)).isEmpty)
+    // the prune is sound: a pruned pair could never be flagged, because
+    // dist >= gap — spot-proven by the planted fixture above
+    out.unpersist()
+  }
+
   test("d3 simhash is a 16-bit value, equal for identical token streams") {
     val mm = q("d3_simhash").agg(min("simhash"), max("simhash")).head()
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 0xFFFF)

@@ -358,6 +358,32 @@ object Aggregations {
   private val a22b: Q = (s, d) =>
     quantilesFromHist(histStateAt(100L, 1000L)(Tables.events(s, d)), 100L)
 
+  /** A23 — ROLLING QUANTILES off the SAME mergeable histogram state: per
+    * observed day, p50/p90/p99 of the trailing 7 calendar days. The
+    * rolling window never touches fact rows — each (day, bin, n) state
+    * row EXPLODES to the ≤7 window days it contributes to (row-local,
+    * linear: no day×day join, no re-scan per window), contributions
+    * re-aggregate by keyed sum (the histogram merge law again), and the
+    * quantile read is a22's. At 100 TB the whole rolling computation runs
+    * on kilobytes of maintained state — the monitoring view a training
+    * pipeline puts on every ingest metric. Output days are the OBSERVED
+    * days (a22 parity): a contribution to a day with no events of its
+    * own is dropped by the semi join against the day list. */
+  private val a23: Q = (s, d) => {
+    val h = histState(Tables.events(s, d))
+    val days = h.select(col("day")).distinct()
+    val contrib = h
+      .select(explode(sequence(lit(0), lit(6))).as("k"),
+        col("day"), col("bin"), col("n"))
+      .select(date_add(col("day").cast("date"), col("k"))
+        .cast("string").as("day"), col("bin"), col("n"))
+    contrib
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"), col("bin")).agg(sum(col("n")).as("n"))
+      .transform(histQuantiles(_))
+      .orderBy(col("day"))
+  }
+
   /** a22's oracle at geometry (binWidth, maxBin) — generated from the
     * same constants as the Spark side. */
   private def a22Sql(binWidth: Long, maxBin: Long): String =
@@ -447,6 +473,7 @@ object Aggregations {
     "a19_sketch_rollup" -> a19,
     "a22_quantile_rollup" -> a22,
     "a22b_quantile_fine" -> a22b,
+    "a23_rolling_quantiles" -> a23,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -494,6 +521,30 @@ object Aggregations {
     },
     "a22_quantile_rollup" -> a22Sql(QBinWidth, QMaxBin),
     "a22b_quantile_fine" -> a22Sql(100L, 1000L),
+    "a23_rolling_quantiles" ->
+      s"""WITH ev AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |     greatest(least(CAST(round(value * 100) AS BIGINT) // $QBinWidth,
+         |       $QMaxBin), 0) AS bin
+         |   FROM events),
+         | h AS (SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+         | days AS (SELECT DISTINCT day FROM h),
+         | contrib AS (SELECT
+         |     CAST(CAST(h.day AS DATE) + CAST(o.k AS INTEGER) AS VARCHAR) AS day, h.bin, h.n
+         |   FROM h, (SELECT unnest(range(7)) AS k) o),
+         | w AS (SELECT c.day, c.bin, CAST(sum(c.n) AS BIGINT) AS n
+         |   FROM contrib c SEMI JOIN days d ON c.day = d.day
+         |   GROUP BY 1, 2),
+         | cw AS (SELECT day, bin, n,
+         |     sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         |     sum(n) OVER (PARTITION BY day) AS tot FROM w)
+         | SELECT day, CAST(max(tot) AS BIGINT) AS n_events,
+         |   CAST(min(CASE WHEN cum >= (5000 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p50_cents,
+         |   CAST(min(CASE WHEN cum >= (9000 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p90_cents,
+         |   CAST(min(CASE WHEN cum >= (9900 * tot + 9999) // 10000
+         |     THEN bin * $QBinWidth END) AS BIGINT) AS p99_cents
+         | FROM cw GROUP BY day ORDER BY day""".stripMargin,
     "a19_exact_by_day" ->
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
         |   count(DISTINCT user_id) AS exact_users

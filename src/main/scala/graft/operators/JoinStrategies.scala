@@ -202,7 +202,12 @@ object JoinStrategies {
       .select(col("user_id"), col("version_n"), col("event_type"),
         col("ts_us").as("valid_from_us"),
         coalesce(col("nxt"), lit(-1L)).as("valid_to_us"),
-        col("nxt").isNull.as("is_current"))
+        col("nxt").isNull.as("is_current"),
+        // lineage: the event that OPENED the version. j18's point-in-time
+        // join needs it — two versions of one user can open at the same
+        // ts_us (two change events, tied timestamps), and only the
+        // (ts_us, event_id) pair orders them totally.
+        col("event_id").as("open_event_id"))
   }
 
   /** U2 — SCD2 DIMENSION-HISTORY BUILDER: turn a raw change feed into the
@@ -219,9 +224,58 @@ object JoinStrategies {
         col("event_id"), col("event_type")))
       .orderBy(col("user_id"), col("version_n"))
 
+  /** j18's core — exposed for the spec's planted tie cases. `facts` =
+    * (user_id, ts_us, event_id); `versions` = [[scd2Build]] output. The
+    * as-of order is (ts_us, event_id): a fact matches the latest version
+    * whose opening event sorts at-or-before it — the SAME total order
+    * u2's change detection used, so the event that OPENS a version
+    * matches that version (interval semantics [from, to)), and tied
+    * timestamps resolve identically on both engines. */
+  private[graft] def pitJoin(facts: DataFrame, versions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = versions.select(col("user_id"),
+      col("valid_from_us").as("ts_us"), col("open_event_id").as("oid"),
+      lit(0).as("kind"), col("version_n"),
+      col("event_type").as("dim_type"))
+    val f = facts.select(col("user_id"), col("ts_us"),
+      col("event_id").as("oid"), lit(1).as("kind"),
+      lit(null).cast("long").as("version_n"),
+      lit(null).cast("string").as("dim_type"))
+    // kind orders a version-open BEFORE the same event as a fact: the
+    // opening event belongs to the version it opens
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("oid"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionByName(f)
+      .withColumn("v_n", last(col("version_n"), ignoreNulls = true).over(w))
+      .withColumn("v_type", last(col("dim_type"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("oid").as("event_id"), col("user_id"), col("ts_us"),
+        col("v_n").as("version_n"), col("v_type").as("dim_event_type"))
+  }
+
+  /** J18 — POINT-IN-TIME JOIN against the SCD2 dimension: every fact row
+    * picks the dimension version valid AT ITS OWN timestamp — the
+    * feature-store correctness primitive (joining the CURRENT version
+    * instead leaks future attribute values into training labels). Scale
+    * shape: NOT an interval join — versions and facts union-tag into ONE
+    * shuffle on the dimension key and a single forward-carry window, the
+    * same plan family as w9's as-of join; cost is one sort of facts +
+    * versions regardless of how many versions a key has. Every fact
+    * matches exactly one version by u2's tiling law (spec-asserted). */
+  private val j18: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("event_id"), col("event_type"))
+    pitJoin(ev.select(col("user_id"), col("ts_us"), col("event_id")),
+        scd2Build(ev))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "j16_salted_join" -> j16,
     "j17_bloom_prune" -> j17,
+    "j18_pit_join" -> j18,
     "u1_merge_upsert" -> u1,
     "u2_scd2_build" -> u2
   )
@@ -253,18 +307,37 @@ object JoinStrategies {
         | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         | WHERE o.o_orderpriority = '1-URGENT'
         | GROUP BY l.l_orderkey ORDER BY l.l_orderkey""".stripMargin,
+    // independent formulation: an inequality join + per-fact argmax (the
+    // textbook PIT plan) — agreeing with the union-tag window proves both
+    "j18_pit_join" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |     event_id, event_type FROM events),
+        | m AS (SELECT *, lag(event_type) OVER
+        |     (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+        | c AS (SELECT user_id, ts_us, event_id AS oid, event_type,
+        |     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version_n
+        |   FROM m WHERE prev IS NULL OR prev <> event_type)
+        | SELECT event_id, user_id, ts_us, version_n, dim_event_type FROM (
+        |   SELECT f.event_id, f.user_id, f.ts_us, v.version_n,
+        |     v.event_type AS dim_event_type,
+        |     row_number() OVER (PARTITION BY f.event_id
+        |       ORDER BY v.ts_us DESC, v.oid DESC) AS rn
+        |   FROM e f JOIN c v ON f.user_id = v.user_id
+        |     AND (v.ts_us < f.ts_us OR (v.ts_us = f.ts_us AND v.oid <= f.event_id))
+        | ) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "u2_scd2_build" ->
       """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |     event_id, event_type FROM events),
         | m AS (SELECT *, lag(event_type) OVER
         |     (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
         | c AS (SELECT * FROM m WHERE prev IS NULL OR prev <> event_type),
-        | v AS (SELECT user_id, event_type, ts_us AS valid_from_us,
+        | v AS (SELECT user_id, event_type, ts_us AS valid_from_us, event_id,
         |     CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version_n,
         |     lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS nxt
         |   FROM c)
         | SELECT user_id, version_n, event_type, valid_from_us,
-        |   coalesce(nxt, -1) AS valid_to_us, nxt IS NULL AS is_current
+        |   coalesce(nxt, -1) AS valid_to_us, nxt IS NULL AS is_current,
+        |   event_id AS open_event_id
         | FROM v ORDER BY user_id, version_n""".stripMargin,
     "u1_merge_upsert" ->
       s"""WITH $changesSql

@@ -72,6 +72,38 @@ class CoverageSpec extends SparkSpec {
     assert(out.size === ev.map(_._1).distinct.length + 1)
   }
 
+  test("a23 rolling quantiles equal a join-based trailing-window recompute") {
+    // independent formulation: day×day range join over the state instead
+    // of the contribution explode — same result proves the explode covers
+    // exactly the [d-6, d] window
+    val h = operators.Aggregations.histState(Tables.events(spark, sf))
+    val days = h.select(col("day").as("wday")).distinct()
+    val joined = h.join(days,
+        datediff(col("wday").cast("date"), col("day").cast("date")).between(0, 6))
+      .groupBy(col("wday"), col("bin")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a23's windowed histogram, reconstructed from its quantile read input:
+    // recompute the same explode the query uses
+    val contrib = h
+      .select(explode(sequence(lit(0), lit(6))).as("k"),
+        col("day"), col("bin"), col("n"))
+      .select(date_add(col("day").cast("date"), col("k"))
+        .cast("string").as("day"), col("bin"), col("n"))
+      .join(h.select(col("day")).distinct(), Seq("day"), "left_semi")
+      .groupBy(col("day"), col("bin")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(contrib === joined)
+    // and the registered read over it has one row per observed day, with
+    // each day's window total >= that day's own count
+    val own = q("a22_quantile_rollup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = q("a23_rolling_quantiles").collect()
+    assert(out.length === own.size - 1) // a22 adds the ALL row
+    out.foreach { r =>
+      assert(r.getLong(1) >= own(r.getString(0)), s"day ${r.getString(0)}")
+    }
+  }
+
   test("a22b: the fine grain refines the coarse one within a coarse bin") {
     // both grains floor the SAME order statistic (clamp caps coincide at
     // 100,000 cents), so coarse <= fine < coarse + 500 per percentile

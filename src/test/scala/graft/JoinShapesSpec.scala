@@ -263,12 +263,12 @@ class JoinShapesSpec extends SparkSpec {
     val out = operators.JoinStrategies.scd2Build(ev)
       .orderBy("user_id", "version_n")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))
     assert(out.toSeq === Seq(
-      (1L, 1L, "A", 10L, 30L, false),
-      (1L, 2L, "B", 30L, 50L, false),
-      (1L, 3L, "A", 50L, -1L, true),
-      (2L, 1L, "X", 5L, -1L, true)))
+      (1L, 1L, "A", 10L, 30L, false, 1L),
+      (1L, 2L, "B", 30L, 50L, false, 3L),
+      (1L, 3L, "A", 50L, -1L, true, 5L),
+      (2L, 1L, "X", 5L, -1L, true, 6L)))
   }
 
   test("u2 invariants: one open version per user; versions tile; no uncollapsed runs") {
@@ -295,6 +295,35 @@ class JoinShapesSpec extends SparkSpec {
     assert(out.filter(col("version_n") === 1L).join(first, "user_id")
       .filter(col("valid_from_us") =!= col("t0")).isEmpty)
     out.unpersist()
+  }
+
+  test("j18 pit join: every event sees its own state; tie cases resolve by (ts, id)") {
+    val sp = spark; import sp.implicits._
+    // every fact matched exactly once, and — because facts ARE the change
+    // source — each event's matched version carries the event's own type
+    val out = q("j18_pit_join").cache()
+    val ev = Tables.events(spark, sf)
+    assert(out.count() === ev.count())
+    assert(out.groupBy("event_id").count().filter(col("count") > 1L).isEmpty)
+    assert(out.filter(col("version_n").isNull).isEmpty)
+    assert(out.join(ev.select(col("event_id"), col("event_type")), "event_id")
+      .filter(col("dim_event_type") =!= col("event_type")).isEmpty)
+    out.unpersist()
+    // planted ties: two versions open at the SAME ts (ids 1,2); the
+    // opening event matches ITS version, not the later same-ts one; a
+    // fact before any version gets nulls (left edge is explicit)
+    val src = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B"), (1L, 20L, 3L, "B"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val versions = operators.JoinStrategies.scd2Build(src)
+    val facts = src.select(col("user_id"), col("ts_us"), col("event_id"))
+      .unionByName(Seq((1L, 5L, 0L)).toDF("user_id", "ts_us", "event_id"))
+    val got = operators.JoinStrategies.pitJoin(facts, versions)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4)))
+    assert(got.toSeq === Seq((0L, -1L, "-"), (1L, 1L, "A"),
+      (2L, 2L, "B"), (3L, 2L, "B")))
   }
 
   test("j16 salted join equals the unsalted join, row for row") {

@@ -125,6 +125,52 @@ object TextQueries {
       .orderBy(col("tf").desc, col("token"))
       .limit(100)
 
+  /** tx14's vocabulary size and report size. */
+  private[graft] val LiftVocab = 30
+  private[graft] val LiftTopK = 20L
+
+  /** TX14 — TERM CO-OCCURRENCE LIFT (the PMI kernel with exact integers):
+    * for the top-[[LiftVocab]] terms by document frequency, how much more
+    * often do two terms share a document than independence predicts?
+    * lift = P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) — the exponential of
+    * PMI, emitted as an exact milli-scaled rational instead of a float
+    * log so both engines agree bit-for-bit. The distributional-semantics
+    * primitive behind collocation mining, stop-phrase detection, and
+    * topic drift monitors. Scale shape: pair space is VOCAB-bounded —
+    * docs reduce to their distinct vocab terms (≤ 30 rows/doc after the
+    * broadcast semi join), the self-join on doc_id emits ≤ C(30,2)
+    * pairs/doc, and everything above pair grain is geometry-bounded, not
+    * data-bounded. Never term×term over the raw corpus. */
+  private val tx14: Q = (s, d) => cooccurLift(Tables.documents(s, d))
+
+  /** tx14's core over any documents frame — exposed for the spec's planted
+    * perfect-collocation fixture. Pairs that never co-occur are absent by
+    * construction (the self-join only emits observed pairs). */
+  private[graft] def cooccurLift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = docs
+      .select(col("doc_id"), explode(array_distinct(toks(col("text"))))
+        .as("term"))
+    val vocab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(LiftVocab)
+    val dv = dt.join(broadcast(vocab), Seq("term"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val a = dv.select(col("doc_id"), col("term").as("t1"), col("df").as("n_a"))
+    val b = dv.select(col("doc_id"), col("term").as("t2"), col("df").as("n_b"))
+    val pairs = a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("lift_milli", graft.functions.ExactRatio.scaled(
+        col("n_ab") * col("n_docs"), col("n_a") * col("n_b"), 1000L))
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("n_ab").desc, col("t1"), col("t2"))).cast("long"))
+      .filter(col("rnk") <= LiftTopK)
+      .select(col("t1"), col("t2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_milli"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   /** PX1 — end-to-end corpus prep, the composed training-data pipeline:
     * exact-dedup survivors ∩ quality ≥ 0.55 ∩ labeled English, projected to
     * (doc_id, n_tokens, quality). One scan feeds the row-local quality
@@ -721,6 +767,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "px20_epoch_shuffle" -> px20,
     "px20_epoch2" -> px20b,
+    "tx14_cooccur_lift" -> tx14,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
     "px19_curriculum" -> px19,
@@ -803,6 +850,24 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tx14_cooccur_lift" ->
+      s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
+         |   FROM documents),
+         | vocab AS (SELECT term, count(*) AS df FROM dt GROUP BY 1
+         |   ORDER BY df DESC, term LIMIT $LiftVocab),
+         | dv AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+         | nn AS (SELECT count(*) AS n_docs FROM documents),
+         | p AS (SELECT a.term AS t1, b.term AS t2, a.df AS n_a, b.df AS n_b,
+         |     count(*) AS n_ab
+         |   FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+         |   GROUP BY 1, 2, 3, 4),
+         | r AS (SELECT t1, t2, n_ab, n_a, n_b,
+         |     ${graft.functions.ExactRatio.scaledSql(
+                 "n_ab * n_docs", "n_a * n_b", 1000L)} AS lift_milli,
+         |     CAST(row_number() OVER (ORDER BY n_ab DESC, t1, t2) AS BIGINT) AS rnk
+         |   FROM p, nn)
+         | SELECT t1, t2, n_ab, n_a, n_b, lift_milli, rnk FROM r
+         | WHERE rnk <= $LiftTopK ORDER BY rnk""".stripMargin,
     "px20_epoch_shuffle" -> epochShuffleSql(1),
     "px20_epoch2" -> epochShuffleSql(2),
     "tx13_phrase" -> phraseSql(Phrase2),

@@ -384,6 +384,33 @@ object Aggregations {
       .orderBy(col("day"))
   }
 
+  /** A24 — SLIDING DISTINCT USERS (trailing-7-day "MAU" next to DAU):
+    * the metric that makes naive plans quadratic, because distinct does
+    * NOT merge across overlapping windows — rescanning a 7-day window
+    * per report day reads every fact ~7×, and a day-range join over
+    * user-day rows is the same cost in join clothing. Linear shape
+    * instead: ONE dedup to (user, day) grain — the reduction every
+    * activity metric starts from — then each user-day EXPLODES to the ≤7
+    * report days it makes that user active in, a second (user, report
+    * day) dedup collapses multi-day activity inside a window to one row,
+    * and a plain count per day finishes. Everything partial-aggregates
+    * map-side; nothing is ever rescanned per window. */
+  private val a24: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day")).distinct()
+    val win = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("mau_7d"))
+    ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(win, Seq("day"))
+      .orderBy(col("day"))
+  }
+
   /** a22's oracle at geometry (binWidth, maxBin) — generated from the
     * same constants as the Spark side. */
   private def a22Sql(binWidth: Long, maxBin: Long): String =
@@ -474,6 +501,7 @@ object Aggregations {
     "a22_quantile_rollup" -> a22,
     "a22b_quantile_fine" -> a22b,
     "a23_rolling_quantiles" -> a23,
+    "a24_sliding_mau" -> a24,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -519,6 +547,16 @@ object Aggregations {
          | SELECT n_view, n_click, n_purchase,
          |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
     },
+    "a24_sliding_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | days AS (SELECT DISTINCT day FROM ud),
+        | c AS (SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS day
+        |   FROM ud, (SELECT unnest(range(7)) AS k) o),
+        | m AS (SELECT c.day, count(*) AS mau_7d
+        |   FROM c SEMI JOIN days d ON c.day = d.day GROUP BY 1),
+        | a AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
+        | SELECT a.day, a.dau, m.mau_7d FROM a JOIN m ON a.day = m.day
+        | ORDER BY a.day""".stripMargin,
     "a22_quantile_rollup" -> a22Sql(QBinWidth, QMaxBin),
     "a22b_quantile_fine" -> a22Sql(100L, 1000L),
     "a23_rolling_quantiles" ->

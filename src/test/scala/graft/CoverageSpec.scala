@@ -104,6 +104,26 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("a24 sliding MAU equals a brute-force trailing-window distinct recount") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val days = ud.map(_._2).distinct.sorted
+    def d2e(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val expect = days.map { d =>
+      val lo = d2e(d) - 6
+      d -> ud.filter(p => d2e(p._2) >= lo && d2e(p._2) <= d2e(d))
+        .map(_._1).distinct.length.toLong
+    }.toMap
+    val out = q("a24_sliding_mau").collect()
+    assert(out.length === days.length)
+    out.foreach { r =>
+      val day = r.getDate(0).toString
+      assert(r.getLong(2) === expect(day), s"day $day")
+      assert(r.getLong(2) >= r.getLong(1)) // window ⊇ the day itself
+    }
+  }
+
   test("a22b: the fine grain refines the coarse one within a coarse bin") {
     // both grains floor the SAME order statistic (clamp caps coincide at
     // 100,000 cents), so coarse <= fine < coarse + 500 per percentile

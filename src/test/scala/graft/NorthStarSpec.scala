@@ -745,6 +745,24 @@ class TextQueriesSpec extends SparkSpec {
     assert(moved.count() > docs.count() / 2)
   }
 
+  test("tx14 lift: perfect collocation scores 2x independence; absent pairs are absent") {
+    val sp = spark; import sp.implicits._
+    // a,b always together (2 of 4 docs); c never with a/b
+    val docs = Seq((1L, "a b x1"), (2L, "a b x2"), (3L, "c x3"), (4L, "c x4"))
+      .toDF("doc_id", "text")
+    val out = functions.TextQueries.cooccurLift(docs).collect()
+    val ab = out.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    // n_ab=2, n_a=n_b=2, N=4 → lift = 2·4/(2·2) = 2.000
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4), ab.getLong(5)) ===
+      ((2L, 2L, 2L, 2000L)))
+    assert(ab.getLong(6) === 1L) // highest n_ab ranks first
+    assert(!out.exists(r => r.getString(0) == "a" && r.getString(1) == "c"))
+    // registered query: ranks contiguous, co-occurrence bounded by dfs
+    val reg = q("tx14_cooccur_lift").collect()
+    assert(reg.map(_.getLong(6)).toSeq === (1L to reg.length.toLong))
+    assert(reg.forall(r => r.getLong(2) <= math.min(r.getLong(3), r.getLong(4))))
+  }
+
   test("tx13 phrase search agrees with a sliding-window recount for both phrases") {
     for ((name, terms) <- Seq(
         "tx13_phrase" -> functions.TextQueries.Phrase2,

@@ -712,6 +712,31 @@ object TextQueries {
        | FROM q $chain GROUP BY 1 ORDER BY q.doc_id""".stripMargin
   }
 
+  /** px21's per-stratum sample size — below the smallest stratum in the
+    * testdata so the draw is a genuine subsample, not the whole stratum. */
+  private[graft] val StratumK = 10L
+
+  /** PX21 — EXACT-K STRATIFIED SAMPLE: exactly min(k, |stratum|) documents
+    * per source, deterministically — the eval-set construction primitive
+    * (px2's rate-based sampling yields a BINOMIAL size; audits and evals
+    * need an exact count). The "random" order is the md5 of a salted doc
+    * id, so the draw is reproducible, portable across engines, and
+    * independent of ingestion order; the rank is a per-stratum window —
+    * strata partition the corpus, so no global sort, and at 100 TB each
+    * stratum sorts independently (skewed strata salt like any skewed
+    * window). Rank ties are impossible (doc_id tie-break → total order). */
+  private val px21: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("hkey",
+        md5(concat(lit("px21:"), col("doc_id").cast("string"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= StratumK)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** px20's shard count — small here; at 100 TB this is the data-loader's
     * reader parallelism (thousands), and the design is shard-count-free:
     * work per shard is 1/nShards of the corpus either way. */
@@ -768,6 +793,7 @@ object TextQueries {
     "px20_epoch_shuffle" -> px20,
     "px20_epoch2" -> px20b,
     "tx14_cooccur_lift" -> tx14,
+    "px21_exact_sample" -> px21,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
     "px19_curriculum" -> px19,
@@ -850,6 +876,14 @@ object TextQueries {
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "px21_exact_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |     md5('px21:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+         | r AS (SELECT doc_id, source,
+         |     CAST(row_number() OVER (PARTITION BY source
+         |       ORDER BY hkey, doc_id) AS BIGINT) AS rank FROM h)
+         | SELECT doc_id, source, rank FROM r WHERE rank <= $StratumK
+         | ORDER BY source, rank""".stripMargin,
     "tx14_cooccur_lift" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
          |   FROM documents),

@@ -108,7 +108,53 @@ object PageRank {
     nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
   }
 
-  val queries: Map[String, Q] = Map("g3_pagerank" -> g3, "g4_triangle_count" -> g4)
+  /** g5 seed spacing: every 32nd key is a distance-0 source. The BFS
+    * round budget follows from the SPACING, not the graph size — the
+    * farthest node sits ≤ 31 keys from a seed, chords halve hops, so 16
+    * rounds reach everything at ANY scale. That is the design point:
+    * multi-source BFS depth is bounded by source density, which a
+    * pipeline controls, never by corpus growth. */
+  private[graft] val SeedMod = 32L
+  private[plans] val BfsRounds = 16
+
+  /** Min-distance propagation over any symmetric edge frame (u, v) from
+    * a seed node set — the reusable core, spec-driven on golden graphs.
+    * Each round relaxes every edge once: one equi-join (reached frontier
+    * → edges) + one min-aggregation, eager-checkpointed so rounds never
+    * grow lineage (the ForkWalk/PageRank discipline). After `rounds` ≥
+    * max eccentricity-to-seed, the frame is the exact hop distance. */
+  def bfsOf(e: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val ed = e.localCheckpoint(true)
+    val nodes = ed.select(col("u").as("node")).distinct().localCheckpoint(true)
+    var dist = nodes
+      .join(seeds.select(col("node")).withColumn("d0", lit(0L)), Seq("node"), "left")
+      .select(col("node"), col("d0").as("d")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = ed.join(dist.filter(col("d").isNotNull),
+          col("u") === col("node"))
+        .groupBy(col("v")).agg(min(col("d") + 1L).as("nd"))
+      dist = dist.join(relax, col("node") === col("v"), "left")
+        .select(col("node"), least(col("d"), col("nd")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.select(col("node"), col("d").as("dist"))
+  }
+
+  /** G5 — MULTI-SOURCE BFS / hop distance to the nearest seed: the
+    * proximity primitive behind influence radii, seed-expansion labeling,
+    * and staleness-from-source checks. [[bfsOf]] over the chord graph
+    * with every [[SeedMod]]-th key seeded; [[BfsRounds]] rounds reach all
+    * nodes by the spacing argument, and the spec pins the closed-form
+    * distance ⌈min(gap_down, gap_up)/2⌉ per node. */
+  private val g5: Q = (s, d) => {
+    val e = symmetric(chordEdges(s, d))
+    val seeds = e.select(col("u").as("node")).distinct()
+      .filter(col("node") % SeedMod === 1L)
+    bfsOf(e, seeds).orderBy(col("node"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g3_pagerank" -> g3, "g4_triangle_count" -> g4, "g5_bfs_distance" -> g5)
 
   private val edgeCte =
     """nmax AS (SELECT CAST(max(c_custkey) AS BIGINT) AS n FROM customer),
@@ -141,6 +187,19 @@ object PageRank {
   }
 
   val oracles: Map[String, String] = Map(
+    // independent formulation: recursive frontier enumeration with row
+    // dedup (UNION) + depth cap, min per node — agreeing with the
+    // round-relaxation loop proves both
+    "g5_bfs_distance" ->
+      s"""WITH RECURSIVE $edgeCte,
+         | e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+         | r(node, d) AS (
+         |   SELECT DISTINCT u, 0 FROM e WHERE u % $SeedMod = 1
+         |   UNION
+         |   SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node
+         |   WHERE r.d < $BfsRounds)
+         | SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
+         | GROUP BY 1 ORDER BY node""".stripMargin,
     "g3_pagerank" -> pagerankSql,
     "g4_triangle_count" ->
       s"""WITH $edgeCte,

@@ -166,6 +166,32 @@ class ForkWalkSpec extends SparkSpec {
     assert(tris === n - 2)
   }
 
+  test("g5 bfs: golden path graph distances; closed form holds on testdata") {
+    val sp = spark
+    import sp.implicits._
+    // path 1–2–3–4–5, seed {1}: distances 0,1,2,3,4 after 4 rounds
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+    val seeds = Seq(1L).toDF("node")
+    val got = plans.PageRank.bfsOf(e, seeds, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // with too few rounds, the far node is honestly unreached (null), not wrong
+    val short = plans.PageRank.bfsOf(e, seeds, rounds = 2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(short(5L) === -1L && short(3L) === 2L)
+    // testdata: every node reached, distance == ⌈nearest-seed gap / 2⌉
+    val out = q("g5_bfs_distance").collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(out.length === n && out.forall(!_.isNullAt(1)))
+    val seedsAll = (1L to n by plans.PageRank.SeedMod).toArray
+    out.foreach { r =>
+      val (k, dist) = (r.getLong(0), r.getLong(1))
+      val gap = seedsAll.map(s => math.abs(k - s)).min
+      assert(dist === (gap + 1) / 2, s"node $k")
+    }
+  }
+
   test("p2 keeps exactly the suffix above the newest broken link") {
     val kept = q("p2_chain_filter")
     val all = ForkWalk.linkTable(spark, sf)

@@ -745,6 +745,32 @@ class TextQueriesSpec extends SparkSpec {
     assert(moved.count() > docs.count() / 2)
   }
 
+  test("px21 exact sample: exactly min(k, stratum) per source, and not a head-by-id") {
+    val out = q("px21_exact_sample").cache()
+    val sizes = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === sizes.keySet)
+    got.foreach { case (src, n) =>
+      assert(n === math.min(functions.TextQueries.StratumK, sizes(src)), src)
+    }
+    // ranks are contiguous 1..n per stratum
+    val rk = out.groupBy("source")
+      .agg(min("rank").as("lo"), max("rank").as("hi"), count(lit(1)).as("n"))
+    assert(rk.filter(col("lo") =!= 1L || col("hi") =!= col("n")).isEmpty)
+    // the hash order is not ingestion order: the sample must differ from
+    // the first-k-by-doc_id head for at least one stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val head = Tables.documents(spark, sf)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= functions.TextQueries.StratumK)
+      .select("doc_id")
+    assert(out.select("doc_id").except(head).count() > 0L)
+    out.unpersist()
+  }
+
   test("tx14 lift: perfect collocation scores 2x independence; absent pairs are absent") {
     val sp = spark; import sp.implicits._
     // a,b always together (2 of 4 docs); c never with a/b

@@ -737,6 +737,65 @@ object TextQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** tx15's monitored vocabulary size, and the χ²(1 df, α=0.05) critical
+    * value milli-scaled (3.841 × 1000). */
+  private[graft] val DriftVocabK = 50
+  private[graft] val Chi2CritMilli = 3841L
+
+  /** tx15's core over any (doc_id, epoch ∈ {0,1}, text) frame — exposed
+    * for the spec's planted-shift fixture. One term-grain shuffle for the
+    * epoch-split document frequencies; the vocabulary selection is a
+    * TakeOrdered top-K (per-partition heads merge on the driver — never a
+    * global sort or window); the χ² itself is row-local over K rows.
+    * Exactness bound: the 38-digit numerator N·(ad−bc)² stays exact up to
+    * N ≈ 3·10⁷ docs per comparison — past that, drift-monitor on a
+    * deterministic hash sample (px2), where statistical power at 10⁷ docs
+    * is already overwhelming. */
+  private[graft] def vocabDriftOf(docs: DataFrame): DataFrame = {
+    val D38 = "decimal(38,0)"
+    val dt = docs.select(col("doc_id"), col("epoch"),
+      explode(array_distinct(toks(col("text")))).as("term"))
+    val dfp = dt.groupBy(col("term")).agg(
+      sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("df_a"),
+      sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("df_b"))
+    val vocab = dfp
+      .orderBy((col("df_a") + col("df_b")).desc, col("term"))
+      .limit(DriftVocabK)
+    val totals = docs.agg(
+      sum(when(col("epoch") === 0L, 1L).otherwise(0L)).as("n_a_docs"),
+      sum(when(col("epoch") === 1L, 1L).otherwise(0L)).as("n_b_docs"))
+    val a = col("df_a").cast(D38)
+    val b = col("df_b").cast(D38)
+    val c = (col("n_a_docs") - col("df_a")).cast(D38)
+    val dd = (col("n_b_docs") - col("df_b")).cast(D38)
+    val nn = (col("n_a_docs") + col("n_b_docs")).cast(D38)
+    val num = nn * (a * dd - b * c) * (a * dd - b * c)
+    val den = (a + b) * (c + dd) * (a + c) * (b + dd)
+    vocab.crossJoin(broadcast(totals))
+      .withColumn("chi2_milli", graft.functions.ExactRatio.scaled(num, den, 1000L))
+      // exact decision by cross-multiplication — no rounding at the boundary
+      .withColumn("drifted",
+        when(num * lit(1000L) > den * lit(Chi2CritMilli), 1L).otherwise(0L))
+      .select(col("term"), col("df_a"), col("df_b"),
+        col("chi2_milli"), col("drifted"))
+      .orderBy(col("chi2_milli").desc, col("term"))
+  }
+
+  /** TX15 — VOCABULARY DRIFT: distribution-shift monitoring between two
+    * deterministic corpus halves (md5 parity of doc_id — in production,
+    * two ingest epochs). For each top-[[DriftVocabK]]-df term, a 2×2
+    * contingency (present/absent × epoch) χ² with Yates-free exact
+    * integer arithmetic: χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    * milli-scaled via [[ExactRatio]] so both engines agree bit-for-bit
+    * where float χ² drifts (pr5's z-test discipline on a second table
+    * shape). A drifted flag means that term's document frequency shifted
+    * more than chance at 95% — the canary for silent scraper changes,
+    * template floods, or language-mix regressions between training runs. */
+  private val tx15: Q = (s, d) => vocabDriftOf(
+    Tables.documents(s, d).withColumn("epoch",
+      when(substring(md5(concat(lit("tx15:"), col("doc_id").cast("string"))),
+        1, 1) < "8", 0L).otherwise(1L)))
+
   /** px20's shard count — small here; at 100 TB this is the data-loader's
     * reader parallelism (thousands), and the design is shard-count-free:
     * work per shard is 1/nShards of the corpus either way. */
@@ -793,6 +852,7 @@ object TextQueries {
     "px20_epoch_shuffle" -> px20,
     "px20_epoch2" -> px20b,
     "tx14_cooccur_lift" -> tx14,
+    "tx15_vocab_drift" -> tx15,
     "px21_exact_sample" -> px21,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
@@ -875,7 +935,33 @@ object TextQueries {
        |   quality_bp AS best_quality_bp
        | FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
 
+  private val chi2NumSql = "nn * (a*dd - b*c) * (a*dd - b*c)"
+  private val chi2DenSql = "(a+b) * (c+dd) * (a+c) * (b+dd)"
+
   val oracles: Map[String, String] = Map(
+    "tx15_vocab_drift" ->
+      s"""WITH d0 AS (SELECT doc_id, text,
+         |     CASE WHEN substring(md5('tx15:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+         |          THEN 0 ELSE 1 END AS epoch FROM documents),
+         | dt AS (SELECT doc_id, epoch, unnest(list_distinct($toksSql)) AS term FROM d0),
+         | dfp AS (SELECT term,
+         |     CAST(sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+         |     CAST(sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+         |   FROM dt GROUP BY 1),
+         | vocab AS (SELECT * FROM dfp ORDER BY (df_a + df_b) DESC, term LIMIT $DriftVocabK),
+         | tot AS (SELECT sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS n_a_docs,
+         |                sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS n_b_docs FROM d0),
+         | x AS (SELECT term, df_a, df_b,
+         |     CAST(df_a AS HUGEINT) AS a, CAST(df_b AS HUGEINT) AS b,
+         |     CAST(n_a_docs - df_a AS HUGEINT) AS c,
+         |     CAST(n_b_docs - df_b AS HUGEINT) AS dd,
+         |     CAST(n_a_docs + n_b_docs AS HUGEINT) AS nn
+         |   FROM vocab, tot)
+         | SELECT term, df_a, df_b,
+         |   ${graft.functions.ExactRatio.scaledSql(chi2NumSql, chi2DenSql, 1000L)} AS chi2_milli,
+         |   CAST(CASE WHEN $chi2NumSql * 1000 > $Chi2CritMilli * $chi2DenSql
+         |        THEN 1 ELSE 0 END AS BIGINT) AS drifted
+         | FROM x ORDER BY chi2_milli DESC, term""".stripMargin,
     "px21_exact_sample" ->
       s"""WITH h AS (SELECT doc_id, source,
          |     md5('px21:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),

@@ -268,13 +268,90 @@ object Profiling {
     }.reduce(_.unionByName(_)).orderBy(col("edge"))
   }
 
+  /** pr8's EWMA horizon (days) and spike factor. The fixed horizon makes
+    * the statistic EXACTLY computable in integers: weights 2^(H−k)/(2^H−1)
+    * for lag k = 1..H sum to exactly 1, so the baseline is a true weighted
+    * mean with no float and no infinite tail. */
+  private[graft] val EwmaHorizon = 20
+  private[graft] val SpikeFactor = 2L
+
+  /** pr8's core over any (day, n_events) frame — exposed for the spec's
+    * planted-spike fixture. Scale shape: the day-grain relation is
+    * calendar-bounded (thousands of rows at ANY corpus size), and the
+    * trailing weighted sum is a23's explode trick — each day feeds its ≤H
+    * forward days row-locally, one keyed sum, never a day×day range join
+    * and never a window over the grid. */
+  private[graft] def ewmaSpikes(daily0: DataFrame): DataFrame = {
+    val denom = (1L << EwmaHorizon) - 1L
+    val bounds = daily0.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    // calendar grid: gap days are real days with zero events, not absent
+    // rows — the baseline must decay across them (w5's gapfill doctrine)
+    val grid = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("day"))
+    val daily = grid.join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val contrib = daily
+      .select(col("day").as("src"), col("n_events").as("x"),
+        explode(sequence(lit(1), lit(EwmaHorizon))).as("k"))
+      .select(expr("date_add(src, k)").as("day"),
+        (col("x") * expr(s"cast(shiftleft(1L, $EwmaHorizon - k) as long)"))
+          .as("w"))
+    val wsum = contrib.groupBy(col("day")).agg(sum(col("w")).as("wsum"))
+    daily.join(wsum, Seq("day"), "left")
+      .select(col("day"), col("n_events"),
+        coalesce(col("wsum"), lit(0L)).as("wsum"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("baseline_milli",
+        graft.functions.ExactRatio.scaled(col("wsum"), lit(denom), 1000L))
+      // spike decisions by cross-multiplication (exact at the boundary);
+      // cold-start days (no full horizon behind them) never flag
+      .withColumn("spike",
+        datediff(col("day"), col("lo")) >= EwmaHorizon &&
+          col("n_events") * lit(denom) > lit(SpikeFactor) * col("wsum"))
+      .select(col("day"), col("n_events"), col("baseline_milli"), col("spike"))
+      .orderBy(col("day"))
+  }
+
+  /** PR8 — EWMA SPIKE MONITOR: per-day event volume against an
+    * exponentially-weighted trailing baseline (λ = 1/2, [[EwmaHorizon]]
+    * days, today excluded) — the recency-weighted control chart next to
+    * pr5's whole-history z-test: a ramp that pr5 normalizes into the mean
+    * still trips pr8, and an ancient regime change pr5 flags forever goes
+    * quiet here once the baseline adapts. Flags days whose count exceeds
+    * [[SpikeFactor]]× the baseline. */
+  private val pr8: Q = (s, d) => ewmaSpikes(
+    Tables.events(s, d).groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events")))
+
   val queries: Map[String, Q] = Map(
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
     "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
     "pr5_outlier_days" -> pr5, "pr6_covariance" -> pr6,
-    "pr7_ref_integrity" -> pr7)
+    "pr7_ref_integrity" -> pr7, "pr8_ewma_spike" -> pr8)
 
   val oracles: Map[String, String] = Map(
+    "pr8_ewma_spike" -> {
+      val denom = (1L << EwmaHorizon) - 1L
+      s"""WITH daily0 AS (SELECT CAST(ts AS DATE) AS day,
+         |     CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+         | b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily0),
+         | grid AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+         |     CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         | daily AS (SELECT g.day, COALESCE(d.n_events, 0) AS n_events
+         |   FROM grid g LEFT JOIN daily0 d ON g.day = d.day),
+         | c AS (SELECT day + CAST(k AS INTEGER) AS day,
+         |     n_events * (CAST(1 AS BIGINT) << ($EwmaHorizon - k)) AS w
+         |   FROM daily, (SELECT unnest(range(1, ${EwmaHorizon + 1})) AS k)),
+         | ws AS (SELECT day, CAST(sum(w) AS BIGINT) AS wsum FROM c GROUP BY 1),
+         | f AS (SELECT d.day, d.n_events, COALESCE(ws.wsum, 0) AS wsum
+         |   FROM daily d LEFT JOIN ws ON d.day = ws.day)
+         | SELECT day, n_events,
+         |   ${graft.functions.ExactRatio.scaledSql("wsum", denom.toString, 1000L)}
+         |     AS baseline_milli,
+         |   (date_diff('day', lo, day) >= $EwmaHorizon
+         |     AND n_events * $denom > $SpikeFactor * wsum) AS spike
+         | FROM f, b ORDER BY day""".stripMargin
+    },
     "pr6_covariance" -> {
       import graft.functions.ExactRatio.scaledSql
       val covNum = "n_docs*sxy - sx*sy"

@@ -121,23 +121,43 @@ object PageRank {
     * a seed node set — the reusable core, spec-driven on golden graphs.
     * Each round relaxes every edge once: one equi-join (reached frontier
     * → edges) + one min-aggregation, eager-checkpointed so rounds never
-    * grow lineage (the ForkWalk/PageRank discipline). After `rounds` ≥
-    * max eccentricity-to-seed, the frame is the exact hop distance. */
-  def bfsOf(e: DataFrame, seeds: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    * grow lineage (the ForkWalk/PageRank discipline). `cap` is a BUDGET,
+    * not a count: the loop exits one round after the fixpoint (a no-op
+    * round proves convergence — the observable [[bfsOfCounted]] exposes),
+    * so the spacing bound pays only detection, never wasted relaxation.
+    * After `cap` ≥ max eccentricity-to-seed, the frame is the exact hop
+    * distance; with a smaller cap, beyond-cap nodes stay honestly null. */
+  def bfsOf(e: DataFrame, seeds: DataFrame, cap: Int = BfsRounds): DataFrame =
+    bfsOfCounted(e, seeds, cap)._1
+
+  /** [[bfsOf]] plus the relaxation rounds actually run — eccentricity+1
+    * when the cap is generous (the +1 is the convergence check), `cap`
+    * exactly when it binds. The improvement flag rides the same
+    * checkpointed frame as the distances, so detection is one driver-side
+    * head(1) per round, never a second pass over the edges. */
+  private[graft] def bfsOfCounted(
+      e: DataFrame, seeds: DataFrame, cap: Int): (DataFrame, Int) = {
     val ed = e.localCheckpoint(true)
     val nodes = ed.select(col("u").as("node")).distinct().localCheckpoint(true)
     var dist = nodes
       .join(seeds.select(col("node")).withColumn("d0", lit(0L)), Seq("node"), "left")
       .select(col("node"), col("d0").as("d")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < cap) {
       val relax = ed.join(dist.filter(col("d").isNotNull),
           col("u") === col("node"))
         .groupBy(col("v")).agg(min(col("d") + 1L).as("nd"))
-      dist = dist.join(relax, col("node") === col("v"), "left")
-        .select(col("node"), least(col("d"), col("nd")).as("d"))
+      val next = dist.join(relax, col("node") === col("v"), "left")
+        .select(col("node"), least(col("d"), col("nd")).as("d"),
+          (col("nd") < col("d") ||
+            (col("d").isNull && col("nd").isNotNull)).as("imp"))
         .localCheckpoint(true)
+      changed = next.filter(col("imp")).head(1).nonEmpty
+      dist = next.select(col("node"), col("d"))
+      rounds += 1
     }
-    dist.select(col("node"), col("d").as("dist"))
+    (dist.select(col("node"), col("d").as("dist")), rounds)
   }
 
   /** G5 — MULTI-SOURCE BFS / hop distance to the nearest seed: the

@@ -173,13 +173,18 @@ class ForkWalkSpec extends SparkSpec {
     val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
     val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
     val seeds = Seq(1L).toDF("node")
-    val got = plans.PageRank.bfsOf(e, seeds, rounds = 4).collect()
+    val got = plans.PageRank.bfsOf(e, seeds, cap = 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
-    // with too few rounds, the far node is honestly unreached (null), not wrong
-    val short = plans.PageRank.bfsOf(e, seeds, rounds = 2).collect()
+    // with too small a cap, the far node is honestly unreached (null), not wrong
+    val short = plans.PageRank.bfsOf(e, seeds, cap = 2).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(short(5L) === -1L && short(3L) === 2L)
+    // the cap is a budget: a generous cap exits at eccentricity+1 (the +1
+    // is the no-op convergence round), with the same distances
+    val (lazyDist, used) = plans.PageRank.bfsOfCounted(e, seeds, cap = 100)
+    assert(used === 5)
+    assert(lazyDist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
     // testdata: every node reached, distance == ⌈nearest-seed gap / 2⌉
     val out = q("g5_bfs_distance").collect()
     val n = Tables.customer(spark, sf).count()

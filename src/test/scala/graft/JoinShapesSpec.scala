@@ -244,6 +244,47 @@ class JoinShapesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pr8 ewma: planted spike flagged, ramp absorbed, gaps decay, BigInt recompute") {
+    val sp = spark; import sp.implicits._
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // 30 steady days at 100, a hole at day 3 (zero events), a mild bump
+    // (150) at day 28, a true spike (300) at day 30; the hole sits outside
+    // day 24's trailing window so that day's baseline is exactly 100
+    val counts: Map[Int, Long] =
+      (0 to 30).map(i => i -> 100L).toMap - 3 + (28 -> 150L) + (30 -> 300L)
+    val daily = counts.toSeq.map { case (i, n) => (day(i), n) }
+      .toDF("day", "n_events")
+    val out = operators.Profiling.ewmaSpikes(daily).collect()
+    assert(out.length === 31)  // the grid restores the hole as a zero day
+    val byDay = out.map(r => r.getDate(0).toString -> r).toMap
+    val hole = byDay(day(3).toString)
+    assert(hole.getLong(1) === 0L && !hole.getBoolean(3))
+    // exact recompute of every baseline and flag from the planted counts
+    val h = operators.Profiling.EwmaHorizon
+    val denom = BigInt((1L << h) - 1L)
+    out.foreach { r =>
+      val i = java.time.LocalDate.parse(r.getDate(0).toString).getDayOfYear - 1
+      val x = BigInt(counts.getOrElse(i, 0L))
+      val wsum = (1 to h).map(k =>
+        BigInt(counts.getOrElse(i - k, 0L)) * BigInt(1L << (h - k))).sum
+      val want = (wsum * 2000 + denom) / (denom * 2)
+      assert(BigInt(r.getLong(2)) === want, s"day $i baseline")
+      assert(r.getBoolean(3) === (i >= h && x * denom > 2 * wsum), s"day $i flag")
+    }
+    // the steady day after warmup: baseline exactly 100 (weights sum to 1)
+    assert(byDay(day(24).toString).getLong(2) === 100000L)
+    // the spike day flags; the mild bump does not
+    assert(byDay(day(30).toString).getBoolean(3))
+    assert(!byDay(day(28).toString).getBoolean(3))
+    // registered path: contiguous calendar grid, cold-start days never flag
+    val reg = q("pr8_ewma_spike").collect()
+    val span = java.time.temporal.ChronoUnit.DAYS.between(
+      reg.head.getDate(0).toLocalDate, reg.last.getDate(0).toLocalDate)
+    assert(reg.length === span + 1)
+    assert(reg.take(operators.Profiling.EwmaHorizon).forall(!_.getBoolean(3)))
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

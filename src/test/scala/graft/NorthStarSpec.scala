@@ -771,6 +771,43 @@ class TextQueriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("tx15 drift: planted shift flagged, balanced term zero, chi2 matches BigInt recompute") {
+    val sp = spark; import sp.implicits._
+    // 40 docs per epoch, interleaved ids. "shifty": 30 epoch-0 docs vs 2
+    // epoch-1 docs (a strong shift); "even": exactly half of each epoch
+    // (chi2 = 0); "filler": every doc (degenerate 2x2 -> chi2 0, no flag).
+    val docs = (0 until 80).map { i =>
+      val epoch = (i % 2).toLong
+      val k = i / 2
+      val shifty = if ((epoch == 0L && k < 30) || (epoch == 1L && k < 2)) " shifty" else ""
+      val even = if (k % 2 == 0) " even" else ""
+      (i.toLong, epoch, s"filler$shifty$even")
+    }.toDF("doc_id", "epoch", "text")
+    val out = functions.TextQueries.vocabDriftOf(docs).collect()
+    val byTerm = out.map(r => r.getString(0) -> r).toMap
+    assert(byTerm.keySet === Set("filler", "shifty", "even"))
+    assert(byTerm("shifty").getLong(4) === 1L)
+    assert(byTerm("even").getLong(3) === 0L && byTerm("even").getLong(4) === 0L)
+    assert(byTerm("filler").getLong(3) === 0L && byTerm("filler").getLong(4) === 0L)
+    // exact recompute: chi2_milli and the flag from the emitted df counts
+    val (na, nb) = (40L, 40L)
+    out.foreach { r =>
+      val (a, b) = (BigInt(r.getLong(1)), BigInt(r.getLong(2)))
+      val (c, d) = (BigInt(na) - a, BigInt(nb) - b)
+      val num = BigInt(na + nb) * (a * d - b * c).pow(2)
+      val den = (a + b) * (c + d) * (a + c) * (b + d)
+      val want = if (den == 0) BigInt(0) else (num * 2000 + den) / (den * 2)
+      assert(BigInt(r.getLong(3)) === want, r.getString(0))
+      assert(r.getLong(4) === (if (num * 1000 > den * 3841) 1L else 0L))
+    }
+    // ordering is (chi2 desc, term): shifty first
+    assert(out.head.getString(0) === "shifty")
+    // registered query: bounded vocabulary, epochs genuinely partition
+    val reg = q("tx15_vocab_drift").collect()
+    assert(reg.length > 0 && reg.length <= functions.TextQueries.DriftVocabK)
+    assert(reg.forall(r => r.getLong(1) + r.getLong(2) > 0L))
+  }
+
   test("tx14 lift: perfect collocation scores 2x independence; absent pairs are absent") {
     val sp = spark; import sp.implicits._
     // a,b always together (2 of 4 docs); c never with a/b

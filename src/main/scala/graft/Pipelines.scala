@@ -344,6 +344,28 @@ object Pipelines {
         .filter(col(key).between(lo, hi))
   }
 
+  /** Dynamic file pruning for a zone-mapped equi-join — Spark's dynamic
+    * partition pruning re-created for flat clustered layouts: the dim
+    * side's key RANGE (one tiny agg, a two-scalar collect) prunes fact
+    * files through the zone map BEFORE the probe scan, then the join runs
+    * over the surviving files only. Correct because pruning drops only
+    * files whose whole [min,max] misses every dim key, and an equi-join
+    * row needs an exact key match inside that range. At 100 TB this is
+    * the scan win DPP gives partitioned tables: a dim touching 1% of a
+    * clustered key domain opens ~1% of the fact files — without any hive
+    * partitioning of the fact side. The dim is broadcast (callers use
+    * this for selective dims; a dim too big to broadcast has a key range
+    * too wide to prune anything). */
+  def zoneMapJoin(s: SparkSession, factDir: String, key: String,
+                  dim: DataFrame, dimKey: String): DataFrame = {
+    val r = dim.agg(min(col(dimKey)).cast("long").as("lo"),
+      max(col(dimKey)).cast("long").as("hi")).head()
+    val fact =
+      if (r.isNullAt(0)) s.read.parquet(factDir).filter(lit(false))
+      else zoneMapRead(s, factDir, key, r.getLong(0), r.getLong(1))
+    fact.join(broadcast(dim), fact(key) === dim(dimKey))
+  }
+
   /** Full-series burnFeeArea page (VERDICT r5 item 5): the reference's
     * burnFeeArea emits EVERY miner's series (mining_monitor_rpc.js:46-113);
     * [[dashboard]] bounds its inline copy to the top-10 miners, correct at

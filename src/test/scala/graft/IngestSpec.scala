@@ -189,6 +189,28 @@ class IngestSpec extends SparkSpec {
     assert(none.columns.toSet === Set("doc_id", "text"))
   }
 
+  test("zone-map join equals the plain join; empty and duplicate dims behave") {
+    val sp = spark; import sp.implicits._
+    val out = tmpDir("zmjoin").resolve("t").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    Pipelines.writeClustered(docs, "doc_id", 8, out)
+    Pipelines.buildZoneMap(spark, out, "doc_id")
+    // dim with duplicate keys, keys missing from the fact, and a narrow range
+    val dim = Seq(12L -> "a", 12L -> "b", 30L -> "c", -5L -> "ghost")
+      .toDF("k", "tag")
+    val got = Pipelines.zoneMapJoin(spark, out, "doc_id", dim, "k")
+    val want = spark.read.parquet(out).join(dim, col("doc_id") === col("k"))
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // duplicates fan out like any join: 12 matched twice
+    assert(got.filter(col("doc_id") === 12L).count() === 2L)
+    // an empty dim yields an empty result with the joined schema, no error
+    val empty = Pipelines.zoneMapJoin(
+      spark, out, "doc_id", dim.filter(lit(false)), "k")
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("doc_id", "text", "k", "tag"))
+  }
+
   test("writeZClusteredN rejects null keys loudly") {
     val withNulls = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"),

@@ -712,9 +712,11 @@ object TextQueries {
        | FROM q $chain GROUP BY 1 ORDER BY q.doc_id""".stripMargin
   }
 
-  /** px21's per-stratum sample size — below the smallest stratum in the
-    * testdata so the draw is a genuine subsample, not the whole stratum. */
+  /** px21's per-stratum sample sizes (two gated parameterizations per the
+    * p3/w7 convention) — below the smallest stratum in the testdata so the
+    * draw is a genuine subsample, not the whole stratum. */
   private[graft] val StratumK = 10L
+  private[graft] val StratumK2 = 3L
 
   /** PX21 — EXACT-K STRATIFIED SAMPLE: exactly min(k, |stratum|) documents
     * per source, deterministically — the eval-set construction primitive
@@ -725,17 +727,19 @@ object TextQueries {
     * strata partition the corpus, so no global sort, and at 100 TB each
     * stratum sorts independently (skewed strata salt like any skewed
     * window). Rank ties are impossible (doc_id tie-break → total order). */
-  private val px21: Q = (s, d) => {
+  private def px21Of(k: Long): Q = (s, d) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
     Tables.documents(s, d)
       .withColumn("hkey",
         md5(concat(lit("px21:"), col("doc_id").cast("string"))))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= StratumK)
+      .filter(col("rank") <= k)
       .select(col("doc_id"), col("source"), col("rank"))
       .orderBy(col("source"), col("rank"))
   }
+  private val px21 = px21Of(StratumK)
+  private val px21b = px21Of(StratumK2)
 
   /** tx15's monitored vocabulary size, and the χ²(1 df, α=0.05) critical
     * value milli-scaled (3.841 × 1000). */
@@ -854,6 +858,7 @@ object TextQueries {
     "tx14_cooccur_lift" -> tx14,
     "tx15_vocab_drift" -> tx15,
     "px21_exact_sample" -> px21,
+    "px21_sample3" -> px21b,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
     "px19_curriculum" -> px19,
@@ -938,6 +943,15 @@ object TextQueries {
   private val chi2NumSql = "nn * (a*dd - b*c) * (a*dd - b*c)"
   private val chi2DenSql = "(a+b) * (c+dd) * (a+c) * (b+dd)"
 
+  private def px21SqlOf(k: Long): String =
+    s"""WITH h AS (SELECT doc_id, source,
+       |     md5('px21:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+       | r AS (SELECT doc_id, source,
+       |     CAST(row_number() OVER (PARTITION BY source
+       |       ORDER BY hkey, doc_id) AS BIGINT) AS rank FROM h)
+       | SELECT doc_id, source, rank FROM r WHERE rank <= $k
+       | ORDER BY source, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tx15_vocab_drift" ->
       s"""WITH d0 AS (SELECT doc_id, text,
@@ -962,14 +976,8 @@ object TextQueries {
          |   CAST(CASE WHEN $chi2NumSql * 1000 > $Chi2CritMilli * $chi2DenSql
          |        THEN 1 ELSE 0 END AS BIGINT) AS drifted
          | FROM x ORDER BY chi2_milli DESC, term""".stripMargin,
-    "px21_exact_sample" ->
-      s"""WITH h AS (SELECT doc_id, source,
-         |     md5('px21:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
-         | r AS (SELECT doc_id, source,
-         |     CAST(row_number() OVER (PARTITION BY source
-         |       ORDER BY hkey, doc_id) AS BIGINT) AS rank FROM h)
-         | SELECT doc_id, source, rank FROM r WHERE rank <= $StratumK
-         | ORDER BY source, rank""".stripMargin,
+    "px21_exact_sample" -> px21SqlOf(StratumK),
+    "px21_sample3" -> px21SqlOf(StratumK2),
     "tx14_cooccur_lift" ->
       s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS term
          |   FROM documents),

@@ -273,6 +273,7 @@ object Profiling {
     * for lag k = 1..H sum to exactly 1, so the baseline is a true weighted
     * mean with no float and no infinite tail. */
   private[graft] val EwmaHorizon = 20
+  private[graft] val EwmaHorizon2 = 5
   private[graft] val SpikeFactor = 2L
 
   /** pr8's core over any (day, n_events) frame — exposed for the spec's
@@ -281,8 +282,9 @@ object Profiling {
     * trailing weighted sum is a23's explode trick — each day feeds its ≤H
     * forward days row-locally, one keyed sum, never a day×day range join
     * and never a window over the grid. */
-  private[graft] def ewmaSpikes(daily0: DataFrame): DataFrame = {
-    val denom = (1L << EwmaHorizon) - 1L
+  private[graft] def ewmaSpikes(
+      daily0: DataFrame, horizon: Int = EwmaHorizon): DataFrame = {
+    val denom = (1L << horizon) - 1L
     val bounds = daily0.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
     // calendar grid: gap days are real days with zero events, not absent
     // rows — the baseline must decay across them (w5's gapfill doctrine)
@@ -292,9 +294,9 @@ object Profiling {
       .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
     val contrib = daily
       .select(col("day").as("src"), col("n_events").as("x"),
-        explode(sequence(lit(1), lit(EwmaHorizon))).as("k"))
+        explode(sequence(lit(1), lit(horizon))).as("k"))
       .select(expr("date_add(src, k)").as("day"),
-        (col("x") * expr(s"cast(shiftleft(1L, $EwmaHorizon - k) as long)"))
+        (col("x") * expr(s"cast(shiftleft(1L, $horizon - k) as long)"))
           .as("w"))
     val wsum = contrib.groupBy(col("day")).agg(sum(col("w")).as("wsum"))
     daily.join(wsum, Seq("day"), "left")
@@ -306,7 +308,7 @@ object Profiling {
       // spike decisions by cross-multiplication (exact at the boundary);
       // cold-start days (no full horizon behind them) never flag
       .withColumn("spike",
-        datediff(col("day"), col("lo")) >= EwmaHorizon &&
+        datediff(col("day"), col("lo")) >= horizon &&
           col("n_events") * lit(denom) > lit(SpikeFactor) * col("wsum"))
       .select(col("day"), col("n_events"), col("baseline_milli"), col("spike"))
       .orderBy(col("day"))
@@ -319,19 +321,21 @@ object Profiling {
     * still trips pr8, and an ancient regime change pr5 flags forever goes
     * quiet here once the baseline adapts. Flags days whose count exceeds
     * [[SpikeFactor]]× the baseline. */
-  private val pr8: Q = (s, d) => ewmaSpikes(
+  private def pr8Of(h: Int): Q = (s, d) => ewmaSpikes(
     Tables.events(s, d).groupBy(col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("n_events")))
+      .agg(count(lit(1)).as("n_events")), h)
+  private val pr8 = pr8Of(EwmaHorizon)
+  private val pr8b = pr8Of(EwmaHorizon2)
 
   val queries: Map[String, Q] = Map(
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
     "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
     "pr5_outlier_days" -> pr5, "pr6_covariance" -> pr6,
-    "pr7_ref_integrity" -> pr7, "pr8_ewma_spike" -> pr8)
+    "pr7_ref_integrity" -> pr7, "pr8_ewma_spike" -> pr8,
+    "pr8b_ewma_h5" -> pr8b)
 
-  val oracles: Map[String, String] = Map(
-    "pr8_ewma_spike" -> {
-      val denom = (1L << EwmaHorizon) - 1L
+  private def pr8SqlOf(h: Int): String = {
+      val denom = (1L << h) - 1L
       s"""WITH daily0 AS (SELECT CAST(ts AS DATE) AS day,
          |     CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
          | b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily0),
@@ -340,18 +344,22 @@ object Profiling {
          | daily AS (SELECT g.day, COALESCE(d.n_events, 0) AS n_events
          |   FROM grid g LEFT JOIN daily0 d ON g.day = d.day),
          | c AS (SELECT day + CAST(k AS INTEGER) AS day,
-         |     n_events * (CAST(1 AS BIGINT) << ($EwmaHorizon - k)) AS w
-         |   FROM daily, (SELECT unnest(range(1, ${EwmaHorizon + 1})) AS k)),
+         |     n_events * (CAST(1 AS BIGINT) << ($h - k)) AS w
+         |   FROM daily, (SELECT unnest(range(1, ${h + 1})) AS k)),
          | ws AS (SELECT day, CAST(sum(w) AS BIGINT) AS wsum FROM c GROUP BY 1),
          | f AS (SELECT d.day, d.n_events, COALESCE(ws.wsum, 0) AS wsum
          |   FROM daily d LEFT JOIN ws ON d.day = ws.day)
          | SELECT day, n_events,
          |   ${graft.functions.ExactRatio.scaledSql("wsum", denom.toString, 1000L)}
          |     AS baseline_milli,
-         |   (date_diff('day', lo, day) >= $EwmaHorizon
+         |   (date_diff('day', lo, day) >= $h
          |     AND n_events * $denom > $SpikeFactor * wsum) AS spike
          | FROM f, b ORDER BY day""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pr8_ewma_spike" -> pr8SqlOf(EwmaHorizon),
+    "pr8b_ewma_h5" -> pr8SqlOf(EwmaHorizon2),
     "pr6_covariance" -> {
       import graft.functions.ExactRatio.scaledSql
       val covNum = "n_docs*sxy - sx*sy"

@@ -115,6 +115,7 @@ object PageRank {
     * multi-source BFS depth is bounded by source density, which a
     * pipeline controls, never by corpus growth. */
   private[graft] val SeedMod = 32L
+  private[graft] val SeedMod2 = 8L
   private[plans] val BfsRounds = 16
 
   /** Min-distance propagation over any symmetric edge frame (u, v) from
@@ -166,15 +167,18 @@ object PageRank {
     * with every [[SeedMod]]-th key seeded; [[BfsRounds]] rounds reach all
     * nodes by the spacing argument, and the spec pins the closed-form
     * distance ⌈min(gap_down, gap_up)/2⌉ per node. */
-  private val g5: Q = (s, d) => {
+  private def g5Of(mod: Long): Q = (s, d) => {
     val e = symmetric(chordEdges(s, d))
     val seeds = e.select(col("u").as("node")).distinct()
-      .filter(col("node") % SeedMod === 1L)
+      .filter(col("node") % mod === 1L)
     bfsOf(e, seeds).orderBy(col("node"))
   }
+  private val g5 = g5Of(SeedMod)
+  private val g5b = g5Of(SeedMod2)
 
   val queries: Map[String, Q] = Map(
-    "g3_pagerank" -> g3, "g4_triangle_count" -> g4, "g5_bfs_distance" -> g5)
+    "g3_pagerank" -> g3, "g4_triangle_count" -> g4,
+    "g5_bfs_distance" -> g5, "g5b_bfs_dense" -> g5b)
 
   private val edgeCte =
     """nmax AS (SELECT CAST(max(c_custkey) AS BIGINT) AS n FROM customer),
@@ -206,20 +210,23 @@ object PageRank {
        | ORDER BY rank_milli DESC, node LIMIT $Top""".stripMargin
   }
 
+  private def g5SqlOf(mod: Long): String =
+    s"""WITH RECURSIVE $edgeCte,
+       | e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+       | r(node, d) AS (
+       |   SELECT DISTINCT u, 0 FROM e WHERE u % $mod = 1
+       |   UNION
+       |   SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node
+       |   WHERE r.d < $BfsRounds)
+       | SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
+       | GROUP BY 1 ORDER BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // independent formulation: recursive frontier enumeration with row
     // dedup (UNION) + depth cap, min per node — agreeing with the
     // round-relaxation loop proves both
-    "g5_bfs_distance" ->
-      s"""WITH RECURSIVE $edgeCte,
-         | e AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
-         | r(node, d) AS (
-         |   SELECT DISTINCT u, 0 FROM e WHERE u % $SeedMod = 1
-         |   UNION
-         |   SELECT e.v, r.d + 1 FROM r JOIN e ON e.u = r.node
-         |   WHERE r.d < $BfsRounds)
-         | SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r
-         | GROUP BY 1 ORDER BY node""".stripMargin,
+    "g5_bfs_distance" -> g5SqlOf(SeedMod),
+    "g5b_bfs_dense" -> g5SqlOf(SeedMod2),
     "g3_pagerank" -> pagerankSql,
     "g4_triangle_count" ->
       s"""WITH $edgeCte,

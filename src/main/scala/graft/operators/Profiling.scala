@@ -327,7 +327,59 @@ object Profiling {
   private val pr8 = pr8Of(EwmaHorizon)
   private val pr8b = pr8Of(EwmaHorizon2)
 
+  /** pr9's outlier multiple: a doc is an outlier when its |len − median|
+    * exceeds [[MadK]]× the source's MAD. */
+  private[graft] val MadK = 5L
+
+  /** pr9's core over any (source, len) frame — exposed for the spec's
+    * planted fixtures. Discrete type-1 medians (pr2's discipline:
+    * smallest value whose doubled cumulative count clears n — integer-
+    * exact on both engines, no interpolation). Scale shape: the corpus is
+    * scanned ONCE into a per-(source, len) histogram; the median, the
+    * deviation histogram, the MAD, and the outlier count are all
+    * histogram-grain — windows partition by source over AGGREGATED
+    * relations (the allowed shape), and no second corpus pass exists. */
+  private[graft] def madProfile(lens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cumW = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = lens.groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
+    val med = hist.withColumn("cum", sum(col("cnt")).over(cumW))
+      .join(tot, Seq("source"))
+      .filter(col("cum") * 2L >= col("n_docs"))
+      .groupBy(col("source")).agg(min(col("len")).as("med"))
+    val devHist = hist.join(med, Seq("source"))
+      .select(col("source"), abs(col("len") - col("med")).as("len"), col("cnt"))
+      .groupBy(col("source"), col("len")).agg(sum(col("cnt")).as("cnt"))
+    val mad = devHist.withColumn("cum", sum(col("cnt")).over(cumW))
+      .join(tot, Seq("source"))
+      .filter(col("cum") * 2L >= col("n_docs"))
+      .groupBy(col("source")).agg(min(col("len")).as("mad"))
+    devHist.join(mad, Seq("source"))
+      .groupBy(col("source"), col("mad"))
+      .agg(sum(when(col("len") > lit(MadK) * col("mad"), col("cnt"))
+        .otherwise(0L)).as("n_outliers"))
+      .join(med, Seq("source")).join(tot, Seq("source"))
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(col("source"))
+  }
+
+  /** PR9 — ROBUST LENGTH PROFILE: per-source discrete median and MAD of
+    * document char lengths, plus the count of docs beyond [[MadK]]·MAD —
+    * the heavy-tail-immune outlier probe next to pr5/pr8's mean-based
+    * monitors (one 10⁹-char pathological doc shifts a mean and stddev but
+    * not a median/MAD, so the robust gate still sees the rest of the
+    * distribution). A MAD of 0 (more than half the source at one length)
+    * makes ANY deviating doc an outlier — the right answer for
+    * template-flood sources. */
+  private val pr9: Q = (s, d) => madProfile(
+    Tables.documents(s, d).select(col("source"), col("n_chars").as("len")))
+
   val queries: Map[String, Q] = Map(
+    "pr9_mad_profile" -> pr9,
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
     "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
     "pr5_outlier_days" -> pr5, "pr6_covariance" -> pr6,
@@ -358,6 +410,36 @@ object Profiling {
   }
 
   val oracles: Map[String, String] = Map(
+    "pr9_mad_profile" ->
+      s"""WITH lens AS (SELECT source, n_chars AS len FROM documents),
+         | hist AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cnt
+         |   FROM lens GROUP BY 1, 2),
+         | tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+         |   FROM hist GROUP BY 1),
+         | medc AS (SELECT h.source, h.len, t.n_docs,
+         |     sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.len
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |   FROM hist h JOIN tot t ON h.source = t.source),
+         | med AS (SELECT source, CAST(min(len) AS BIGINT) AS med
+         |   FROM medc WHERE cum * 2 >= n_docs GROUP BY 1),
+         | dev AS (SELECT h.source, abs(h.len - m.med) AS len,
+         |     CAST(sum(h.cnt) AS BIGINT) AS cnt
+         |   FROM hist h JOIN med m ON h.source = m.source GROUP BY 1, 2),
+         | madc AS (SELECT d.source, d.len, t.n_docs,
+         |     sum(d.cnt) OVER (PARTITION BY d.source ORDER BY d.len
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |   FROM dev d JOIN tot t ON d.source = t.source),
+         | mad AS (SELECT source, CAST(min(len) AS BIGINT) AS mad
+         |   FROM madc WHERE cum * 2 >= n_docs GROUP BY 1),
+         | outl AS (SELECT d.source,
+         |     CAST(sum(CASE WHEN d.len > $MadK * m.mad THEN d.cnt ELSE 0 END)
+         |       AS BIGINT) AS n_outliers
+         |   FROM dev d JOIN mad m ON d.source = m.source GROUP BY 1)
+         | SELECT t.source, t.n_docs, med.med, mad.mad, o.n_outliers
+         | FROM tot t JOIN med ON t.source = med.source
+         |   JOIN mad ON t.source = mad.source
+         |   JOIN outl o ON t.source = o.source
+         | ORDER BY t.source""".stripMargin,
     "pr8_ewma_spike" -> pr8SqlOf(EwmaHorizon),
     "pr8b_ewma_h5" -> pr8SqlOf(EwmaHorizon2),
     "pr6_covariance" -> {

@@ -285,6 +285,41 @@ class JoinShapesSpec extends SparkSpec {
     assert(reg.take(operators.Profiling.EwmaHorizon).forall(!_.getBoolean(3)))
   }
 
+  test("pr9 mad: planted fixtures pin type-1 medians, zero-MAD, outliers; brute-force agrees") {
+    val sp = spark; import sp.implicits._
+    // "tpl": 4 docs at 10 + one at 1000 -> med 10, MAD 0, the deviant is
+    // an outlier. "uni": 1..9 -> med 5, MAD 2, no outlier (max dev 4 < 10).
+    // "even": 1,2,3,4 -> type-1 median = 2 (2*cum >= n at len 2), MAD 1.
+    val lens = (Seq.fill(4)(10L) :+ 1000L).map(("tpl", _)) ++
+      (1L to 9L).map(("uni", _)) ++ (1L to 4L).map(("even", _))
+    val out = operators.Profiling.madProfile(lens.toDF("source", "len"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("tpl") === ((5L, 10L, 0L, 1L)))
+    assert(out("uni") === ((9L, 5L, 2L, 0L)))
+    assert(out("even") === ((4L, 2L, 1L, 0L)))
+    // registered path vs a driver-side brute force over the real table
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s((xs.length - 1) / 2)  // type-1 discrete median
+    }
+    val bynSrc = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val reg = q("pr9_mad_profile").collect()
+    assert(reg.map(_.getString(0)).toSet === bynSrc.keySet)
+    reg.foreach { r =>
+      val xs = bynSrc(r.getString(0))
+      val med = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - med)))
+      val k = operators.Profiling.MadK
+      assert(r.getLong(1) === xs.length.toLong, s"${r.getString(0)} n")
+      assert(r.getLong(2) === med, s"${r.getString(0)} med")
+      assert(r.getLong(3) === mad, s"${r.getString(0)} mad")
+      assert(r.getLong(4) === xs.count(x => math.abs(x - med) > k * mad).toLong,
+        s"${r.getString(0)} outliers")
+    }
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

@@ -154,6 +154,20 @@ object Pipelines {
         sum(col("sxy")).as("sxy"),
         sum(col("sx2")).as("sx2"), sum(col("sy2")).as("sy2"))
 
+  /** INCREMENTAL DAILY-VOLUME MAINTENANCE — the fifth member of the merge
+    * family: fold a raw events delta into a stored (day, n_events) table
+    * by keyed addition. Counts are commutative-mergeable, so stored + Δ
+    * equals the full recompute EXACTLY, and the monitoring battery —
+    * pr5's z-test, pr8's EWMA control chart — is read off the maintained
+    * state (calendar-bounded kilobytes) without ever rescanning event
+    * history. An ingest day arriving in many batches folds correctly:
+    * same-day counts add. */
+  def mergeDailyCounts(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(
+        delta.groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_events")))
+      .groupBy(col("day")).agg(sum(col("n_events")).as("n_events"))
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

@@ -272,12 +272,52 @@ object JoinStrategies {
       .orderBy(col("event_id"))
   }
 
+  /** u3's core: the content-level delta between two corpus snapshots —
+    * every doc classified added / removed / changed / unchanged by key
+    * presence and content hash. ONE full-outer hash join on the key plus
+    * a row-local md5 compare; no sort, no window, and the changed-set
+    * output is exactly what an incremental ingest (d9) or re-embed job
+    * consumes downstream. Presence markers, not hash-nullness, decide
+    * added/removed, so null-text docs diff correctly. */
+  private[graft] def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val av = a.select(col("doc_id"), col("source").as("src_a"),
+      md5(col("text")).as("h_a"), lit(1L).as("in_a"))
+    val bv = b.select(col("doc_id"), col("source").as("src_b"),
+      md5(col("text")).as("h_b"), lit(1L).as("in_b"))
+    av.join(bv, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("src_b"), col("src_a")).as("source"),
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(not(col("h_a") <=> col("h_b")), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** U3 — CORPUS SNAPSHOT DIFF: the ingest-regression audit between two
+    * dataset versions. The registered query derives a deterministic v2
+    * from the documents table (drop doc_id%10==3, append " v2" to
+    * %10==7, re-key %10==1 up by 10⁹ as additions) so the gate exercises
+    * all four statuses; production callers hand [[corpusDiff]] two real
+    * snapshot reads. */
+  private val u3: Q = (s, d) => {
+    val v1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text", when(col("doc_id") % 10 === 7,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(v1.filter(col("doc_id") % 10 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+    corpusDiff(v1, v2)
+  }
+
   val queries: Map[String, Q] = Map(
     "j16_salted_join" -> j16,
     "j17_bloom_prune" -> j17,
     "j18_pit_join" -> j18,
     "u1_merge_upsert" -> u1,
-    "u2_scd2_build" -> u2
+    "u2_scd2_build" -> u2,
+    "u3_corpus_diff" -> u3
   )
 
   private val fee = Domain.feeSql
@@ -294,6 +334,23 @@ object JoinStrategies {
       | FROM supplier)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "u3_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        | v2 AS (SELECT doc_id, source,
+        |     CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END AS text
+        |   FROM documents WHERE doc_id % 10 <> 3
+        |   UNION ALL
+        |   SELECT doc_id + 1000000000, source, text FROM documents
+        |   WHERE doc_id % 10 = 1),
+        | j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |     COALESCE(b.source, a.source) AS source,
+        |     md5(a.text) AS h_a, md5(b.text) AS h_b,
+        |     a.doc_id IS NULL AS a_null, b.doc_id IS NULL AS b_null
+        |   FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        | SELECT doc_id, source,
+        |   CASE WHEN a_null THEN 'added' WHEN b_null THEN 'removed'
+        |        WHEN h_a <> h_b THEN 'changed' ELSE 'unchanged' END AS status
+        | FROM j ORDER BY doc_id""".stripMargin,
     // the oracle is the UNSALTED join: salting must be invisible in the result
     "j16_salted_join" ->
       s"""SELECT l.l_orderkey AS stacks_block_height, l.l_linenumber AS vtxindex,

@@ -320,6 +320,48 @@ class JoinShapesSpec extends SparkSpec {
     }
   }
 
+  test("u3 corpus diff: all four statuses on planted snapshots; registered counts law") {
+    val sp = spark; import sp.implicits._
+    val v1 = Seq((1L, "s", "alpha"), (2L, "s", "beta"), (3L, "t", "gamma"))
+      .toDF("doc_id", "source", "text")
+    val v2 = Seq((1L, "s", "alpha"), (2L, "s", "beta CHANGED"), (9L, "t", "new"))
+      .toDF("doc_id", "source", "text")
+    val got = operators.JoinStrategies.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 9L -> "added"))
+    // registered synthetic v2: status counts follow from the id arithmetic
+    val byMod = Tables.documents(spark, sf).groupBy((col("doc_id") % 10).as("m"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = byMod.values.sum
+    val counts = q("u3_corpus_diff").groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("removed") === byMod.getOrElse(3L, 0L))
+    assert(counts("changed") === byMod.getOrElse(7L, 0L))
+    assert(counts("added") === byMod.getOrElse(1L, 0L))
+    assert(counts("unchanged") ===
+      n - byMod.getOrElse(3L, 0L) - byMod.getOrElse(7L, 0L))
+  }
+
+  test("mergeDailyCounts: stored + delta equals the full recompute; pr8 reads off state") {
+    val ev = Tables.events(spark, sf)
+    val split = col("event_id") % 3 === 0
+    val merged = Pipelines.mergeDailyCounts(
+      Pipelines.mergeDailyCounts(
+        spark.emptyDataFrame.select(lit(null).cast("date").as("day"),
+          lit(null).cast("long").as("n_events")).filter(lit(false)),
+        ev.filter(split)),
+      ev.filter(!split))
+    val full = ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+    // the monitoring battery reads the state, not history
+    val viaState = operators.Profiling.ewmaSpikes(merged).collect()
+    val direct = q("pr8_ewma_spike").collect()
+    assert(viaState.map(_.toString).toSeq === direct.map(_.toString).toSeq)
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

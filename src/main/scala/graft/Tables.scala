@@ -21,20 +21,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf — Sessions.local sets
-    * it at construction; the idempotent guard below covers harness-owned
-    * sessions, same pattern as GraftExtensions.ensure) and convert to a
-    * microsecond TIMESTAMP_NTZ (the data is µs-exact; DuckDB sees the same
-    * wall-clock values, keeping oracle comparisons deterministic). */
+  /** events.parquet stores ts as TIMESTAMP(NANOS). How that surfaces
+    * depends on the Spark build: ≤4.0 rejects it unless
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to a raw nanos Long;
+    * 4.1.2 reads it natively as TIMESTAMP_NTZ (µs-truncated) and ignores
+    * the legacy conf. Branch on the dtype the reader actually produced so
+    * both paths yield the same µs-precision TIMESTAMP_NTZ wall-clock values
+    * (the data is µs-exact; DuckDB reads the same file as TIMESTAMP_NS, so
+    * oracle comparisons stay deterministic either way). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     // NB: conf.getOption returns the registered DEFAULT ("false"), so test
-    // the effective value — the table is unreadable without this conf
+    // the effective value — older readers need this conf to read at all
     if (s.conf.get(k, "false") != "true") s.conf.set(k, "true")
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long read: convert nanos → µs NTZ
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampType => // defensive: align to NTZ (session TZ is UTC)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+      case _ => raw // native TIMESTAMP_NTZ read — already µs wall-clock
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

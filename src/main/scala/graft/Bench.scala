@@ -61,21 +61,34 @@ object Bench {
     // slowness (measured: 5.1 s probe after the ANN harness vs 2.0 s
     // steady on the same VM)
     val calibBefore = calibrate(spark)
+    // A query that throws records the sentinel -1, NOT its crash time:
+    // r6's 25 analysis-time crashes each logged ~0.06 s and silently
+    // DEFLATED the suite total, making a broken round look faster than a
+    // green one (VERDICT r6 item 2). Failures are excluded from the total
+    // and surfaced both in a "failed" JSON field and on stderr.
     val results = chosen.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        name -> -1.0
+      }
     }
     val calibAfter = calibrate(spark)
     val calib = math.min(calibBefore, calibAfter)
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED (excluded " +
+        s"from total): ${failed.mkString(",")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val normalized = total * CalibRefSec / calib
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""calib_sec":$calib,"calib_ref_sec":$CalibRefSec,""" +
         s""""total_normalized":$normalized,""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Persist the full record to a repo file too: the round artifact must

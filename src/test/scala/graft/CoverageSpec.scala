@@ -15,35 +15,46 @@ class CoverageSpec extends SparkSpec {
   }
 
   test("a16 approx distinct is within 5% of exact") {
+    // the registered query carries the bound as booleans (oracle-gated);
+    // re-derive the raw-estimate bound here so a vacuous TRUE can't hide
+    // a broken sketch
     val r = q("a16_approx_distinct").head()
-    val (em, am) = (r.getLong(0), r.getLong(1))
-    val (eh, ah) = (r.getLong(2), r.getLong(3))
-    assert(math.abs(am - em).toDouble / em <= 0.05)
-    assert(math.abs(ah - eh).toDouble / eh <= 0.05)
+    val (em, eh) = (r.getLong(0), r.getLong(1))
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    val raw = Domain.commits(spark, sf).agg(
+      approx_count_distinct(col("leader_key_address"), 0.02),
+      approx_count_distinct(col("stacks_block_height"), 0.02)).head()
+    assert(math.abs(raw.getLong(0) - em).toDouble / em <= 0.05)
+    assert(math.abs(raw.getLong(1) - eh).toDouble / eh <= 0.05)
     // the oracle-gated exact half agrees with a16's own exact columns
     val x = q("a16_exact_distinct").head()
     assert((x.getLong(0), x.getLong(1)) === ((em, eh)))
   }
 
   test("a19 sketch rollup: daily error <= 5%, union of dailies == one-pass sketch") {
-    val out = q("a19_sketch_rollup").cache()
-    val badDaily = out.filter(col("day") =!= "ALL")
-      .filter(abs(col("est_users") - col("exact_users")) >
-        col("exact_users").cast("double") * 0.05)
-    assert(badDaily.count() === 0L)
-    val all = out.filter(col("day") === "ALL").head()
-    val (exact, est) = (all.getLong(1), all.getLong(2))
-    assert(math.abs(est - exact).toDouble / exact <= 0.05)
-    // MERGEABILITY: the union of per-day sketches must equal the one-pass
-    // global sketch register for register — same estimate, exactly
-    val direct = Tables.events(spark, sf)
+    // every registered row (daily + ALL) must carry a true est_ok — the
+    // same predicate the oracle pins as TRUE
+    val out = q("a19_sketch_rollup")
+    assert(out.filter(!col("est_ok")).count() === 0L)
+    // MERGEABILITY, on the raw estimates (the registered query only
+    // exposes the bound): the union of per-day sketches must equal the
+    // one-pass global sketch register for register — same estimate, exactly
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val unionEst = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    val direct = ev
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
       .head().getLong(0)
-    assert(est === direct)
+    assert(unionEst === direct)
+    // and the raw global estimate really is within the gated 5% bound
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(direct - exact).toDouble / exact <= 0.05)
     // the exact twin agrees with the raw table
     assert(q("a19_exact_by_day").agg(sum("n_events")).head().getLong(0) ===
       Tables.events(spark, sf).count())
-    out.unpersist()
   }
 
   test("a22 quantile rollup: each p-lo is the target order statistic's bin edge") {

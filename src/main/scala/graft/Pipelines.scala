@@ -168,6 +168,25 @@ object Pipelines {
           .agg(count(lit(1)).as("n_events")))
       .groupBy(col("day")).agg(sum(col("n_events")).as("n_events"))
 
+  /** INCREMENTAL DISTINCT-USER SKETCH MAINTENANCE — the sixth member of
+    * the merge family, and the one that makes a19's "reaggregation
+    * without rescan" INCREMENTAL too: fold a raw events delta into a
+    * stored (day → HLL sketch binary) table. HLL register-max union is
+    * commutative, associative, and idempotent-per-observation, so
+    * stored ⊔ Δ equals the one-pass sketch REGISTER FOR REGISTER (same
+    * estimate, exactly — spec-proven incl. a parquet round-trip of the
+    * binary state), unlike mergeDebuts this never stores per-user rows:
+    * state is one ~kB sketch per day regardless of user cardinality,
+    * which is the 100 TB shape for "distinct users per day/week/all-time"
+    * — any coarser rollup is an hll_union_agg over the maintained rows.
+    * A day arriving in many batches folds correctly: same-day sketches
+    * union. */
+  def mergeUserSketches(stored: DataFrame, delta: DataFrame): DataFrame =
+    stored.unionByName(
+        delta.groupBy(col("ts").cast("date").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      .groupBy(col("day")).agg(hll_union_agg(col("sk")).as("sk"))
+
   /** Small-files COMPACTION: rewrite a parquet directory into files of
     * roughly `targetBytes` each. Every incremental/streaming sink grows a
     * long tail of tiny files (each micro-refresh writes its own), and at

@@ -362,6 +362,40 @@ class JoinShapesSpec extends SparkSpec {
     assert(viaState.map(_.toString).toSeq === direct.map(_.toString).toSeq)
   }
 
+  test("mergeUserSketches: stored + delta == one-pass sketch exactly, through parquet") {
+    val ev = Tables.events(spark, sf)
+    val split = col("event_id") % 3 === 0
+    val empty = spark.emptyDataFrame.select(
+      lit(null).cast("date").as("day"), lit(null).cast("binary").as("sk"))
+      .filter(lit(false))
+    // two-batch fold, with the intermediate state persisted to parquet —
+    // the store must survive its own serialization, not just a lineage
+    val dir = java.nio.file.Files.createTempDirectory("sketchstate").toString
+    Pipelines.mergeUserSketches(empty, ev.filter(split))
+      .write.mode("overwrite").parquet(dir)
+    val merged = Pipelines.mergeUserSketches(
+      spark.read.parquet(dir), ev.filter(!split))
+    // register-for-register: per-day estimates equal the one-pass sketch
+    val viaState = merged.select(col("day"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val onePass = ev.groupBy(col("ts").cast("date").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    assert(viaState.exceptAll(onePass).count() === 0L)
+    assert(onePass.exceptAll(viaState).count() === 0L)
+    // same-day re-fold is a union, not a double count: folding batch A
+    // twice changes nothing (HLL observation idempotence)
+    val refold = Pipelines.mergeUserSketches(merged, ev.filter(split))
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+    assert(refold.exceptAll(viaState).count() === 0L)
+    // any coarser rollup reads off the maintained state: the all-time
+    // estimate from unioning daily state rows equals the direct sketch
+    val allTime = merged.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+    assert(allTime === direct)
+  }
+
   test("a17 pivot cells sum to the per-type event counts") {
     val out = q("a17_event_pivot")
     val byType = Tables.events(spark, sf)

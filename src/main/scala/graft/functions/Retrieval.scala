@@ -182,11 +182,63 @@ object Retrieval {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** tx16's needles (p3/w7 convention — two gated parameterizations of the
+    * same core). Both CROSS WORD BOUNDARIES, which is the case word-grain
+    * search (tx13) cannot answer and LIKE '%…%' at corpus scale answers
+    * only by scanning every byte. Non-empty at every test scale. */
+  private[graft] val Needle = "stream spark"
+  private[graft] val Needle2 = "slow small filter"
+
+  /** TX16 — TRIGRAM-INDEX SUBSTRING SEARCH (the pg_trgm plan): find every
+    * document containing an arbitrary substring, with occurrence counts,
+    * WITHOUT the full-corpus substring scan a LIKE '%needle%' implies.
+    *
+    * Shape: each document row-locally generates its character trigrams,
+    * dedups, and keeps only the needle's trigrams — so the one shuffle
+    * carries ≤ |trigrams(needle)| rows per CANDIDATE document, and
+    * documents sharing no trigram with the needle contribute NOTHING. A
+    * candidate must contain ALL needle trigrams (count == n), then the
+    * exact occurrence count runs on candidates only — trigram containment
+    * is necessary but not sufficient (the grams can all be present
+    * without being contiguous), so the verify step is what makes the
+    * result exact, and the prefilter is what makes it cheap. At 100 TB
+    * the trigram postings table is PERSISTED once (gram → doc, the
+    * inverted index) and each query probes only its own grams; this plan
+    * fuses build+probe with the probe's pruning applied at build time —
+    * same single-shuffle economics as tx8/tx13. */
+  private[graft] def substringSearch(docs: DataFrame, needle: String): DataFrame = {
+    require(needle.length >= 3, "trigram search needs a needle of >= 3 chars")
+    val grams = needle.sliding(3).toSeq.distinct
+    val post = docs
+      .select(col("doc_id"),
+        explode(array_distinct(filter(
+          when(length(col("text")) >= 3,
+            expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .otherwise(array().cast("array<string>")),
+          g => g.isin(grams: _*)))).as("gram"))
+    val cand = post.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === lit(grams.size.toLong))
+      .select(col("doc_id"))
+    docs.join(cand, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        call_function("div",
+          length(col("text")) - length(replace(col("text"), lit(needle), lit(""))),
+          lit(needle.length.toLong)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx16: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle)
+  private val tx16b: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle2)
+
   val queries: Map[String, Q] = Map(
     "tx8_bm25" -> bm25(QueryTerms),
     "tx8_bm25_rare" -> bm25(RareTerms),
     "tx9_tfidf_pairs" -> tx9,
-    "tx10_keywords" -> tx10)
+    "tx10_keywords" -> tx10,
+    "tx16_substring" -> tx16,
+    "tx16_substring3w" -> tx16b)
 
   def bm25Sql(queryTerms: Seq[String]): String = {
     val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
@@ -247,9 +299,22 @@ object Retrieval {
        | SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tw
        | FROM ranked WHERE rank <= $TopTerms ORDER BY doc_id, rank""".stripMargin
 
+  /** tx16's oracle — generated from the same needle constant as the Spark
+    * side (the tx13 convention), stated as the DIRECT definition (contains
+    * + replace-count) so the gate proves the index plan answers exactly
+    * the naive LIKE question. Needles are word chars + spaces — no SQL or
+    * regex escaping hazard. */
+  private def substringSql(needle: String): String =
+    s"""SELECT doc_id,
+       |   CAST((length(text) - length(replace(text, '$needle', ''))) // ${needle.length} AS BIGINT)
+       |     AS n_occurrences
+       | FROM documents WHERE contains(text, '$needle') ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tx8_bm25" -> bm25Sql(QueryTerms),
     "tx8_bm25_rare" -> bm25Sql(RareTerms),
     "tx9_tfidf_pairs" -> tx9Sql,
-    "tx10_keywords" -> tx10Sql)
+    "tx10_keywords" -> tx10Sql,
+    "tx16_substring" -> substringSql(Needle),
+    "tx16_substring3w" -> substringSql(Needle2))
 }

@@ -850,6 +850,45 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("tx16 substring search equals the direct contains scan for both needles") {
+    for ((name, needle) <- Seq(
+        "tx16_substring" -> functions.Retrieval.Needle,
+        "tx16_substring3w" -> functions.Retrieval.Needle2)) {
+      // direct definition: no trigrams, no candidate pruning
+      val direct = Tables.documents(spark, sf)
+        .filter(instr(col("text"), needle) > 0)
+        .select(col("doc_id"),
+          ((length(col("text")) - length(replace(col("text"), lit(needle), lit(""))))
+            / needle.length).cast("long").as("m"))
+      val out = q(name)
+      assert(out.count() === direct.count(), s"$name doc count")
+      assert(out.count() > 0L, s"$name non-empty at test scale")
+      assert(out.join(direct, Seq("doc_id"))
+        .filter(col("n_occurrences") =!= col("m")).count() === 0L, s"$name counts")
+    }
+  }
+
+  test("tx16: trigram prefilter admits an all-grams-no-needle doc; verify rejects it") {
+    val sp = spark
+    import sp.implicits._
+    // "sparkle stream spam" contains every trigram of "stream spark"
+    // (str,tre,rea,eam,'am ','m s',' sp',spa,par,ark) but not the needle
+    // itself — the candidate set MUST admit it (necessity) and the exact
+    // verify MUST reject it (sufficiency).
+    val needle = functions.Retrieval.Needle
+    val planted = Seq(
+      (1L, "sparkle stream spam"),       // false positive: all grams, no needle
+      (2L, s"xx $needle yy $needle zz"), // two true occurrences
+      (3L, "no shared content here"),    // shares no full gram set
+      (4L, "ab")                         // shorter than one trigram
+    ).toDF("doc_id", "text")
+    val out = functions.Retrieval.substringSearch(planted, needle).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 2L)))
+    // necessity, explicitly: doc 1 really does contain every needle gram
+    val grams = needle.sliding(3).toSeq.distinct
+    assert(grams.forall("sparkle stream spam".contains(_)))
+  }
+
   test("px19 curriculum: deciles bounded, monotone in length, defining equation holds") {
     val out = q("px19_curriculum").cache()
     assert(out.filter(col("decile") < 0L || col("decile") > 9L).count() === 0L)

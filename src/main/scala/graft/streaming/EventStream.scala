@@ -435,6 +435,26 @@ object EventStream {
     applyMergeBatch(batch, storeDir, batchId, LeaderboardSchema,
       graft.Pipelines.mergeLeaderboard)
 
+  private[graft] val SketchSchema = "day DATE, sk BINARY"
+
+  /** CONTINUOUS DISTINCT-USER SKETCH STORE — Pipelines.mergeUserSketches
+    * as a foreachBatch sink (the sketch member of the mergeRefresh
+    * family): each micro-batch of events folds into the per-day HLL
+    * store by register-max union, so "distinct users per day / week /
+    * all-time" is always answerable from ~kB/day of state without
+    * rescanning event history. Same versioned/idempotent/replay-safe
+    * contract as the leaderboard loop; HLL observation idempotence means
+    * even a NON-versioned replay would only be wrong by zero here, but
+    * versioning still guards the store against torn writes. */
+  def sketchRefresh(events: DataFrame, storeDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    mergeRefresh(events, storeDir, checkpointDir, SketchSchema,
+      graft.Pipelines.mergeUserSketches, trigger)
+
+  /** Current per-day sketch store (estimate via hll_sketch_estimate). */
+  def currentSketches(s: SparkSession, storeDir: String): DataFrame =
+    currentStore(s, storeDir, SketchSchema)
+
   /** CONTINUOUS NEAR-DUP INGEST — [[graft.operators.Dedup.dedupeIncremental]]
     * as a streaming stage: each micro-batch of documents is admitted
     * against the persisted LSH band index, accepted docs land in

@@ -424,6 +424,33 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sketch store: micro-batches fold to the one-pass distinct estimates") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sk").toString
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = EventStream.sketchRefresh(
+      ms.toDF.toDF("ts", "user_id"), s"$dir/store", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // day 1 split across both batches (same-day sketches must union),
+      // user 10 on both days (distinct is per-day, not global)
+      ms.addData((ts(1, 9), 10L), (ts(1, 10), 11L), (ts(2, 9), 10L))
+      q.processAllAvailable()
+      ms.addData((ts(1, 11), 12L), (ts(1, 12), 10L), (ts(2, 10), 20L))
+      q.processAllAvailable()
+      val est = EventStream.currentSketches(spark, s"$dir/store")
+        .select(col("day"), hll_sketch_estimate(col("sk")).as("est"))
+        .orderBy(col("day")).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+      // one-pass truth: day 1 has users {10,11,12}, day 2 has {10,20};
+      // HLL is exact at these cardinalities
+      assert(est === Seq(("2024-03-01", 3L), ("2024-03-02", 2L)))
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

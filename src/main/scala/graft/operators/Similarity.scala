@@ -59,7 +59,7 @@ object Similarity {
 
   /** Vectors with their norm precomputed once (row-local) — per-candidate
     * work in the knn joins is then a single dot product. */
-  private def vecs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.ensure(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
@@ -193,19 +193,50 @@ object Similarity {
     * form). Lexicographic struct comparison ≡ ORDER BY cos DESC, cell_id
     * ASC, so the DuckDB oracle's row_number form picks the identical
     * cell. */
-  private[operators] def ivfCands(v: DataFrame, cells: Seq[(Long, Seq[Double])],
-                                  nprobe: Int = 1): DataFrame = {
-    // centroid norms driver-side, same ascending-index fold as the oracle
-    val withNorm = cells.map { case (id, cv) =>
-      (id, cv, math.sqrt(cv.map(x => x * x).sum)) }
-    def score(c: (Long, Seq[Double], Double)): Column =
-      struct(
-        (dot(col("v"), typedlit(c._2)) / (col("norm") * lit(c._3))).as("cos"),
-        lit(-c._1).as("neg_id"))
-    val assigned = v
-      .withColumn("best", greatest(withNorm.map(score): _*))
+  private def cellNorms(cells: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double], Double)] =
+    cells.map { case (id, cv) => (id, cv, math.sqrt(cv.map(x => x * x).sum)) }
+
+  private def cellScore(c: (Long, Seq[Double], Double)): Column =
+    struct(
+      (dot(col("v"), typedlit(c._2)) / (col("norm") * lit(c._3))).as("cos"),
+      lit(-c._1).as("neg_id"))
+
+  /** The IVF index POSTINGS relation: every vector with its assigned cell
+    * — the thing a production build PERSISTS. Assignment is row-local
+    * (statically-unrolled argmax over the broadcast codebook), which is
+    * what makes the index incrementally maintainable: admitting a batch
+    * of new vectors ([[appendIndex]]) assigns ONLY the batch against the
+    * same codebook and appends — no rebuild, no rescan, and incremental ≡
+    * one-shot exactly (spec-proven), the ANN twin of d9's band-index
+    * admit. */
+  private[graft] def assignCells(v: DataFrame,
+                                     cells: Seq[(Long, Seq[Double])]): DataFrame =
+    v.withColumn("best", greatest(cellNorms(cells).map(cellScore): _*))
       .select(col("vec_id"), col("v"), col("norm"),
         (-col("best.neg_id")).as("cell_id"))
+
+  /** Admit a delta of vectors into a stored IVF postings table: assign the
+    * delta row-locally with the SAME broadcast codebook and append.
+    * Vector rows are immutable observations, so the merge is a union —
+    * re-admitting an id is the caller's dedup concern (d9's admit shows
+    * the anti-join shape if needed). */
+  private[graft] def appendIndex(stored: DataFrame, delta: DataFrame,
+                                     cells: Seq[(Long, Seq[Double])]): DataFrame =
+    stored.unionByName(assignCells(delta, cells))
+
+  private[graft] def ivfCands(v: DataFrame, cells: Seq[(Long, Seq[Double])],
+                                  nprobe: Int = 1): DataFrame =
+    ivfCandsFrom(assignCells(v, cells), v, cells, nprobe)
+
+  /** IVF candidate generation over an EXISTING postings relation (the
+    * persisted-index read path; [[ivfCands]] fuses build+probe for the
+    * registered one-shot queries). */
+  private[graft] def ivfCandsFrom(assigned: DataFrame, v: DataFrame,
+                                      cells: Seq[(Long, Seq[Double])],
+                                      nprobe: Int = 1): DataFrame = {
+    // centroid norms driver-side, same ascending-index fold as the oracle
+    val withNorm = cellNorms(cells)
+    def score(c: (Long, Seq[Double], Double)): Column = cellScore(c)
     // query side (5 rows): sort the k scores ascending, take the nprobe
     // tail — same total order as the assignment argmax
     val q = v.filter(col("vec_id") < 5)
@@ -226,7 +257,7 @@ object Similarity {
     * memoized per (dir, mtime) like the trained codebook. */
   private val fixedCb =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Long, Seq[Double])]]()
-  private def fixedCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
+  private[graft] def fixedCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Double])] = {
     val fp = new java.io.File(s"$d/embeddings.parquet").lastModified
     fixedCb.computeIfAbsent((d, fp), { _ =>
       vecs(s, d).filter(col("vec_id") < NCells)

@@ -362,6 +362,29 @@ class DedupSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+  test("IVF index admits a delta incrementally: append == one-shot, probe path identical") {
+    // the 100 TB maintenance shape: new vectors assign row-locally against
+    // the SAME broadcast codebook and append to the persisted postings —
+    // no rebuild, no rescan (the ANN twin of d9's band-index admit)
+    val cb = operators.Similarity.fixedCodebook(spark, sf)
+    val v = operators.Similarity.vecs(spark, sf)
+    val half = col("vec_id") % 2 === 0
+    val incremental = operators.Similarity.appendIndex(
+      operators.Similarity.assignCells(v.filter(half), cb), v.filter(!half), cb)
+    val oneShot = operators.Similarity.assignCells(v, cb)
+    val ia = incremental.select(col("vec_id"), col("cell_id"))
+    val oa = oneShot.select(col("vec_id"), col("cell_id"))
+    assert(ia.exceptAll(oa).count() === 0L && oa.exceptAll(ia).count() === 0L)
+    // the probe path over the incrementally built postings yields exactly
+    // the one-shot candidate set
+    val fromIncr = operators.Similarity.ivfCandsFrom(incremental, v, cb)
+      .select(col("q_id"), col("vec_id"), col("cell_id"))
+    val direct = operators.Similarity.ivfCands(v, cb)
+      .select(col("q_id"), col("vec_id"), col("cell_id"))
+    assert(fromIncr.exceptAll(direct).count() === 0L &&
+      direct.exceptAll(fromIncr).count() === 0L)
+  }
+
   test("x1 brute-force top-k: k rows per query, contiguous ranks, cos in [-1,1]") {
     val df = q("x1_knn_bruteforce")
     val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

@@ -426,6 +426,41 @@ object Aggregations {
       .orderBy(col("day"))
   }
 
+  /** A25 — SLIDING DISTINCT USERS OFF SKETCH STATE: a24's question
+    * answered from the mergeUserSketches store instead of the facts.
+    * The per-day HLL sketches (the maintained state, ~kB/day) explode to
+    * the ≤7 report days they feed (a23's trick at sketch grain) and a
+    * register-max union per report day gives the trailing estimate — the
+    * WINDOW computation runs entirely on state, never on facts: at
+    * 100 TB that is kilobytes unioned per day versus a24's one (linear,
+    * but still fact-grain) dedup-explode pass, and it composes with the
+    * incrementally-maintained store (new days fold in; old days never
+    * re-read). Output gates the exact trailing count plus the
+    * estimator's ≤5% contract (the a16/a19 oracle convention); the raw
+    * estimate-vs-exact agreement is re-asserted in spec. */
+  private val a25: Q = (s, d) => {
+    val days = evDays(s, d).select(col("day")).distinct()
+    val est = evDays(s, d).groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("sk"))
+      .select(date_add(col("day"), col("k")).as("day"), col("sk"))
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = evDays(s, d).distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("k"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .distinct()
+      .join(broadcast(days), Seq("day"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("mau_7d"))
+    exact.join(est, Seq("day"))
+      .select(col("day"), col("mau_7d"),
+        (abs(col("est") - col("mau_7d")) <=
+          col("mau_7d").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("day"))
+  }
+
   /** a22's oracle at geometry (binWidth, maxBin) — generated from the
     * same constants as the Spark side. */
   private def a22Sql(binWidth: Long, maxBin: Long): String =
@@ -517,6 +552,7 @@ object Aggregations {
     "a22b_quantile_fine" -> a22b,
     "a23_rolling_quantiles" -> a23,
     "a24_sliding_mau" -> a24,
+    "a25_sliding_mau_sketch" -> a25,
     "a18_event_cube" -> a18,
     "a17_event_pivot" -> a17,
     "a15_salted_leaderboard" -> a15,
@@ -572,6 +608,17 @@ object Aggregations {
         | a AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1)
         | SELECT a.day, a.dau, m.mau_7d FROM a JOIN m ON a.day = m.day
         | ORDER BY a.day""".stripMargin,
+    // a25: the oracle recomputes the exact trailing count and pins the
+    // sketch estimator's bound TRUE (the a16/a19 convention — the Spark
+    // side derives the boolean from its own HLL union over state).
+    "a25_sliding_mau_sketch" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | days AS (SELECT DISTINCT day FROM ud),
+        | c AS (SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS day
+        |   FROM ud, (SELECT unnest(range(7)) AS k) o),
+        | m AS (SELECT c.day, count(*) AS mau_7d
+        |   FROM c SEMI JOIN days d ON c.day = d.day GROUP BY 1)
+        | SELECT day, mau_7d, TRUE AS est_ok FROM m ORDER BY day""".stripMargin,
     "a22_quantile_rollup" -> a22Sql(QBinWidth, QMaxBin),
     "a22b_quantile_fine" -> a22Sql(100L, 1000L),
     "a23_rolling_quantiles" ->

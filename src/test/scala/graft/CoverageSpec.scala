@@ -57,6 +57,38 @@ class CoverageSpec extends SparkSpec {
       Tables.events(spark, sf).count())
   }
 
+  test("a25 sketch-window MAU: exact column equals a24, bound holds, raw est within 5%") {
+    val out = q("a25_sliding_mau_sketch").cache()
+    assert(out.filter(!col("est_ok")).count() === 0L)
+    // the exact trailing count must be a24's, row for row
+    val a24m = q("a24_sliding_mau").select(col("day"), col("mau_7d"))
+    assert(out.select(col("day"), col("mau_7d")).exceptAll(a24m).count() === 0L)
+    assert(a24m.exceptAll(out.select(col("day"), col("mau_7d"))).count() === 0L)
+    // re-derive the raw window estimates (the registered query only
+    // exposes the bound) and check them against exact directly — and
+    // through the MERGED store, proving the window read composes with
+    // incremental maintenance
+    val ev = Tables.events(spark, sf)
+    val split = col("event_id") % 2 === 0
+    val empty = spark.emptyDataFrame.select(
+      lit(null).cast("date").as("day"), lit(null).cast("binary").as("sk"))
+      .filter(lit(false))
+    val state = Pipelines.mergeUserSketches(
+      Pipelines.mergeUserSketches(empty, ev.filter(split)), ev.filter(!split))
+    val days = state.select(col("day")).distinct()
+    val est = state
+      .select(explode(sequence(lit(0), lit(6))).as("k"), col("day"), col("sk"))
+      .select(date_add(col("day"), col("k")).as("day"), col("sk"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val bad = est.join(a24m, Seq("day"))
+      .filter(abs(col("est") - col("mau_7d")) >
+        col("mau_7d").cast("double") * 0.05)
+    assert(bad.count() === 0L)
+    out.unpersist()
+  }
+
   test("a22 quantile rollup: each p-lo is the target order statistic's bin edge") {
     val out = q("a22_quantile_rollup").collect()
       .map(r => r.getString(0) ->

@@ -461,6 +461,29 @@ object Aggregations {
       .orderBy(col("day"))
   }
 
+  /** a20-family oracle — one generator for the unbounded and bounded
+    * funnels (bound in hours), so the three gated instances cannot drift
+    * from each other or from the Spark-side constants. */
+  private def funnelSql(hours: Option[Int]): String = {
+    val clickBp = graft.functions.ExactRatio.scaledSql("n_click", "n_view", 10000L)
+    val purchaseBp = graft.functions.ExactRatio.scaledSql("n_purchase", "n_view", 10000L)
+    def cap(t0: String) =
+      hours.map(h => s" AND e.ts <= $t0 + INTERVAL '$h hours'").getOrElse("")
+    s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+       |   WHERE event_type = 'view' GROUP BY 1),
+       | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+       |   JOIN v ON e.user_id = v.user_id
+       |   WHERE e.event_type = 'click' AND e.ts >= v.t_view${cap("v.t_view")} GROUP BY 1),
+       | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+       |   JOIN c ON e.user_id = c.user_id
+       |   WHERE e.event_type = 'purchase' AND e.ts >= c.t_click${cap("c.t_click")} GROUP BY 1),
+       | k AS (SELECT (SELECT count(*) FROM v) AS n_view,
+       |   (SELECT count(*) FROM c) AS n_click,
+       |   (SELECT count(*) FROM p) AS n_purchase)
+       | SELECT n_view, n_click, n_purchase,
+       |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
+  }
+
   /** a22's oracle at geometry (binWidth, maxBin) — generated from the
     * same constants as the Spark side. */
   private def a22Sql(binWidth: Long, maxBin: Long): String =
@@ -522,6 +545,47 @@ object Aggregations {
         .as("purchase_bp"))
   }
 
+  /** a20b/a20c's conversion windows (hours) — the p3/w7 two-instance
+    * convention over the SAME bounded-funnel core. */
+  private[graft] val FunnelH1 = 24
+  private[graft] val FunnelH2 = 1
+
+  /** A20b/c — TIME-BOUNDED FUNNEL: a20 with an attribution window — step
+    * k counts only within `hours` of step k−1's completion (the semantics
+    * real conversion reporting uses: a purchase a week after the click is
+    * not attributed to it). Same single-Exchange shape as a20 — the
+    * bound is an extra row-local predicate inside each conditional
+    * window minimum, so the plan is UNCHANGED: one shuffle on user_id
+    * feeding three WindowExecs. Interval arithmetic is µs-exact on both
+    * engines (TIMESTAMP_NTZ + INTERVAL), so the oracle gates exact
+    * counts and basis points. */
+  private def funnelBounded(hours: Int): Q = (s, d) => {
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    def within(t0: org.apache.spark.sql.Column) =
+      col("ts") >= t0 && col("ts") <= t0 + expr(s"INTERVAL $hours HOURS")
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && within(col("t_view")),
+          col("ts"))).over(byUser))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && within(col("t_click")),
+          col("ts"))).over(byUser))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .distinct()
+    val counts = perUser.agg(count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_click"),
+      count(col("t_purchase")).as("n_purchase"))
+    counts.select(col("n_view"), col("n_click"), col("n_purchase"),
+      graft.functions.ExactRatio.scaled(col("n_click"), col("n_view"), 10000L)
+        .as("click_bp"),
+      graft.functions.ExactRatio.scaled(col("n_purchase"), col("n_view"), 10000L)
+        .as("purchase_bp"))
+  }
+
   /** A21 — RETENTION COHORTS: users grouped by first-active day (the
     * cohort), counted on each subsequent active day as a (cohort_day,
     * day_offset) matrix — the retention curve every behavioral pipeline
@@ -546,6 +610,8 @@ object Aggregations {
   val queries: Map[String, Q] = Map(
     "a21_retention_cohorts" -> a21,
     "a20_funnel" -> a20,
+    "a20b_funnel_24h" -> funnelBounded(FunnelH1),
+    "a20c_funnel_1h" -> funnelBounded(FunnelH2),
     "a19_exact_by_day" -> a19x,
     "a19_sketch_rollup" -> a19,
     "a22_quantile_rollup" -> a22,
@@ -581,23 +647,9 @@ object Aggregations {
         |   count(*) AS n_users
         | FROM bd JOIN c ON bd.user_id = c.user_id
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "a20_funnel" -> {
-      val clickBp = graft.functions.ExactRatio.scaledSql("n_click", "n_view", 10000L)
-      val purchaseBp = graft.functions.ExactRatio.scaledSql("n_purchase", "n_view", 10000L)
-      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-         |   WHERE event_type = 'view' GROUP BY 1),
-         | c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
-         |   JOIN v ON e.user_id = v.user_id
-         |   WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
-         | p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
-         |   JOIN c ON e.user_id = c.user_id
-         |   WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1),
-         | k AS (SELECT (SELECT count(*) FROM v) AS n_view,
-         |   (SELECT count(*) FROM c) AS n_click,
-         |   (SELECT count(*) FROM p) AS n_purchase)
-         | SELECT n_view, n_click, n_purchase,
-         |   $clickBp AS click_bp, $purchaseBp AS purchase_bp FROM k""".stripMargin
-    },
+    "a20_funnel" -> funnelSql(None),
+    "a20b_funnel_24h" -> funnelSql(Some(FunnelH1)),
+    "a20c_funnel_1h" -> funnelSql(Some(FunnelH2)),
     "a24_sliding_mau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         | days AS (SELECT DISTINCT day FROM ud),

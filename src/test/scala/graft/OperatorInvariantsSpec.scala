@@ -124,6 +124,22 @@ class FunnelSpec extends SparkSpec {
     assert(r.getLong(3) === bp(nC, nV))
     assert(r.getLong(4) === bp(nP, nV))
   }
+
+  test("a20b/c bounded funnels: tighter windows never convert more; n_view invariant") {
+    val un = q("a20_funnel").head()
+    val h24 = q("a20b_funnel_24h").head()
+    val h1 = q("a20c_funnel_1h").head()
+    // stage 1 has no predecessor — the bound cannot change who enters
+    assert(un.getLong(0) === h24.getLong(0) && h24.getLong(0) === h1.getLong(0))
+    // each later stage is monotone in the window: 1h ≤ 24h ≤ unbounded
+    for (i <- 1 to 2) {
+      assert(h24.getLong(i) <= un.getLong(i), s"stage $i 24h vs unbounded")
+      assert(h1.getLong(i) <= h24.getLong(i), s"stage $i 1h vs 24h")
+    }
+    // the bound must BITE at test scale for the parameterization to mean
+    // anything: the 1h funnel converts strictly fewer than unbounded
+    assert(h1.getLong(2) < un.getLong(2))
+  }
 }
 
 class WindowsSpec extends SparkSpec {

@@ -521,6 +521,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** PX22 — EVAL-SCRUB, the REMOVAL px17's detection implies, in the
+    * direction that protects the benchmark: drop from TRAIN every
+    * document that CONTAINS a test/eval item (containment measured
+    * against the TEST doc's shingle count, px17's asymmetric score — a
+    * 50-token benchmark item verbatim inside a 5000-token train doc is
+    * exactly the leak this removes and Jaccard dilutes to ~1%). Output
+    * is the per-train verdict (hits + kept flag), so the clean training
+    * set is the `kept` filter — the composition a pretraining build runs
+    * between quality gating and packing. Same shingle-grain economics as
+    * px17: pairs exist only where a shingle is shared, never doc×doc. */
+  private[graft] def evalScrub(docs: DataFrame): DataFrame = {
+    // same checkpoint rationale as containment(): the shingle frame feeds
+    // a Generate on both join sides
+    val ds = docShinglesOf(docs).localCheckpoint(true)
+    val test = ds.filter(col("doc_id") % 10 === 7)
+    val train = ds.filter(col("doc_id") % 10 =!= 7)
+    val testSh = test.select(col("doc_id").as("test_id"),
+      size(col("shingles")).cast("long").as("t_n"),
+      explode(col("shingles")).as("sh"))
+    val trainSh = train.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hits = trainSh.join(testSh, Seq("sh"))
+      .groupBy(col("doc_id"), col("test_id"), col("t_n"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(graft.functions.ExactRatio.scaled(
+        col("n_shared"), col("t_n"), 10000L) >= ContainMinBp)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_hits"))
+    train.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("kept", col("n_eval_hits") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val px22: Q = (s, d) => evalScrub(Tables.documents(s, d))
+
   /** d10's near-dup flag rule, as a PURE INTEGER inequality: a pair is a
     * near-dup iff dist·10000 ≤ 2000·maxLen (edit similarity ≥ 80%, no
     * rounding anywhere near the decision boundary). */
@@ -756,6 +792,7 @@ object Dedup {
     "d7_embedding_clusters" -> d7,
     "d8_simhash_clusters" -> d8,
     "px4_decontaminate" -> px4,
+    "px22_eval_scrub" -> px22,
     "px17_containment" -> px17,
     "px18_cdc_chunks" -> px18
   )
@@ -941,6 +978,24 @@ object Dedup {
          |   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |   coalesce(h.n_contaminated, 0) > 0 AS contaminated
          | FROM test t LEFT JOIN hits h ON t.doc_id = h.doc_id ORDER BY t.doc_id""".stripMargin,
+    "px22_eval_scrub" ->
+      s"""WITH ds AS ($docShinglesSql),
+         | test AS (SELECT doc_id AS test_id, shingles FROM ds WHERE doc_id % 10 = 7),
+         | test_sh AS (SELECT test_id, CAST(len(shingles) AS BIGINT) AS t_n,
+         |     unnest(shingles) AS sh FROM test),
+         | train AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 <> 7),
+         | train_sh AS (SELECT doc_id, unnest(shingles) AS sh FROM train),
+         | pairs AS (SELECT r.doc_id, t.test_id, max(t.t_n) AS t_n,
+         |     count(*) AS n_shared
+         |   FROM train_sh r JOIN test_sh t USING (sh) GROUP BY 1, 2),
+         | bad AS (SELECT doc_id, count(*) AS n_eval_hits FROM pairs
+         |   WHERE ${graft.functions.ExactRatio.scaledSql("n_shared", "t_n", 10000L)}
+         |     >= $ContainMinBp GROUP BY 1)
+         | SELECT tr.doc_id, CAST(len(tr.shingles) AS BIGINT) AS n_shingles,
+         |   CAST(coalesce(b.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+         |   coalesce(b.n_eval_hits, 0) = 0 AS kept
+         | FROM train tr LEFT JOIN bad b ON tr.doc_id = b.doc_id
+         | ORDER BY tr.doc_id""".stripMargin,
     "px17_containment" ->
       s"""WITH ds AS ($docShinglesSql),
          | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),

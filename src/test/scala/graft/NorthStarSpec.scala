@@ -226,6 +226,44 @@ class DedupSpec extends SparkSpec {
     assert(!out(7L).getBoolean(4))
   }
 
+  test("px22 eval-scrub covers the train split; kept iff no hits; px17 cross-law") {
+    val out = q("px22_eval_scrub").cache()
+    val expect = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 =!= 7).count()
+    assert(out.count() === expect)
+    assert(out.filter(col("kept") =!= (col("n_eval_hits") === 0L)).count() === 0L)
+    // cross-law with px17: every contaminated test doc's argmax train
+    // partner contains it at >= threshold, so that train doc is scrubbed
+    val scrubbed = out.filter(!col("kept"))
+      .select(col("doc_id").as("best_train_id"))
+    val missing = q("px17_containment")
+      .filter(col("contaminated") && col("best_train_id") =!= -1L)
+      .select(col("best_train_id"))
+      .join(scrubbed, Seq("best_train_id"), "left_anti")
+    assert(missing.count() === 0L)
+    out.unpersist()
+  }
+
+  test("px22 planted fixture: the containing train doc is scrubbed, others kept") {
+    val sp = spark; import sp.implicits._
+    // same geometry as the px17 fixture, seen from the train side: doc 1
+    // contains test doc 17 verbatim (scrubbed); docs 2 and 10 share
+    // nothing with any test doc (kept)
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val hay = needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, hay), (2L, (1 to 30).map(i => s"y$i").mkString(" ")),
+      (10L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      (17L, needle), (7L, "q1 q2 q3 q4 q5"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.evalScrub(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 10L)) // train side only
+    assert(out(1L).getLong(2) === 1L && !out(1L).getBoolean(3))
+    assert(out(2L).getLong(2) === 0L && out(2L).getBoolean(3))
+    assert(out(10L).getLong(2) === 0L && out(10L).getBoolean(3))
+  }
+
   test("px18 CDC chunks tile each doc verbatim and respect the boundary rule") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)

@@ -77,6 +77,38 @@ object TextQueries {
         qualityBp.as("quality_bp"))
       .orderBy(col("doc_id"))
 
+  /** px23's draw geometry: 4 hex digits of a salted md5 → u ∈ [0, 2¹⁶). */
+  private[graft] val DrawScale = 65536L
+  private[graft] val DrawSalt = "px23:"
+
+  /** Spark-side 4-hex-digit draw over md5(salt ‖ doc_id) — instr
+    * arithmetic so the DuckDB oracle mirrors it digit for digit. */
+  private def draw4(salt: String): Column = {
+    def dig(pos: Int) = expr(
+      s"instr('0123456789abcdef', substring(md5(concat('$salt', " +
+        s"cast(doc_id as string))), $pos, 1)) - 1")
+    lit(4096L) * dig(1) + lit(256L) * dig(2) + lit(16L) * dig(3) + dig(4)
+  }
+
+  /** PX23 — QUALITY-PROPORTIONAL SAMPLING (the soft quality filter):
+    * keep each document with probability quality_bp/10⁴ — the middle
+    * ground between px1's hard gate (a threshold discards the
+    * mid-quality mass entirely) and keeping everything: retention
+    * follows the quality gradient, so the kept corpus is quality-tilted
+    * without a cliff. The draw u is 4 hex digits of md5(salt ‖ doc_id);
+    * keep iff u·10⁴ < quality_bp·2¹⁶ — pure integer cross-
+    * multiplication, deterministic, reproducible, ingestion-order-
+    * independent, and identical on both engines. Row-local end to end:
+    * no shuffle at any corpus size. Laws: quality 10⁴ is always kept,
+    * quality 0 never (spec re-derives every draw with MessageDigest). */
+  private val px23: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), qualityBp.as("quality_bp"),
+        draw4(DrawSalt).cast("long").as("u"))
+      .withColumn("kept", col("u") * lit(10000L) < col("quality_bp") * lit(DrawScale))
+      .orderBy(col("doc_id"))
+
   /** TX3 — language ID: argmax of per-language stopword hits with a fixed
     * priority tie-break; scored against the labeled `lang` column. */
   private val tx3: Q = (s, d) => {
@@ -881,6 +913,7 @@ object TextQueries {
     "px5_canonical_prep" -> px5,
     "px2_stratified_sample" -> px2,
     "px3_token_budget" -> px3,
+    "px23_weighted_sample" -> px23,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
     "tx4_fingerprint" -> tx4
@@ -1195,6 +1228,18 @@ object TextQueries {
          |   ${ExactRatio.scaledSql("s", "n", 10000L)} AS stopword_bp,
          |   $qualityBpSql AS quality_bp
          | FROM m ORDER BY doc_id""".stripMargin,
+    "px23_weighted_sample" -> {
+      def dig(pos: Int) =
+        s"(instr('0123456789abcdef', substring(md5('$DrawSalt' || " +
+          s"CAST(doc_id AS VARCHAR)), $pos, 1)) - 1)"
+      s"""WITH m AS (${qfSql()}),
+         | q AS (SELECT doc_id, $qualityBpSql AS quality_bp FROM m),
+         | u AS (SELECT doc_id, CAST(4096 * ${dig(1)} + 256 * ${dig(2)} +
+         |     16 * ${dig(3)} + ${dig(4)} AS BIGINT) AS u FROM documents)
+         | SELECT q.doc_id, q.quality_bp, u.u,
+         |   u.u * 10000 < q.quality_bp * $DrawScale AS kept
+         | FROM q JOIN u ON q.doc_id = u.doc_id ORDER BY q.doc_id""".stripMargin
+    },
     "tx3_langid" ->
       s"""WITH c AS (SELECT doc_id, lang,
          |   ${stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS c_$l" }.mkString(", ")}

@@ -911,6 +911,31 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("px23 weighted sample: every draw re-derived with MessageDigest; laws hold") {
+    val rows = q("px23_weighted_sample").collect()
+    assert(rows.length ===
+      Tables.documents(spark, sf).count())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Long = {
+      val h = md.digest(s"${functions.TextQueries.DrawSalt}$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16)
+    }
+    rows.foreach { r =>
+      val (id, qbp, du, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(du === u(id), s"doc $id draw")
+      assert(kept === (du * 10000L < qbp * functions.TextQueries.DrawScale),
+        s"doc $id keep rule")
+      // boundary laws: certain keep at 10000 bp, certain drop at 0
+      if (qbp >= 10000L) assert(kept)
+      if (qbp == 0L) assert(!kept)
+    }
+    // the sample is a genuine middle ground at test scale: keeps some,
+    // drops some
+    assert(rows.count(_.getBoolean(3)) > 0 && rows.count(!_.getBoolean(3)) > 0)
+  }
+
   test("tx16 substring search equals the direct contains scan for both needles") {
     for ((name, needle) <- Seq(
         "tx16_substring" -> functions.Retrieval.Needle,

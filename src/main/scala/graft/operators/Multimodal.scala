@@ -247,12 +247,32 @@ object Multimodal {
   private val mm5: Q = (s, d) =>
     decodeHeaders(mediaWithHeaders(s, d)).orderBy(col("doc_id"))
 
+  /** PR10 — DECODE-HEALTH MONITOR: per-format decoded/quarantined counts
+    * read off mm5's REAL decode path (not the planted metadata) — the
+    * monitoring read every media-ingest pipeline runs: a codec
+    * regression, a crawler feeding truncated bytes, or a new container
+    * variant shows up as a quarantine-rate shift per format BEFORE any
+    * training job tries to read pixels. Format-grain mergeable counts
+    * (the pr-family shape), so the monitor maintains incrementally and
+    * the whole read is one partial-aggregated shuffle over the decode
+    * output. */
+  private val pr10: Q = (s, d) =>
+    decodeHeaders(mediaWithHeaders(s, d))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("err").isNull, 1L).otherwise(0L)).as("n_decoded"),
+        sum(when(col("err").isNotNull, 1L).otherwise(0L)).as("n_quarantined"))
+      .withColumn("quarantine_bp", graft.functions.ExactRatio.scaled(
+        col("n_quarantined"), col("n_media"), 10000L))
+      .orderBy(col("format"))
+
   val queries: Map[String, Q] = Map(
     "mm1_media_metadata" -> mm1,
     "mm2_decode_features" -> mm2,
     "mm3_frame_sample" -> mm3,
     "mm4_resize_plan" -> mm4,
-    "mm5_header_decode" -> mm5
+    "mm5_header_decode" -> mm5,
+    "pr10_decode_health" -> pr10
   )
 
   private def dig(pos: Int) = s"(instr('0123456789abcdef', substring(h, $pos, 1)) - 1)"
@@ -296,6 +316,21 @@ object Multimodal {
     // mm5: the oracle recomputes the PLANTED dimensions from the hex
     // digits (never parsing bytes itself) — a hash match therefore proves
     // the Spark-side parser recovered exactly what the encoder embedded.
+    // pr10: the oracle recomputes which formats the planted headers parse
+    // (png/jpg decode, webp quarantines as an unparsed container) — a
+    // hash match proves the REAL parser's health stats match the planted
+    // ground truth format for format.
+    "pr10_decode_health" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+         | x AS (SELECT CASE ${dig(1)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+         |     ELSE 'webp' END AS format FROM m)
+         | SELECT format, CAST(count(*) AS BIGINT) AS n_media,
+         |   CAST(sum(CASE WHEN format = 'webp' THEN 0 ELSE 1 END) AS BIGINT) AS n_decoded,
+         |   CAST(sum(CASE WHEN format = 'webp' THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+         |   ${graft.functions.ExactRatio.scaledSql(
+              "sum(CASE WHEN format = 'webp' THEN 1 ELSE 0 END)",
+              "count(*)", 10000L)} AS quarantine_bp
+         | FROM x GROUP BY format ORDER BY format""".stripMargin,
     "mm5_header_decode" ->
       s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
          | x AS (SELECT doc_id,

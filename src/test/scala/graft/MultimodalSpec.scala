@@ -108,4 +108,27 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("err") * 2L > greatest(col("width"), col("height")).cast("long"))
     assert(bad.count() === 0L)
   }
+
+  test("pr10 decode health agrees with a direct recount of mm5's output") {
+    val out = q("pr10_decode_health").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent recount off the decoder output itself
+    val mm5 = q("mm5_header_decode").collect()
+    val byFmt = mm5.groupBy(_.getString(1))
+    assert(out.keySet === byFmt.keySet)
+    byFmt.foreach { case (fmt, rows) =>
+      val ok = rows.count(_.isNullAt(5)).toLong
+      val bad = rows.length - ok
+      assert(out(fmt)._1 === rows.length.toLong, s"$fmt n_media")
+      assert(out(fmt)._2 === ok, s"$fmt n_decoded")
+      assert(out(fmt)._3 === bad, s"$fmt n_quarantined")
+    }
+    // the planted corpus decodes png/jpg fully and quarantines all webp —
+    // the health read must show exactly that
+    assert(out("png")._4 === 0L && out("jpg")._4 === 0L)
+    assert(out("webp")._4 === 10000L)
+    // totals cover every media row
+    assert(out.values.map(_._1).sum === Tables.documents(spark, sf).count())
+  }
 }

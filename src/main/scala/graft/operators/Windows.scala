@@ -371,6 +371,32 @@ object Windows {
         col("fee_quartile"))
   }
 
+  /** W16 — DISTRIBUTION RANK: percent_rank and cume_dist of each commit's
+    * fee WITHIN its height — w10's quartile read at continuous
+    * resolution (where does this bid sit in its auction's fee CDF). Same
+    * height-partitioned window discipline (block-sized partitions at any
+    * corpus scale; the corpus-wide CDF question is pr2's histogram).
+    * Emitted as EXACT MILLI integers from the rank over the total order
+    * — (rank−1)/(n−1) and rank/n through ExactRatio, with the n = 1
+    * partition pinned to percent 0 by the greatest() guard (Spark's own
+    * percent_rank convention) — so both engines agree bit-for-bit where
+    * float window functions round differently. */
+  private val w16: Q = (s, d) => {
+    val w = Window.partitionBy(col("stacks_block_height"))
+      .orderBy(col("burn_fee"), col("vtxindex"), col("leader_key_address"))
+    val n = Window.partitionBy(col("stacks_block_height"))
+    graft.Domain.commits(s, d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("stacks_block_height"), col("vtxindex"), col("burn_fee"),
+        col("rnk"),
+        graft.functions.ExactRatio.scaled(col("rnk") - 1L,
+          greatest(col("n") - 1L, lit(1L)), 1000L).as("percent_milli"),
+        graft.functions.ExactRatio.scaled(col("rnk"), col("n"), 1000L)
+          .as("cume_milli"))
+      .orderBy(col("stacks_block_height"), col("rnk"))
+  }
+
   /** W11 — TRAILING TIME-RANGE window: per-user moving 1-hour event count
     * and value sum via a RANGE frame over epoch seconds (the "activity in
     * the last hour, as of each event" feature every behavioral/abuse
@@ -590,6 +616,7 @@ object Windows {
     "w13_interpolate" -> w13,
     "w13_interp_64" -> w13b,
     "w10_fee_quartile" -> w10,
+    "w16_fee_cdf" -> w16,
     "w11_trailing_hour" -> w11,
     "w8_sessionize" -> w8,
     "w9_asof_join" -> w9,
@@ -662,6 +689,17 @@ object Windows {
          |     ORDER BY $fee, l_linenumber, l_suppkey) AS BIGINT) AS fee_quartile
          | FROM lineitem
          | ORDER BY stacks_block_height, vtxindex, burn_fee, fee_quartile""".stripMargin,
+    "w16_fee_cdf" ->
+      s"""WITH r AS (SELECT l_orderkey AS stacks_block_height,
+         |     l_linenumber AS vtxindex, $fee AS burn_fee,
+         |     CAST(row_number() OVER (PARTITION BY l_orderkey
+         |       ORDER BY $fee, l_linenumber, l_suppkey) AS BIGINT) AS rnk,
+         |     CAST(count(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n
+         |   FROM lineitem)
+         | SELECT stacks_block_height, vtxindex, burn_fee, rnk,
+         |   ${graft.functions.ExactRatio.scaledSql("(rnk - 1)", "greatest(n - 1, 1)", 1000L)} AS percent_milli,
+         |   ${graft.functions.ExactRatio.scaledSql("rnk", "n", 1000L)} AS cume_milli
+         | FROM r ORDER BY stacks_block_height, rnk""".stripMargin,
     "w9_asof_join" -> asofJoinSql(None),
     "w9_asof_1h" -> asofJoinSql(Some(3600000000L)),
     "w9c_asof_fwd_1h" -> asofForwardSql(Some(3600000000L)),

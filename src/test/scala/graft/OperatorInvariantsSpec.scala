@@ -148,6 +148,30 @@ class WindowsSpec extends SparkSpec {
     assert(r.getLong(0) === r.getLong(1))
   }
 
+  test("w16 fee CDF tracks Spark's percent_rank/cume_dist within milli rounding") {
+    import org.apache.spark.sql.expressions.Window
+    val out = q("w16_fee_cdf")
+    // the built-ins over the SAME total order w16 ranks by (vtxindex is
+    // not unique per height — Domain.scala — so the triple is the total
+    // order and rank is the join key): with no ties, percent_rank's
+    // tie-aware rank collapses to row_number and the comparison is exact
+    val w = Window.partitionBy(col("stacks_block_height"))
+      .orderBy(col("burn_fee"), col("vtxindex"), col("leader_key_address"))
+    val ref = graft.Domain.commits(spark, sf)
+      .select(col("stacks_block_height"),
+        row_number().over(w).cast("long").as("rnk"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    val j = out.join(ref, Seq("stacks_block_height", "rnk"))
+    // |milli − 1000·builtin| ≤ 0.5 + ε: same rational, half-up vs IEEE
+    assert(j.filter(abs(col("percent_milli") - col("pr") * 1000.0) > 0.501).count() === 0L)
+    assert(j.filter(abs(col("cume_milli") - col("cd") * 1000.0) > 0.501).count() === 0L)
+    // endpoints: first of each height at percent 0, last at cume 1000
+    assert(out.filter(col("rnk") === 1L && col("percent_milli") =!= 0L).count() === 0L)
+    val last = out.groupBy(col("stacks_block_height"))
+      .agg(max(col("cume_milli")).as("mx"))
+    assert(last.filter(col("mx") =!= 1000L).count() === 0L)
+  }
+
   test("w12 top-k: contiguous ranks, non-increasing fees, rank 1 is the j8 winner") {
     val out = q("w12_topk_per_group").cache()
     // ranks are 1..min(3, commits in height), contiguous

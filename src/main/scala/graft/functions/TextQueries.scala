@@ -109,6 +109,31 @@ object TextQueries {
       .withColumn("kept", col("u") * lit(10000L) < col("quality_bp") * lit(DrawScale))
       .orderBy(col("doc_id"))
 
+  /** px24's repeat-factor rule: source "srcN" trains for 1 + N mod 4
+    * epochs. A stand-in for the mixture solver's output — the OPERATOR
+    * under test is the expansion, not the factors. */
+  private val EpochFactorSql = "1 + CAST(substring(source, 4) AS INT) % 4"
+
+  /** PX24 — SOURCE UPSAMPLING (repeat-factor mixing): small high-value
+    * sources repeat R× in the training stream — the "4 epochs of
+    * Wikipedia per 1 of web" trick every mixture actually ships with.
+    * Each doc expands ROW-LOCALLY to its source's R epoch-tagged copies;
+    * the read-order key is md5(epoch ‖ doc_id) (px20's permutation), so
+    * the copies of one document land decorrelated across the stream
+    * instead of adjacent — repeated data spread over the run, not
+    * clumped. No shuffle at any corpus size (the expansion is a
+    * generate; ordering/sharding is the px20 loader's job). */
+  private val px24: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr(EpochFactorSql).cast("long").as("n_epochs"))
+      .select(col("doc_id"), col("source"), col("n_epochs"),
+        explode(sequence(lit(0L), col("n_epochs") - 1L)).as("epoch"))
+      .select(col("doc_id"), col("source"), col("n_epochs"), col("epoch"),
+        md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))).as("ord_key"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   /** TX3 — language ID: argmax of per-language stopword hits with a fixed
     * priority tie-break; scored against the labeled `lang` column. */
   private val tx3: Q = (s, d) => {
@@ -914,6 +939,7 @@ object TextQueries {
     "px2_stratified_sample" -> px2,
     "px3_token_budget" -> px3,
     "px23_weighted_sample" -> px23,
+    "px24_upsample" -> px24,
     "tx2_quality_score" -> tx2,
     "tx3_langid" -> tx3,
     "tx4_fingerprint" -> tx4
@@ -1228,6 +1254,14 @@ object TextQueries {
          |   ${ExactRatio.scaledSql("s", "n", 10000L)} AS stopword_bp,
          |   $qualityBpSql AS quality_bp
          | FROM m ORDER BY doc_id""".stripMargin,
+    "px24_upsample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |     $EpochFactorSql AS n_epochs FROM documents)
+         | SELECT doc_id, source, CAST(n_epochs AS BIGINT) AS n_epochs,
+         |   CAST(e.k AS BIGINT) AS epoch,
+         |   md5(CAST(e.k AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS ord_key
+         | FROM r, LATERAL (SELECT unnest(range(n_epochs)) AS k) e
+         | ORDER BY doc_id, epoch""".stripMargin,
     "px23_weighted_sample" -> {
       def dig(pos: Int) =
         s"(instr('0123456789abcdef', substring(md5('$DrawSalt' || " +

@@ -307,7 +307,7 @@ object Aggregations {
     * count reaches ⌈bp·n/10⁴⌉ — all-integer, so the SAME rule runs
     * exactly on both engines. The cumsum window partitions by day over
     * ≤ [[QMaxBin]]+1 rows — bounded by geometry, never by data. */
-  private def histQuantiles(hist: DataFrame, binWidth: Long = QBinWidth): DataFrame = {
+  private[graft] def histQuantiles(hist: DataFrame, binWidth: Long = QBinWidth): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cum = hist
       .withColumn("cum", sum(col("n")).over(

@@ -455,6 +455,26 @@ object EventStream {
   def currentSketches(s: SparkSession, storeDir: String): DataFrame =
     currentStore(s, storeDir, SketchSchema)
 
+  private[graft] val HistSchema = "day STRING, bin BIGINT, n BIGINT"
+
+  /** CONTINUOUS QUANTILE-HISTOGRAM STORE — Pipelines.mergeQuantileHist as
+    * a foreachBatch sink (the histogram member of the mergeRefresh
+    * family, completing the serving trio: counts → leaderboardRefresh,
+    * distincts → sketchRefresh, quantiles → here): each micro-batch of
+    * events folds into the per-(day, bin) integer histogram by keyed
+    * addition, so a22's p50/p90/p99 — per day, trailing window (a23), or
+    * global — stay answerable from ≤ 201 rows/day of state while events
+    * stream in, with the same versioned/idempotent/replay-safe
+    * contract. */
+  def histRefresh(events: DataFrame, storeDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.ProcessingTime("120 seconds")): StreamingQuery =
+    mergeRefresh(events, storeDir, checkpointDir, HistSchema,
+      graft.Pipelines.mergeQuantileHist, trigger)
+
+  /** Current per-(day, bin) histogram store (quantile read: a22's rule). */
+  def currentHist(s: SparkSession, storeDir: String): DataFrame =
+    currentStore(s, storeDir, HistSchema)
+
   /** CONTINUOUS NEAR-DUP INGEST — [[graft.operators.Dedup.dedupeIncremental]]
     * as a streaming stage: each micro-batch of documents is admitted
     * against the persisted LSH band index, accepted docs land in

@@ -936,6 +936,28 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(3)) > 0 && rows.count(!_.getBoolean(3)) > 0)
   }
 
+  test("px24 upsampling: exactly R epoch-tagged copies per doc, decorrelated order") {
+    val rows = q("px24_upsample").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def factor(src: String): Long = 1L + src.drop(3).toLong % 4L
+    // total volume is the sum of per-source factors
+    assert(rows.length.toLong === docs.map { case (_, s) => factor(s) }.sum)
+    // each doc appears exactly R times with epochs 0..R−1
+    rows.groupBy(_.getLong(0)).foreach { case (id, copies) =>
+      val r = factor(docs(id))
+      assert(copies.length.toLong === r, s"doc $id copies")
+      assert(copies.map(_.getLong(3)).sorted.toSeq === (0L until r), s"doc $id epochs")
+    }
+    // decorrelation: consecutive docs in epoch-0 order are not consecutive
+    // in epoch-1 order (the px20 law, at copy grain) — orderings differ
+    val e0 = rows.filter(_.getLong(3) == 0L).sortBy(_.getString(4)).map(_.getLong(0))
+    val e1 = rows.filter(_.getLong(3) == 1L).sortBy(_.getString(4)).map(_.getLong(0))
+    assert(e1.nonEmpty)
+    assert(e0.take(e1.length).toSeq != e1.toSeq)
+  }
+
   test("tx16 substring search equals the direct contains scan for both needles") {
     for ((name, needle) <- Seq(
         "tx16_substring" -> functions.Retrieval.Needle,

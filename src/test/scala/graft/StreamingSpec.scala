@@ -451,6 +451,38 @@ class PipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram store folds micro-batches to the exact one-pass state") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qh").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-04-$day%02d 09:00:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = EventStream.histRefresh(
+      ms.toDF.toDF("ts", "value"), s"$dir/store", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // same (day, bin) cell hit across both batches must ADD (5.0 →
+      // cents 500 → bin 1 twice); clamp cell via an out-of-range value
+      ms.addData((ts(1), 5.0), (ts(1), 12.0), (ts(2), 9999999.0))
+      q.processAllAvailable()
+      ms.addData((ts(1), 5.4), (ts(2), 0.1))
+      q.processAllAvailable()
+      val state = EventStream.currentHist(spark, s"$dir/store")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expected = Map(
+        ("2024-04-01", 1L) -> 2L,   // 500 and 540 cents share bin 1
+        ("2024-04-01", 2L) -> 1L,   // 1200 cents
+        ("2024-04-02", operators.Aggregations.QMaxBin) -> 1L, // clamped
+        ("2024-04-02", 0L) -> 1L)   // 10 cents
+      assert(state === expected)
+      // and the a22 quantile read runs directly off the maintained state
+      val reads = operators.Aggregations.histQuantiles(
+        EventStream.currentHist(spark, s"$dir/store"))
+      assert(reads.count() > 0L)
+    } finally q.stop()
+  }
+
   test("status flag file round-trips and defaults to false when absent") {
     val p = java.nio.file.Files.createTempDirectory("graft_status")
       .resolve("mining_status.txt").toString

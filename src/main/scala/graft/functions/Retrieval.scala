@@ -232,13 +232,40 @@ object Retrieval {
   private val tx16: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle)
   private val tx16b: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle2)
 
+  private val KnnK = 3
+
+  /** TX17 — LEXICAL k-NN: each document's top-[[KnnK]] most-similar other
+    * documents by tx9's exact integer TF-IDF cosine — the neighbor list a
+    * curation UI or a cluster-then-label pass reads (the sparse twin of
+    * x1's dense top-k). Composed from tx9's registered candidate core, so
+    * the pair set is the one the d7-style gates verify: rare-term-blocked
+    * candidates only, never doc×doc. Pairs are symmetric (d1 < d2), so
+    * each undirected pair feeds BOTH endpoints' lists before the per-doc
+    * ranking window (bounded by candidates-per-doc, never the corpus). */
+  private val tx17: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = tx9(s, d)
+    val directed = pairs
+      .select(col("d1").as("doc_id"), col("d2").as("neighbor_id"), col("cos2_bp"))
+      .unionByName(pairs
+        .select(col("d2").as("doc_id"), col("d1").as("neighbor_id"), col("cos2_bp")))
+    directed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("cos2_bp").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("doc_id"), col("rank"), col("neighbor_id"), col("cos2_bp"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "tx8_bm25" -> bm25(QueryTerms),
     "tx8_bm25_rare" -> bm25(RareTerms),
     "tx9_tfidf_pairs" -> tx9,
     "tx10_keywords" -> tx10,
     "tx16_substring" -> tx16,
-    "tx16_substring3w" -> tx16b)
+    "tx16_substring3w" -> tx16b,
+    "tx17_lexical_knn" -> tx17)
 
   def bm25Sql(queryTerms: Seq[String]): String = {
     val termsSql = queryTerms.map(t => s"'$t'").mkString(", ")
@@ -316,5 +343,20 @@ object Retrieval {
     "tx9_tfidf_pairs" -> tx9Sql,
     "tx10_keywords" -> tx10Sql,
     "tx16_substring" -> substringSql(Needle),
-    "tx16_substring3w" -> substringSql(Needle2))
+    "tx16_substring3w" -> substringSql(Needle2),
+    // tx17 nests tx9's oracle (the px15-nests-d6 convention) so the
+    // neighbor lists are ranked over the exact pair set the tx9 gate
+    // hash-compares.
+    "tx17_lexical_knn" ->
+      s"""WITH pairs AS (${tx9Sql}),
+         | directed AS (
+         |   SELECT d1 AS doc_id, d2 AS neighbor_id, cos2_bp FROM pairs
+         |   UNION ALL
+         |   SELECT d2, d1, cos2_bp FROM pairs),
+         | ranked AS (SELECT doc_id, neighbor_id, cos2_bp,
+         |     CAST(row_number() OVER (PARTITION BY doc_id
+         |       ORDER BY cos2_bp DESC, neighbor_id) AS BIGINT) AS rank
+         |   FROM directed)
+         | SELECT doc_id, rank, neighbor_id, cos2_bp
+         | FROM ranked WHERE rank <= $KnnK ORDER BY doc_id, rank""".stripMargin)
 }

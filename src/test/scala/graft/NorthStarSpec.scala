@@ -997,6 +997,39 @@ class TextQueriesSpec extends SparkSpec {
     assert(grams.forall("sparkle stream spam".contains(_)))
   }
 
+  test("tx17 lexical knn: contiguous ranks, non-increasing cos2, pairs from tx9") {
+    val out = q("tx17_lexical_knn").cache()
+    // ranks contiguous 1..n≤3 per doc; similarity never increases with rank
+    val perDoc = out.groupBy(col("doc_id"))
+      .agg(min(col("rank")).as("lo"), max(col("rank")).as("hi"),
+        count(lit(1)).as("n"))
+    assert(perDoc.filter(col("lo") =!= 1L || col("hi") =!= col("n") ||
+      col("n") > 3L).count() === 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank"))
+    assert(out.withColumn("prev", lag(col("cos2_bp"), 1).over(w))
+      .filter(col("prev").isNotNull && col("cos2_bp") > col("prev"))
+      .count() === 0L)
+    // every listed neighbor is a tx9 pair (in one direction or the other)
+    val pairs = q("tx9_tfidf_pairs")
+    val undirected = pairs.select(col("d1"), col("d2"))
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val orphan = out.select(col("doc_id").as("d1"), col("neighbor_id").as("d2"))
+      .join(undirected, Seq("d1", "d2"), "left_anti")
+    assert(orphan.count() === 0L)
+    // rank 1 is each doc's argmax over its full tx9 candidate list
+    val best = undirected.join(pairs.select(
+        col("d1"), col("d2"), col("cos2_bp"))
+        .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2"), col("cos2_bp"))),
+      Seq("d1", "d2"))
+      .groupBy(col("d1")).agg(max(col("cos2_bp")).as("mx"))
+    val r1 = out.filter(col("rank") === 1L)
+      .select(col("doc_id").as("d1"), col("cos2_bp"))
+    assert(r1.join(best, Seq("d1")).filter(col("cos2_bp") =!= col("mx"))
+      .count() === 0L)
+    out.unpersist()
+  }
+
   test("px19 curriculum: deciles bounded, monotone in length, defining equation holds") {
     val out = q("px19_curriculum").cache()
     assert(out.filter(col("decile") < 0L || col("decile") > 9L).count() === 0L)

@@ -378,13 +378,40 @@ object Profiling {
   private val pr9: Q = (s, d) => madProfile(
     Tables.documents(s, d).select(col("source"), col("n_chars").as("len")))
 
+  /** pr11's profiled columns (document table). */
+  private val CardCols = Seq("doc_id", "lang", "n_chars", "source")
+
+  /** PR11 — CARDINALITY PROFILE: exact + sketch distinct counts for every
+    * column of the documents table in ONE scan — the probe that drives
+    * physical-plan choices (a column with 3 distinct values broadcast-
+    * joins and dictionary-encodes; one with 10⁹ doesn't), and the pr4
+    * companion: pr4 asks "which values dominate", pr11 asks "how many
+    * values exist". All 2·k aggregates ride one hash-aggregate pass;
+    * unpivoted to a row per column with stack(). The sketch column gates
+    * as the a16/a19 accuracy-contract boolean (estimates are engine-
+    * specific; the exact counts are recomputed by DuckDB). */
+  private val pr11: Q = (s, d) => {
+    val aggs = CardCols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"x_$c"),
+      approx_count_distinct(col(c), 0.02).as(s"a_$c")))
+    val stacked = CardCols.map(c => s"'$c', x_$c, a_$c").mkString(", ")
+    Tables.documents(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${CardCols.size}, $stacked) " +
+        "as (column_name, exact_distinct, approx)"))
+      .select(col("column_name"), col("exact_distinct"),
+        (abs(col("approx") - col("exact_distinct")) <=
+          col("exact_distinct").cast("double") * 0.05).as("est_ok"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pr9_mad_profile" -> pr9,
     "pr1_profile" -> pr1, "pr2_length_percentiles" -> pr2,
     "pr3_rollup_profile" -> pr3, "pr4_heavy_hitters" -> pr4,
     "pr5_outlier_days" -> pr5, "pr6_covariance" -> pr6,
     "pr7_ref_integrity" -> pr7, "pr8_ewma_spike" -> pr8,
-    "pr8b_ewma_h5" -> pr8b)
+    "pr8b_ewma_h5" -> pr8b, "pr11_cardinality" -> pr11)
 
   private def pr8SqlOf(h: Int): String = {
       val denom = (1L << h) - 1L
@@ -410,6 +437,13 @@ object Profiling {
   }
 
   val oracles: Map[String, String] = Map(
+    // pr11: exact counts recomputed, sketch accuracy contract pinned TRUE
+    // (the a16/a19 convention) — generated from the same column Seq as
+    // the Spark side.
+    "pr11_cardinality" -> CardCols.sorted.map(c =>
+      s"""SELECT '$c' AS column_name,
+         | count(DISTINCT $c) AS exact_distinct, TRUE AS est_ok
+         | FROM documents""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "pr9_mad_profile" ->
       s"""WITH lens AS (SELECT source, n_chars AS len FROM documents),
          | hist AS (SELECT source, len, CAST(count(*) AS BIGINT) AS cnt

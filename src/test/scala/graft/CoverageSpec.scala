@@ -89,6 +89,20 @@ class CoverageSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pr11 cardinality profile: exact counts verified per column, bounds hold") {
+    val out = q("pr11_cardinality").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val docs = Tables.documents(spark, sf)
+    for ((c, (exact, ok)) <- out) {
+      assert(ok, s"$c est bound")
+      assert(exact === docs.select(col(c)).distinct().count(), s"$c exact")
+      // re-derive the raw sketch bound so a vacuous TRUE can't hide drift
+      val raw = docs.agg(approx_count_distinct(col(c), 0.02)).head().getLong(0)
+      assert(math.abs(raw - exact).toDouble / math.max(exact, 1L) <= 0.05, s"$c raw")
+    }
+    assert(out.keySet === Set("doc_id", "lang", "n_chars", "source"))
+  }
+
   test("a22 quantile rollup: each p-lo is the target order statistic's bin edge") {
     val out = q("a22_quantile_rollup").collect()
       .map(r => r.getString(0) ->

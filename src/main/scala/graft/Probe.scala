@@ -17,6 +17,25 @@ object Probe {
 
     GraftExtensions.ensure(spark)
     time("warm")(Tables.lineitem(spark, d).count())
+    if (args.contains("f1")) {
+      def blockId(bh: org.apache.spark.sql.Column, ch: org.apache.spark.sql.Column) =
+        lower(hex(call_function("graft_sha512_256", concat(unhex(bh), unhex(ch)))))
+      def digest(k: org.apache.spark.sql.Column) =
+        blockId(md5(k.cast("string")), md5(concat(lit("c"), k.cast("string"))))
+      time("orders scan")(Tables.orders(spark, d).count())
+      time("digest orders")(Tables.orders(spark, d)
+        .select(digest(col("o_orderkey")).as("id")).count())
+      time("digest orders 2nd")(Tables.orders(spark, d)
+        .select(digest(col("o_orderkey")).as("id")).count())
+      time("txcounts agg only")(Tables.lineitem(spark, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")).count())
+      time("txcounts agg+digest")(Tables.lineitem(spark, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .select(digest(col("l_orderkey")).as("id"), col("n")).count())
+      time("f1 full")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
+      time("f1 full 2nd")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
+      spark.stop(); return
+    }
     if (args.contains("d8")) {
       time("warm docs")(Tables.documents(spark, d).count())
       time("simhashFrame")(operators.Dedup.simhashFrame(spark, d).count())

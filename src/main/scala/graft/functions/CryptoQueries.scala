@@ -24,10 +24,19 @@ object CryptoQueries {
   private val btcAddr = udf { (pubkey: Array[Byte]) => Crypto.btcAddress(pubkey) }
   private val stxAddr = udf { (pubkey: Array[Byte]) => Crypto.stxAddress(pubkey) }
 
+  /** The digest chain is nullable only because unhex CAN return null on
+    * malformed hex — it never does here (inputs are md5 hex). Left
+    * nullable, the inner join's inferred isnotnull(key) filter re-evaluates
+    * the ENTIRE digest chain as a pre-join predicate, and constraint
+    * propagation pushes it below the tx-side aggregate onto the raw scan:
+    * 600k + 150k redundant SHA-512/256 evals at sf0.1, ~4x the useful
+    * digest work (measured: f1 4.5 s with, 1.3 s without). coalesce with a
+    * non-null literal makes the key non-nullable, so Catalyst folds the
+    * isnotnull away; values are unchanged (the digest is never null). */
   private def blockId(blockHash: org.apache.spark.sql.Column,
                       consensusHash: org.apache.spark.sql.Column) =
-    lower(hex(call_function("graft_sha512_256",
-      concat(unhex(blockHash), unhex(consensusHash)))))
+    coalesce(lower(hex(call_function("graft_sha512_256",
+      concat(unhex(blockHash), unhex(consensusHash))))), lit(""))
 
   /** F1/J9 — the reference's real computed-key join: stacks_block_id =
     * SHA-512/256(block_hash ‖ consensus_hash) (rpc.js:320-336), block side
@@ -48,7 +57,14 @@ object CryptoQueries {
         blockId(md5(col("l_orderkey").cast("string")),
           md5(concat(lit("c"), col("l_orderkey").cast("string")))).as("stacks_block_id"),
         col("n_txs"))
-    blocks.join(txCounts, "stacks_block_id")
+    // broadcast the block side: ~12 MB of 64-char digests at sf0.1 sits
+    // just over the 10 MB auto-broadcast threshold, so Spark picks a
+    // sort-merge join — two full sorts on 64-char strings that dwarf the
+    // digest cost itself (measured: components 0.7 s, SMJ join 2.5 s).
+    // At cluster scale the block side is the per-burnchain-block dimension
+    // (orders of magnitude smaller than the tx fact side) — broadcast is
+    // the shape that survives 100x.
+    broadcast(blocks).join(txCounts, "stacks_block_id")
       .select(col("o_orderkey"), col("n_txs"))
       .orderBy(col("o_orderkey"))
   }

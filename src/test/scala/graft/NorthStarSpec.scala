@@ -484,26 +484,28 @@ class SimilaritySpec extends SparkSpec {
     assert(bf.join(pq, "q_id").filter(col("pq_cos") > col("best_cos")).count() === 0L)
   }
 
-  test("x4: OR-amplified LSH reaches recall@10 >= 0.80 at bounded candidate cost") {
-    // VERDICT r3 item 2: the OR-amplified path must be recall-competitive
-    // with IVF (>= 8000 bp), not a 0.44 curiosity — and its candidate set
-    // must stay a small fraction of brute force (the whole point of LSH).
+  test("x4: OR-amplified LSH reaches recall@10 >= 0.90 at bounded candidate cost") {
+    // VERDICT r3 item 2 set the path up; VERDICT r7 item 6 raised the
+    // gated contract: recall@10 >= 0.90 (ivf_pq territory) with the
+    // candidate set still bounded by the parameter-derived collision
+    // fraction — growth capped at ~1.2x the old 8-table set, inside the
+    // agreed <= 1.5x budget.
     val rows = q("x4_ann_recall").collect()
       .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
     val (orRecall, orCand) = rows("lsh_or")
-    assert(orRecall >= 8000L, s"lsh_or recall_bp $orRecall < 8000")
+    assert(orRecall >= 9000L, s"lsh_or recall_bp $orRecall < 9000")
     info(s"lsh_or recall_bp=$orRecall cand_pairs=$orCand (ivf=${rows("ivf")._1})")
-    // candidate cost: with 3 planes/table × 8 tables, an UNRELATED pair
-    // collides in some table with probability ≈ 1-(1-2⁻³)⁸ ≈ 0.66 — on
+    // candidate cost: with 3 planes/table × 12 tables, an UNRELATED pair
+    // collides in some table with probability ≈ 1-(1-2⁻³)¹² ≈ 0.80 — on
     // this testdata's isotropic vectors (top-10 neighbors only weakly
-    // similar, cos≈0.35) recall ≥ 0.8 costs most of that bound at every
+    // similar, cos≈0.35) recall ≥ 0.9 costs most of that bound at every
     // scale. Corpora with true near-dups (cos ≥ 0.9) pay far less for the
     // same recall; production tunes (planes, tables) to the corpus's
     // similarity profile. Assert the measured fraction stays under the
     // parameter-derived bound + slack.
     val n = Tables.embeddings(spark, sf).count()
     val brute = 5L * (n - 1)
-    assert(orCand.toDouble < brute * 0.75,
+    assert(orCand.toDouble < brute * 0.88,
       s"lsh_or candidates $orCand exceed the 1-(1-2^-P)^L collision bound of brute $brute")
   }
 

@@ -80,7 +80,10 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (excluded " +
         s"from total): ${failed.mkString(",")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Failed queries appear ONLY in "failed", never in "queries": a -1.0
+    // sentinel inside the per-query map would silently deflate any consumer
+    // that sums/averages the map instead of reading "value" (ADVICE r7).
+    val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val normalized = total * CalibRefSec / calib

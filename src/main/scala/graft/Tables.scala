@@ -30,7 +30,7 @@ object Tables {
     * (the data is µs-exact; DuckDB reads the same file as TIMESTAMP_NS, so
     * oracle comparisons stay deterministic either way). */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     // NB: conf.getOption returns the registered DEFAULT ("false"), so test
     // the effective value — older readers need this conf to read at all
@@ -43,7 +43,13 @@ object Tables {
       case TimestampType => // defensive: align to NTZ (session TZ is UTC)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
-      case _ => raw // native TIMESTAMP_NTZ read — already µs wall-clock
+      case TimestampNTZType => raw // native NTZ read — already µs wall-clock
+      case other => // fail AT THE TABLE in every entry point, not just in
+        // TableSchemaSpec: a future reader change to an unhandled dtype
+        // must name the source, not flow unconverted into Bench/Verify
+        // (ADVICE r7)
+        throw new IllegalStateException(
+          s"events.ts read as unhandled dtype $other — update Tables.events")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

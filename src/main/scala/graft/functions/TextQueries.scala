@@ -111,8 +111,13 @@ object TextQueries {
 
   /** px24's repeat-factor rule: source "srcN" trains for 1 + N mod 4
     * epochs. A stand-in for the mixture solver's output — the OPERATOR
-    * under test is the expansion, not the factors. */
-  private val EpochFactorSql = "1 + CAST(substring(source, 4) AS INT) % 4"
+    * under test is the expansion, not the factors. TRY_CAST (same
+    * semantics in Spark AND DuckDB: malformed → NULL) so a source name
+    * off the srcN contract fails IDENTICALLY in both engines instead of
+    * Spark's non-ANSI CAST nulling where DuckDB raises (ADVICE r7);
+    * TableSchemaSpec asserts the srcN contract on the testdata so drift
+    * is loud, not silently dropped. */
+  private val EpochFactorSql = "1 + TRY_CAST(substring(source, 4) AS INT) % 4"
 
   /** PX24 — SOURCE UPSAMPLING (repeat-factor mixing): small high-value
     * sources repeat R× in the training stream — the "4 epochs of

@@ -192,7 +192,16 @@ object Aggregations {
     * contract as booleans (|approx−exact| ≤ 5·rsd·exact would be the 1σ
     * form; 0.05 = 2.5× the configured 0.02 rsd) — fully oracle-gated
     * (VERDICT r6 item 6), with the raw-value bound re-asserted in
-    * CoverageSpec from the estimates themselves. */
+    * CoverageSpec from the estimates themselves.
+    *
+    * MAINTENANCE CONTRACT for the est_ok family (a16/a19/a25/pr11,
+    * ADVICE r7): the 2.5σ bound is deliberate — tight enough that a
+    * broken sketch path trips it, loose enough that it holds with large
+    * margin on this data. If an est_ok boolean ever flips after a Spark
+    * HLL implementation change or a testdata regeneration, FIRST
+    * re-evaluate the bound/seed against the new estimator variance (a
+    * ~2.5σ outlier on a healthy sketch is statistics, not a bug); treat
+    * it as a query regression only if the estimate is wildly off. */
   private val a16: Q = (s, d) =>
     Domain.commits(s, d).agg(
       countDistinct(col("leader_key_address")).as("exact_miners"),

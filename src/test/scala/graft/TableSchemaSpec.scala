@@ -104,6 +104,17 @@ class TableSchemaSpec extends SparkSpec {
       "source" -> StringType, "n_chars" -> LongType)
   }
 
+  test("documents.source honors the srcN naming contract px24 parses") {
+    // px24's repeat factor is 1 + TRY_CAST(substring(source, 4) AS INT) %
+    // 4 — a source name off this contract would NULL in both engines and
+    // silently drop the doc from the upsampled stream. Assert the contract
+    // at the table so a testdata format drift fails loudly here (ADVICE r7).
+    import org.apache.spark.sql.functions._
+    val off = Tables.documents(spark, sf)
+      .filter(!col("source").rlike("^src[0-9]+$")).count()
+    assert(off === 0L, s"$off documents.source values violate the srcN contract")
+  }
+
   test("embeddings post-read schema (vector element type drives every ANN kernel)") {
     check("embeddings", Tables.embeddings(spark, sf),
       "vec_id" -> LongType, "embedding" -> ArrayType(FloatType, containsNull = true),

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data generator (VERDICT r7 item 3).
+  *
+  * The driver ships testdata up to sf0.1 (~17 MB); every 100 TB claim in
+  * SCALE.md is therefore a plan-shape argument until the same plans have
+  * actually RUN on bigger inputs. This main replicates sf0.1 by an integer
+  * factor F into `target/scaledata/sf<F>x`, preserving the statistical
+  * shape a real scale-up would have:
+  *
+  *   - FACT tables (orders, lineitem, events, documents, embeddings) are
+  *     unioned F times with DISJOINT key spaces (copy i offsets every key
+  *     column by i·OFFSET, one OFFSET per key domain, each a power of ten
+  *     above the sf0.1 max so scaled keys stay readable). lineitem keeps
+  *     the SAME offset as orders on l_orderkey, so FK joins fan out
+  *     correctly instead of cross-matching copies.
+  *   - DIMENSION tables (region, nation, customer, supplier, part) are
+  *     copied unchanged — at 100 TB the fact side grows, the dims don't;
+  *     per-dim-key join fan-in grows F×, which is exactly the stress a
+  *     bigger cluster sees.
+  *   - events keep their 30-day wall-clock span (F× the rows PER DAY, with
+  *     per-copy user_id offsets so distinct-user state truly grows F×).
+  *   - documents get a per-copy suffix token appended to `text` (n_chars
+  *     updated to match): copies are NEAR-duplicates of each other, so the
+  *     LSH/dedup family faces F·(F−1)/2 genuine cross-copy candidate pairs
+  *     per original doc — the adversarial case for banding at scale.
+  *   - embeddings perturb component 0 by i·1e-3 — near-identical vectors
+  *     that stress ANN cell assignment without degenerate exact ties.
+  *
+  * Rerun-safe: output dirs are overwritten. Correctness still gates on the
+  * driver's own parquet (TESTDATA.md); this derived set exists ONLY for
+  * `graft.Bench` scale runs (BENCH_SF1.json).
+  *
+  * Usage: `sbt "runMain graft.ScaleUp [factor] [outDir]"` (default 10 →
+  * ~170 MB ≈ sf1).
+  */
+object ScaleUp {
+
+  /** Per-domain key offsets = exact sf0.1 max + 1 (o_orderkey ≤ 149 999,
+    * event_id ≤ 99 999, user_id ≤ 1 499, doc_id ≤ 4 999, vec_id ≤ 1 999).
+    * Using the exact max keeps the scaled key space CONTIGUOUS, so
+    * density-sensitive plans (w5's min→max gap-fill grid, height-bucket
+    * widths) see the same fill ratio as the original — a round-power
+    * offset would pad each copy with an artificial 6× dead zone and
+    * charge the gap-fill family for synthetic heights. */
+  private val OrderOff = 150000L
+  private val EventOff = 100000L
+  private val UserOff = 1500L
+  private val DocOff = 5000L
+  private val VecOff = 2000L
+
+  /** Union F copies of `df`, transforming copy i via `remap(df, i)`.
+    * Copy 0 is the identity so the original rows survive verbatim. */
+  private def replicate(df: DataFrame, f: Int)(
+      remap: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until f).map(i => remap(df, i)).reduce(_ unionByName _)
+
+  def scaleOrders(df: DataFrame, f: Int): DataFrame =
+    replicate(df, f) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderOff))
+    }
+
+  def scaleLineitem(df: DataFrame, f: Int): DataFrame =
+    replicate(df, f) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderOff))
+    }
+
+  def scaleEvents(df: DataFrame, f: Int): DataFrame =
+    replicate(df, f) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * EventOff))
+        .withColumn("user_id", col("user_id") + lit(i * UserOff))
+    }
+
+  def scaleDocuments(df: DataFrame, f: Int): DataFrame =
+    replicate(df, f) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * DocOff))
+        .withColumn("text", concat(col("text"), lit(s" zc$i")))
+        .withColumn("n_chars", length(col("text")))
+    }
+
+  def scaleEmbeddings(df: DataFrame, f: Int): DataFrame =
+    replicate(df, f) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("vec_id", col("vec_id") + lit(i * VecOff))
+        .withColumn("embedding", transform(col("embedding"), (x, idx) =>
+          when(idx === 0, x + lit(i * 1e-3f)).otherwise(x)))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse(s"target/scaledata/sf${factor}x")
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-scaleup")
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      System.err.println(s"[scaleup] $name done")
+    }
+
+    // dims: verbatim copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      write(n, spark.read.parquet(s"$srcDir/$n.parquet"))
+    }
+    // facts: disjoint-key replication
+    write("orders", scaleOrders(spark.read.parquet(s"$srcDir/orders.parquet"), factor))
+    write("lineitem", scaleLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet"), factor))
+    write("events", scaleEvents(Tables.events(spark, srcDir), factor))
+    write("documents", scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor))
+    write("embeddings", scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor))
+    System.err.println(s"[scaleup] wrote ${factor}x of $srcDir to $outDir")
+    spark.stop()
+  }
+}

@@ -28,11 +28,25 @@ object Memo {
 
   /** The memoized core: `build` runs (and is eagerly materialized) only on
     * the first call per (session, dir, tag, source-mtime). `srcFile` names
-    * the parquet the core derives from, relative to `dir`. */
+    * the parquet the core derives from, relative to `dir`.
+    *
+    * get/putIfAbsent rather than computeIfAbsent: cores COMPOSE (the LSH
+    * pair core builds on the hashed-shingle core), so `build` may re-enter
+    * this cache for a different tag — a nested computeIfAbsent on the same
+    * ConcurrentHashMap throws "Recursive update". The benign race (two
+    * threads both building, loser's checkpoint dropped) is acceptable:
+    * Bench/Verify run queries sequentially, and correctness is unaffected. */
   def cached(s: SparkSession, dir: String, tag: String, srcFile: String)(
       build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val fp = new java.io.File(s"$dir/$srcFile").lastModified
-    cache.computeIfAbsent((s, dir, tag, fp), { _ => build.localCheckpoint(true) })
+    val key = (s, dir, tag, fp)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint(true)
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 }

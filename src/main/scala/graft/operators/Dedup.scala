@@ -44,6 +44,26 @@ object Dedup {
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), shingles(col("tk")).as("shingles"))
 
+  /** doc_id → 60-bit HASHED shingle set (`hs: array<long>`), memoized.
+    *
+    * The VERIFY grain for d4/px17: intersections and shingle-grain joins
+    * run over primitive longs instead of ~25-char strings — ~3× fewer
+    * shuffle bytes and no per-element string hashing, which at sf1 was the
+    * dominant allocation pressure (d4's 250k-pair verify allocated a
+    * string HashSet per pair; GC from that run degraded the WHOLE session
+    * ~3.5× in the sf1 rehearsal). Parity stays EXACT because the oracle
+    * hashes with the same family ([[hsSql]]): both engines compare the
+    * same longs, so even an md5-prefix collision (P ≈ |shingles|²/2⁶¹)
+    * changes both sides identically. array_distinct keeps `hs` a true set
+    * under collisions (size arithmetic below assumes set semantics);
+    * min-over-hashes is unaffected, so band signatures — and therefore
+    * every persisted LSH index — are byte-identical to the string path. */
+  private def docHashedShingles(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "doc_hs", "documents.parquet")(
+      docShingles(s, d).select(
+        col("doc_id"),
+        array_distinct(transform(col("shingles"), x => h64(x))).as("hs")))
+
   /** D1 — exact dedup by content hash: one row per distinct content, the
     * kept doc is min(doc_id) (deterministic survivor rule). */
   private val d1: Q = (s, d) =>
@@ -83,9 +103,15 @@ object Dedup {
   /** The signature/banding tail over a prebuilt shingle frame — split out
     * so the memoized corpus core ([[docShingles]]) can feed it without
     * re-tokenizing. */
-  private def bandsFromShingles(ds: DataFrame): DataFrame = {
-    val sig = ds
-      .select(col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs"))
+  private def bandsFromShingles(ds: DataFrame): DataFrame =
+    bandsFromHs(ds.select(
+      col("doc_id"), transform(col("shingles"), x => h64(x)).as("hs")))
+
+  /** Banding over a prebuilt HASHED shingle frame ([[docHashedShingles]]).
+    * min(h ⊕ seed) ignores duplicates, so the distinct'd hashed core and
+    * the raw string path produce identical bands. */
+  private def bandsFromHs(hsFrame: DataFrame): DataFrame = {
+    val sig = hsFrame
       .select(
         col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
     sig.select(
@@ -116,7 +142,7 @@ object Dedup {
     * redundant runs at sf0.1; at 100 TB, 3 redundant corpus shuffles). */
   private[graft] def lshPairsCached(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "lsh_pairs", "documents.parquet")(
-      lshPairs(bandsFromShingles(docShingles(s, d))))
+      lshPairs(bandsFromHs(docHashedShingles(s, d))))
 
   /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
     * are candidate pairs. The band-bucket equi-join is what makes this
@@ -228,10 +254,10 @@ object Dedup {
     * intermediate rows at sf0.1); verifying O(candidates) pairs is the
     * shape that survives 100 TB. */
   private val d4: Q = (s, d) => {
-    val ds = docShingles(s, d)
+    val ds = docHashedShingles(s, d)
     lshPairsCached(s, d)
-      .join(ds.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
-      .join(ds.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .join(ds.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(ds.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       .withColumn("jaccard_bp", graft.functions.ExactRatio.scaled(
         col("inter"),
@@ -494,7 +520,11 @@ object Dedup {
     * the matching train docs. At production scale the promiscuous-shingle
     * tail (boilerplate matching everything) takes a df-cap prefilter
     * first — tx9's blocking economics. */
-  private val px17: Q = (s, d) => containmentFrom(docShingles(s, d))
+  private val px17: Q = (s, d) =>
+    // HASHED shingle grain (see docHashedShingles): the join/groupBy run on
+    // longs; n_shingles and the containment ratio are over the hashed SET,
+    // which the oracle mirrors exactly via the same hash family.
+    containmentFrom(docHashedShingles(s, d).withColumnRenamed("hs", "shingles"))
 
   /** px17's core over any documents frame — exposed so the spec can drive
     * a planted full-containment fixture through the exact production path.
@@ -847,6 +877,12 @@ object Dedup {
   /** DuckDB mirrors of the hashed-shingle minhash/band pipeline. */
   private val hsSql =
     "list_transform(shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)"
+
+  /** Hashed shingle SET per doc — the oracle's [[docHashedShingles]]: same
+    * hash family as the minhash pipeline, distinct'd to set semantics. d4
+    * and px17 verify over this grain on BOTH engines. */
+  private val hashedShinglesSql =
+    s"hsds AS (SELECT doc_id, list_distinct($hsSql) AS hs FROM ds)"
   private def minhashSql(j: Int): String =
     s"list_min(list_transform(hs, h -> xor(h, ${seeds(j)})))"
   private def bandSql(a: Int, b: Int): String =
@@ -921,12 +957,13 @@ object Dedup {
          | FROM (SELECT doc_id, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH $candSql,
+         | $hashedShinglesSql,
          | j AS (SELECT d1, d2,
          |   ${graft.functions.ExactRatio.scaledSql(
-              "len(list_intersect(s1.shingles, s2.shingles))",
-              "len(s1.shingles) + len(s2.shingles) - len(list_intersect(s1.shingles, s2.shingles))",
+              "len(list_intersect(s1.hs, s2.hs))",
+              "len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))",
               10000L)} AS jaccard_bp
-         |   FROM cand JOIN ds s1 ON cand.d1 = s1.doc_id JOIN ds s2 ON cand.d2 = s2.doc_id)
+         |   FROM cand JOIN hsds s1 ON cand.d1 = s1.doc_id JOIN hsds s2 ON cand.d2 = s2.doc_id)
          | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin,
     // Oracle tractability bound (same contract as the fork-walk oracle's
     // WalkWindow): the recursive closure materializes O(family²) rows, fine
@@ -1018,10 +1055,11 @@ object Dedup {
          | ORDER BY tr.doc_id""".stripMargin,
     "px17_containment" ->
       s"""WITH ds AS ($docShinglesSql),
-         | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),
-         | test_sh AS (SELECT doc_id, unnest(shingles) AS sh FROM test),
-         | train_sh AS (SELECT doc_id AS train_id, unnest(shingles) AS sh
-         |   FROM ds WHERE doc_id % 10 <> 7),
+         | $hashedShinglesSql,
+         | test AS (SELECT doc_id, hs FROM hsds WHERE doc_id % 10 = 7),
+         | test_sh AS (SELECT doc_id, unnest(hs) AS sh FROM test),
+         | train_sh AS (SELECT doc_id AS train_id, unnest(hs) AS sh
+         |   FROM hsds WHERE doc_id % 10 <> 7),
          | pairs AS (SELECT t.doc_id, r.train_id, count(*) AS n_shared
          |   FROM test_sh t JOIN train_sh r USING (sh) GROUP BY 1, 2),
          | best AS (SELECT doc_id, train_id, n_shared FROM (
@@ -1029,10 +1067,10 @@ object Dedup {
          |       PARTITION BY doc_id ORDER BY n_shared DESC, train_id) AS rn
          |     FROM pairs) WHERE rn = 1),
          | scored AS (SELECT t.doc_id,
-         |     CAST(len(t.shingles) AS BIGINT) AS n_shingles,
+         |     CAST(len(t.hs) AS BIGINT) AS n_shingles,
          |     CAST(coalesce(b.train_id, -1) AS BIGINT) AS best_train_id,
          |     ${graft.functions.ExactRatio.scaledSql("coalesce(b.n_shared, 0)",
-              "len(t.shingles)", 10000L)} AS containment_bp
+              "len(t.hs)", 10000L)} AS containment_bp
          |   FROM test t LEFT JOIN best b ON t.doc_id = b.doc_id)
          | SELECT doc_id, n_shingles, best_train_id, containment_bp,
          |   containment_bp >= $ContainMinBp AS contaminated

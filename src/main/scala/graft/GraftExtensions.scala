@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.expressions.{DotProduct, Sha512_256}
+import graft.expressions.{DotProduct, Sha512_256, SortedLongIntersect}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so they resolve by name in SQL and via call_function — the
@@ -24,7 +24,10 @@ object GraftExtensions {
         DotProduct(c(0), c(1))),
     (FunctionIdentifier("graft_sha512_256"), Sha512_256.info,
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Sha512_256(c(0))))
+        Sha512_256(c(0))),
+    (FunctionIdentifier("graft_isect"), SortedLongIntersect.info,
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersect(c(0), c(1))))
 
   /** Idempotent per-session registration, for sessions built without
     * `.withExtensions` (e.g. a harness-owned SparkSession running one of

@@ -36,6 +36,18 @@ object Probe {
       time("f1 full 2nd")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
       spark.stop(); return
     }
+    if (args.contains("d4")) {
+      time("warm docs")(Tables.documents(spark, d).count())
+      time("pairs (memo build)")(operators.Dedup.lshPairsCached(spark, d).count())
+      time("pairs 2nd (memo hit)")(operators.Dedup.lshPairsCached(spark, d).count())
+      time("joins only")(operators.Dedup.d4Joined(spark, d).count())
+      time("joins+isect")(operators.Dedup.d4Joined(spark, d)
+        .select(call_function("graft_isect", col("sh1"), col("sh2")).as("i"))
+        .filter(col("i") >= 0L).count())
+      time("d4 full")(operators.Dedup.queries("d4_ngram_jaccard")(spark, d).count())
+      time("d4 full 2nd")(operators.Dedup.queries("d4_ngram_jaccard")(spark, d).count())
+      spark.stop(); return
+    }
     if (args.contains("d8")) {
       time("warm docs")(Tables.documents(spark, d).count())
       time("simhashFrame")(operators.Dedup.simhashFrame(spark, d).count())

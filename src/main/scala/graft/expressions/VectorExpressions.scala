@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the embedding hot loop (SURVEY §2.11:
   * promote to codegen where benchmarks demand — the knn/near-dup joins
@@ -65,4 +65,84 @@ case class DotProduct(left: Expression, right: Expression)
 
 object DotProduct {
   val info = new ExpressionInfo(classOf[DotProduct].getName, "graft_dot")
+}
+
+/** `graft_isect(a, b)` — |a ∩ b| for two array<long> SORTED ASCENDING
+  * (callers sort once at set-build time, e.g. Dedup's hashed-shingle
+  * memo): a single allocation-free two-pointer merge per evaluation.
+  *
+  * Exists because `size(array_intersect(a, b))` builds a hash set and a
+  * result array PER CALL — and when a derived filter (d4's
+  * `jaccard_bp >= 5000`) is pushed into a join condition, Catalyst inlines
+  * the intersect into every occurrence of the derived column (~15× in the
+  * expanded ExactRatio CASE), so the hash-set cost multiplies. Measured at
+  * sf1: d4's verify joins dropped 60 s → ~2 s with this expression; the
+  * merge is so cheap the duplicate inlined evaluations stop mattering.
+  *
+  * Precondition is the caller's: on UNSORTED input the count is simply
+  * wrong (no runtime sortedness check — it would cost the pass this
+  * expression removes). Duplicate elements count once per aligned run,
+  * so inputs should be sets (array_distinct) — both preconditions hold by
+  * construction for the one producer ([[graft.operators.Dedup]]). */
+case class SortedLongIntersect(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_isect expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_isect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var acc = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { acc += 1L; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersect {
+  val info = new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_isect")
 }

@@ -62,7 +62,11 @@ object Dedup {
     graft.Memo.cached(s, d, "doc_hs", "documents.parquet")(
       docShingles(s, d).select(
         col("doc_id"),
-        array_distinct(transform(col("shingles"), x => h64(x))).as("hs")))
+        // sorted ascending: graft_isect's merge-walk precondition (d4).
+        // minhash (min over xor'd hashes) and explode consumers (px17)
+        // are order-insensitive, so one sort at set-build time serves all.
+        sort_array(array_distinct(transform(col("shingles"), x => h64(x))))
+          .as("hs")))
 
   /** D1 — exact dedup by content hash: one row per distinct content, the
     * kept doc is min(doc_id) (deterministic survivor rule). */
@@ -252,17 +256,41 @@ object Dedup {
     * generation, exact row-local verification). A shared-shingle all-pairs
     * join would blow up super-linearly on a small vocabulary (~48M
     * intermediate rows at sf0.1); verifying O(candidates) pairs is the
-    * shape that survives 100 TB. */
-  private val d4: Q = (s, d) => {
+    * shape that survives 100 TB.
+    *
+    * The intersect is graft_isect (expressions.SortedLongIntersect), not
+    * size(array_intersect): Catalyst pushes the jaccard filter into the
+    * second join's condition and inlines the intersect into every
+    * occurrence of the derived column (~15× in the expanded CASE), so the
+    * per-call cost multiplies — hash-set array_intersect made the verify
+    * joins 60 s at sf1; the allocation-free sorted merge stays ~2 s even
+    * with the same inlining. */
+  /** d4's pair frame with both hs payloads attached, pre-scoring — split
+    * out so Probe can time the joins separately from the jaccard filter. */
+  private[graft] def d4Joined(s: SparkSession, d: String): DataFrame = {
     val ds = docHashedShingles(s, d)
     lshPairsCached(s, d)
       .join(ds.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
       .join(ds.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+  }
+
+  private val d4: Q = (s, d) => {
+    // The threshold filter is the ALGEBRAIC form of jaccard_bp >= 5000:
+    // with u = |A∪B| = n1+n2−i > 0, floor((20000i+u)/2u) >= 5000 ⟺
+    // 20000i >= 9999u ⟺ 29999·i >= 9999·(n1+n2). Filtering on the big
+    // ExactRatio CASE directly let Catalyst inline it (isect and all)
+    // into the join condition — a generated method past the JVM's
+    // huge-method JIT limit, which ran interpreted at ~60 µs/row (16 s
+    // at sf1). The 3-node integer predicate inlines harmlessly; the
+    // ExactRatio projection below evaluates once per SURVIVING row.
+    d4Joined(s, d)
+      .filter(call_function("graft_isect", col("sh1"), col("sh2")) * 29999L >=
+        (size(col("sh1")) + size(col("sh2"))).cast("long") * 9999L &&
+        (size(col("sh1")) + size(col("sh2"))) > 0)
+      .withColumn("inter", call_function("graft_isect", col("sh1"), col("sh2")))
       .withColumn("jaccard_bp", graft.functions.ExactRatio.scaled(
         col("inter"),
         (size(col("sh1")) + size(col("sh2"))).cast("long") - col("inter"), 10000L))
-      .filter(col("jaccard_bp") >= 5000L)
       .select(col("d1"), col("d2"), col("jaccard_bp"))
       .orderBy(col("d1"), col("d2"))
   }

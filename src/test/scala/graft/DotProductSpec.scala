@@ -42,4 +42,51 @@ class DotProductSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("graft_dot") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("graft_isect equals size(array_intersect) on random sorted long sets") {
+    GraftExtensions.ensure(spark)
+    // deterministic pseudo-random sets: two hash families over ranges of
+    // varying length, distinct'd and sorted — the producer's exact shape
+    val df = spark.range(2000)
+      .select(col("id"),
+        sort_array(array_distinct(transform(
+          sequence(lit(0), (col("id") % 37) + 3),
+          i => pmod(hash(col("id") * 31 + i), lit(50)).cast("long")))).as("a"),
+        sort_array(array_distinct(transform(
+          sequence(lit(0), (col("id") % 29) + 3),
+          i => pmod(hash(col("id") * 17 + i * 7), lit(50)).cast("long")))).as("b"))
+      .withColumn("native", call_function("graft_isect", col("a"), col("b")))
+      .withColumn("builtin", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("native") =!= col("builtin")).count() === 0L)
+  }
+
+  test("graft_isect edge cases: empty, disjoint, identical, subset") {
+    GraftExtensions.ensure(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  graft_isect(cast(array() AS array<bigint>), array(1L, 2L)) AS empty,
+        |  graft_isect(array(1L, 3L), array(2L, 4L)) AS disjoint,
+        |  graft_isect(array(1L, 2L, 3L), array(1L, 2L, 3L)) AS identical,
+        |  graft_isect(array(2L, 3L), array(1L, 2L, 3L, 9L)) AS subset""".stripMargin)
+      .head()
+    assert(rows.getLong(0) === 0L && rows.getLong(1) === 0L &&
+      rows.getLong(2) === 3L && rows.getLong(3) === 2L)
+  }
+
+  test("graft_isect participates in whole-stage codegen") {
+    GraftExtensions.ensure(spark)
+    val plan = spark.sql(
+      "SELECT graft_isect(array(id, 5L), array(5L, 9L)) FROM range(10)")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_isect"))
+  }
+
+  test("graft_isect rejects non-long-array inputs at analysis time") {
+    GraftExtensions.ensure(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_isect(array(1.0d), array(1L))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_isect") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
 }

@@ -68,7 +68,15 @@ object Bench {
     // and surfaced both in a "failed" JSON field and on stderr.
     val results = chosen.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // stderr progress line per query: at rehearsal scales (sf1/sf10 —
+        // SCALE.md) a run is tens of minutes, and a silent stall would be
+        // undiagnosable; stdout stays the one-JSON-line contract.
+        System.err.println(f"[bench] $name $dt%.2f s")
+        name -> dt
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0

@@ -306,7 +306,17 @@ object Dedup {
   /** D5 — embedding-cosine near-dup pairs (threshold 0.35), blocked by the
     * `label` column (coarse IVF-style cell): pairs are only compared within
     * a block, turning O(n²) into Σ O(|cell|²) — the partition-pruned scale
-    * path. Exact cosine on the candidates. */
+    * path. Exact cosine on the candidates.
+    *
+    * Scale boundary, stated honestly (SCALE.md "sf10" section): at a LOOSE
+    * threshold on clustered vectors the ANSWER is quadratic — most
+    * within-cluster pairs qualify, so no blocking scheme can make pair
+    * enumeration linear (same output-bound class as j13). The blocking key
+    * must also refine with corpus size (a trained codebook, as in x3, not
+    * this fixed 10-label column). d5/d7/x6 are therefore gated at the
+    * oracle scales but EXCLUDED from the ≥sf10 rehearsals; the production
+    * embedding-dedup shapes at that scale are x3/x5's cell-blocked capped
+    * top-k and d7's clustering run per cell. */
   private val d5: Q = (s, d) => {
     graft.GraftExtensions.ensure(s)
     // norm is computed ONCE per vector (row-local) — per-pair work is a

@@ -39,18 +39,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  /** Per-domain key offsets = exact sf0.1 max + 1 (o_orderkey ≤ 149 999,
-    * event_id ≤ 99 999, user_id ≤ 1 499, doc_id ≤ 4 999, vec_id ≤ 1 999).
-    * Using the exact max keeps the scaled key space CONTIGUOUS, so
-    * density-sensitive plans (w5's min→max gap-fill grid, height-bucket
-    * widths) see the same fill ratio as the original — a round-power
-    * offset would pad each copy with an artificial 6× dead zone and
-    * charge the gap-fill family for synthetic heights. */
-  private val OrderOff = 150000L
-  private val EventOff = 100000L
-  private val UserOff = 1500L
-  private val DocOff = 5000L
-  private val VecOff = 2000L
+  /** Per-domain key offset = exact SOURCE max + 1, DERIVED from the data
+    * (one cheap max() agg per key column), never a constant: the r8 form
+    * pinned the offsets to the sf0.1 maxima, so running ScaleUp against any
+    * other source (the sf1 output to build sf10, regenerated testdata with
+    * larger key maxima) silently produced OVERLAPPING key spaces — cross-
+    * copy FK joins matched and counts no longer multiplied by F, with no
+    * error anywhere (ADVICE r8, medium). Using the exact max keeps the
+    * scaled key space CONTIGUOUS, so density-sensitive plans (w5's min→max
+    * gap-fill grid, height-bucket widths) see the same fill ratio as the
+    * original — a round-power offset would pad each copy with an
+    * artificial dead zone and charge the gap-fill family for synthetic
+    * heights. */
+  private[graft] def keyOff(dfs: Seq[DataFrame], keyCols: Seq[String]): Long =
+    dfs.zip(keyCols).map { case (df, c) =>
+      df.agg(max(col(c).cast("long"))).head.getLong(0)
+    }.max + 1L
 
   /** Union F copies of `df`, transforming copy i via `remap(df, i)`.
     * Copy 0 is the identity so the original rows survive verbatim. */
@@ -58,39 +62,51 @@ object ScaleUp {
       remap: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until f).map(i => remap(df, i)).reduce(_ unionByName _)
 
-  def scaleOrders(df: DataFrame, f: Int): DataFrame =
+  /** orders/lineitem share ONE offset over max(o_orderkey, l_orderkey) so
+    * scaled FK joins fan out inside a copy, never across copies. */
+  def orderOff(orders: DataFrame, lineitem: DataFrame): Long =
+    keyOff(Seq(orders, lineitem), Seq("o_orderkey", "l_orderkey"))
+
+  def scaleOrders(df: DataFrame, f: Int, off: Long): DataFrame =
     replicate(df, f) { (d, i) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderOff))
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
     }
 
-  def scaleLineitem(df: DataFrame, f: Int): DataFrame =
+  def scaleLineitem(df: DataFrame, f: Int, off: Long): DataFrame =
     replicate(df, f) { (d, i) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderOff))
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
     }
 
-  def scaleEvents(df: DataFrame, f: Int): DataFrame =
+  def scaleEvents(df: DataFrame, f: Int): DataFrame = {
+    val eventOff = keyOff(Seq(df), Seq("event_id"))
+    val userOff = keyOff(Seq(df), Seq("user_id"))
     replicate(df, f) { (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * EventOff))
-        .withColumn("user_id", col("user_id") + lit(i * UserOff))
+      d.withColumn("event_id", col("event_id") + lit(i * eventOff))
+        .withColumn("user_id", col("user_id") + lit(i * userOff))
     }
+  }
 
-  def scaleDocuments(df: DataFrame, f: Int): DataFrame =
+  def scaleDocuments(df: DataFrame, f: Int): DataFrame = {
+    val off = keyOff(Seq(df), Seq("doc_id"))
     replicate(df, f) { (d, i) =>
       if (i == 0) d
       else d
-        .withColumn("doc_id", col("doc_id") + lit(i * DocOff))
+        .withColumn("doc_id", col("doc_id") + lit(i * off))
         .withColumn("text", concat(col("text"), lit(s" zc$i")))
         .withColumn("n_chars", length(col("text")))
     }
+  }
 
-  def scaleEmbeddings(df: DataFrame, f: Int): DataFrame =
+  def scaleEmbeddings(df: DataFrame, f: Int): DataFrame = {
+    val off = keyOff(Seq(df), Seq("vec_id"))
     replicate(df, f) { (d, i) =>
       if (i == 0) d
       else d
-        .withColumn("vec_id", col("vec_id") + lit(i * VecOff))
+        .withColumn("vec_id", col("vec_id") + lit(i * off))
         .withColumn("embedding", transform(col("embedding"), (x, idx) =>
           when(idx === 0, x + lit(i * 1e-3f)).otherwise(x)))
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -109,8 +125,11 @@ object ScaleUp {
       write(n, spark.read.parquet(s"$srcDir/$n.parquet"))
     }
     // facts: disjoint-key replication
-    write("orders", scaleOrders(spark.read.parquet(s"$srcDir/orders.parquet"), factor))
-    write("lineitem", scaleLineitem(spark.read.parquet(s"$srcDir/lineitem.parquet"), factor))
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    val oOff = orderOff(orders, lineitem)
+    write("orders", scaleOrders(orders, factor, oOff))
+    write("lineitem", scaleLineitem(lineitem, factor, oOff))
     write("events", scaleEvents(Tables.events(spark, srcDir), factor))
     write("documents", scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor))
     write("embeddings", scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor))

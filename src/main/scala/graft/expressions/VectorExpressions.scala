@@ -83,7 +83,12 @@ object DotProduct {
   * wrong (no runtime sortedness check — it would cost the pass this
   * expression removes). Duplicate elements count once per aligned run,
   * so inputs should be sets (array_distinct) — both preconditions hold by
-  * construction for the one producer ([[graft.operators.Dedup]]). */
+  * construction for the one producer ([[graft.operators.Dedup]]).
+  *
+  * NULL ELEMENTS are skipped in both eval paths (a null is never a match):
+  * the in-repo producer emits non-null arrays, but the function is
+  * SQL-registered and callable on arbitrary arrays, and an unguarded
+  * getLong would read a null slot as 0 and silently miscount (ADVICE r8). */
 case class SortedLongIntersect(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -106,10 +111,14 @@ case class SortedLongIntersect(left: Expression, right: Expression)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var acc = 0L
     while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { acc += 1L; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { acc += 1L; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     acc
   }
@@ -129,6 +138,8 @@ case class SortedLongIntersect(left: Expression, right: Expression)
          |int $i = 0; int $j = 0;
          |long $acc = 0L;
          |while ($i < $nx && $j < $ny) {
+         |  if ($a.isNullAt($i)) { $i++; continue; }
+         |  if ($b.isNullAt($j)) { $j++; continue; }
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv == $yv) { $acc++; $i++; $j++; }

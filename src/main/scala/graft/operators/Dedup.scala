@@ -268,6 +268,10 @@ object Dedup {
   /** d4's pair frame with both hs payloads attached, pre-scoring — split
     * out so Probe can time the joins separately from the jaccard filter. */
   private[graft] def d4Joined(s: SparkSession, d: String): DataFrame = {
+    // harness-owned sessions are built without .withExtensions; register
+    // graft_isect before any consumer (d4's filter, Probe's reuse) resolves
+    // it (ADVICE r8 — d5/CryptoQueries already follow this convention)
+    graft.GraftExtensions.ensure(s)
     val ds = docHashedShingles(s, d)
     lshPairsCached(s, d)
       .join(ds.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")

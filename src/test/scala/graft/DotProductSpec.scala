@@ -73,6 +73,27 @@ class DotProductSpec extends SparkSpec {
       rows.getLong(2) === 3L && rows.getLong(3) === 2L)
   }
 
+  test("graft_isect skips null elements (never reads a null slot as 0)") {
+    GraftExtensions.ensure(spark)
+    // nulls sort FIRST in array_sort; two null-leading arrays must not
+    // spuriously match on the 0-read of a null slot (ADVICE r8), and the
+    // non-null tail still counts — both interpreted and codegen paths
+    val sql =
+      """SELECT
+        |  graft_isect(array(CAST(NULL AS BIGINT), 2L, 5L),
+        |              array(CAST(NULL AS BIGINT), 3L, 5L)) AS tail_match,
+        |  graft_isect(array(CAST(NULL AS BIGINT)), array(CAST(NULL AS BIGINT))) AS all_null""".stripMargin
+    val rows = spark.sql(sql).head()
+    assert(rows.getLong(0) === 1L && rows.getLong(1) === 0L)
+    // same answers off the codegen path (literal folding may constant-fold
+    // the above; force per-row eval through a column)
+    val df = spark.range(3).select(
+      call_function("graft_isect",
+        array(lit(null).cast("bigint"), col("id"), lit(9L)),
+        array(lit(null).cast("bigint"), lit(9L))).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L))
+  }
+
   test("graft_isect participates in whole-stage codegen") {
     GraftExtensions.ensure(spark)
     val plan = spark.sql(

@@ -14,7 +14,8 @@ class ScaleUpSpec extends SparkSpec {
 
   test("copy 0 is the identity: original rows survive verbatim") {
     val orig = Tables.lineitem(spark, sf)
-    val scaled = ScaleUp.scaleLineitem(orig, F)
+    val scaled = ScaleUp.scaleLineitem(orig, F,
+      ScaleUp.orderOff(Tables.orders(spark, sf), orig))
     // the slice of the scaled table inside the original key range IS the
     // original (except-both-ways = set equality; lineitem has no dup rows
     // within a key, and any diff would surface in either direction)
@@ -24,7 +25,8 @@ class ScaleUpSpec extends SparkSpec {
 
   test("row counts multiply by F; key spaces are disjoint per copy") {
     val orders = Tables.orders(spark, sf)
-    val scaled = ScaleUp.scaleOrders(orders, F)
+    val scaled = ScaleUp.scaleOrders(orders, F,
+      ScaleUp.orderOff(orders, Tables.lineitem(spark, sf)))
     assert(scaled.count() == F * orders.count())
     // disjoint: every key distinct-counts F times the original distincts
     assert(scaled.select(countDistinct("o_orderkey")).head.getLong(0) ==
@@ -32,8 +34,9 @@ class ScaleUpSpec extends SparkSpec {
   }
 
   test("orders and lineitem share the same offset: FK fan-out preserved") {
-    val o = ScaleUp.scaleOrders(Tables.orders(spark, sf), F)
-    val l = ScaleUp.scaleLineitem(Tables.lineitem(spark, sf), F)
+    val off = ScaleUp.orderOff(Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    val o = ScaleUp.scaleOrders(Tables.orders(spark, sf), F, off)
+    val l = ScaleUp.scaleLineitem(Tables.lineitem(spark, sf), F, off)
     // every scaled lineitem still matches exactly one scaled order, and the
     // total join cardinality is F x the original join (no cross-copy match)
     val origJoin = Tables.lineitem(spark, sf).join(
@@ -46,17 +49,19 @@ class ScaleUpSpec extends SparkSpec {
     assert(d.filter(length(col("text")) =!= col("n_chars")).isEmpty)
     // all F copies of a doc share the original text as a prefix → shingle
     // overlap stays high (the cross-copy near-dup stress is real)
+    val docOff = ScaleUp.keyOff(Seq(Tables.documents(spark, sf)), Seq("doc_id"))
     val orig = Tables.documents(spark, sf).select(col("doc_id"), col("text").as("t0"))
-    val joined = d.withColumn("base_id", col("doc_id") % lit(5000L))
+    val joined = d.withColumn("base_id", col("doc_id") % lit(docOff))
       .join(orig.withColumnRenamed("doc_id", "base_id"), "base_id")
     assert(joined.filter(!col("text").startsWith(col("t0"))).isEmpty)
   }
 
   test("embeddings: perturbation is tiny and only on component 0") {
     val e = ScaleUp.scaleEmbeddings(Tables.embeddings(spark, sf), F)
+    val vecOff = ScaleUp.keyOff(Seq(Tables.embeddings(spark, sf)), Seq("vec_id"))
     val orig = Tables.embeddings(spark, sf)
       .select(col("vec_id").as("base_id"), col("embedding").as("e0"))
-    val joined = e.withColumn("base_id", col("vec_id") % lit(2000L))
+    val joined = e.withColumn("base_id", col("vec_id") % lit(vecOff))
       .join(orig, "base_id")
     // tail components identical; component 0 within F*1e-3 of the original
     assert(joined.filter(

@@ -40,19 +40,40 @@ object Bench {
     // deterministic name order: run-to-run comparability beats hash order
     val chosen = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Shared-core (Memo) builds are attributed to their OWN `memo:<tag>`
+    // line items, and the enclosing query's time is reported build-free:
+    // memoization made per-query numbers order-dependent (the first query
+    // touching a core paid its whole build — d10 vs d2 in BENCH_r08), so
+    // cross-round per-query comparison needs the build cost separated
+    // (VERDICT r8 item 3). Warmup-phase builds are captured the same way
+    // (their wall-clock is measured inside Memo, not by this loop), so
+    // every core build in the session is visible exactly once and the
+    // suite total = pure query time + all core builds.
+    Memo.drainBuilds() // discard pre-run noise (e.g. spec leftovers)
+    val memoBuilds = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def drainInto(): Double = {
+      val builds = Memo.drainBuilds()
+      builds.foreach { case (tag, sec) =>
+        memoBuilds.updateWith(s"memo:$tag") {
+          case Some(x) => Some(x + sec); case None => Some(sec) }
+      }
+      builds.map(_._2).sum
+    }
     // Warm the JVM/codegen/scan paths once per FAMILY so the first timed
     // query of each isn't charged JIT/codegen warmup (r1: first query +4s;
     // r3: family-first queries +1-2s each). Families and their warm query
     // are DERIVED from the registry (first name per letter prefix), so a
     // renamed query can never silently re-skew family-first timings
     // (ADVICE r3; the old form hard-coded four names). Warmup time is not
-    // part of any query's timing; failures are loud on stderr only (never
-    // stdout — the JSON line contract).
+    // part of any query's timing (core builds it triggers ARE, as their
+    // own memo items); failures are loud on stderr only (never stdout —
+    // the JSON line contract).
     chosen.map(_._1).groupBy(_.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
       .map(_._2.head).foreach { w =>
         try SparkEntry.queries(w)(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
       }
+    drainInto() // attribute warmup-triggered core builds
     // calibration brackets the run (machine speed can drift mid-run).
     // min of the two probes: the probe estimates the VM's steady speed for
     // CROSS-SESSION normalization, and transient contention/GC can only
@@ -70,7 +91,7 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9 - drainInto()
         // stderr progress line per query: at rehearsal scales (sf1/sf10 —
         // SCALE.md) a run is tens of minutes, and a silent stall would be
         // undiagnosable; stdout stays the one-JSON-line contract.
@@ -78,10 +99,11 @@ object Bench {
         name -> dt
       }
       catch { case e: Throwable =>
+        drainInto() // a build that completed before the crash still counts
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
       }
-    }
+    } ++ memoBuilds.toSeq
     val calibAfter = calibrate(spark)
     val calib = math.min(calibBefore, calibAfter)
     val failed = results.collect { case (k, v) if v < 0 => k }

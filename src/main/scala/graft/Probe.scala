@@ -73,6 +73,27 @@ object Probe {
       time("d8 again (cached)")(operators.Dedup.queries("d8_simhash_clusters")(spark, d).count())
       spark.stop(); return
     }
+    if (args.contains("cellasg")) {
+      time("warm emb")(Tables.embeddings(spark, d).count())
+      time("kmeans train (scaledK)")(
+        operators.Similarity.scaledCodebook(spark, d).size.toLong)
+      val cb = operators.Similarity.scaledCodebook(spark, d)
+      val v = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+      time("assign plan+exec")(operators.Similarity.assignCells(v, cb).count())
+      time("assign 2nd")(operators.Similarity.assignCells(v, cb).count())
+      time("assign+checkpoint")(
+        operators.Similarity.assignCells(v, cb).localCheckpoint(true).count())
+      time("scaledAssigned (memo)")(
+        operators.Similarity.scaledAssigned(spark, d).count())
+      time("scaledAssigned 2nd")(
+        operators.Similarity.scaledAssigned(spark, d).count())
+      time("d5 full")(operators.Dedup.queries("d5_embedding_neardup")(spark, d).count())
+      time("x3b full")(operators.Similarity.queries("x3b_ann_ivf_trained")(spark, d).count())
+      time("x3b 2nd")(operators.Similarity.queries("x3b_ann_ivf_trained")(spark, d).count())
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, d)
     time("scan")(docs.count())
     time("tokens")(docs.select(toks(col("text")).as("tk")).agg(sum(size(col("tk")))).head().getLong(0))

@@ -34,8 +34,20 @@ object SparkEntry {
       plans.ForkWalk.queries ++
       plans.PageRank.queries
 
+  /** Dir-aware oracle set: the static map plus the entries that EMBED
+    * data-derived literals — the trained k-means codebook the embedding
+    * family (d5/d7/x6/x3b) blocks on cannot be a static string, so those
+    * oracles are generated against the actual data dir at Verify dump
+    * time. Training is deterministic per (dir, data) and the centroids
+    * round-trip exactly as SQL literals, so the hash gate stays exact. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++
+      operators.Dedup.dynamicOracles(spark, sfDir) ++
+      operators.Similarity.dynamicOracles(spark, sfDir)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops and for
+    * the dir-dependent entries [[oracleSqlFor]] adds. */
   def oracleSql: Map[String, String] =
     operators.RelationalCore.oracles ++
       operators.JoinStrategies.oracles ++

@@ -41,7 +41,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dir-aware: includes the literal-codebook oracles (d5/d7/x6/x3b)
+    // generated against THIS sfDir
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

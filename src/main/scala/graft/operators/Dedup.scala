@@ -307,29 +307,26 @@ object Dedup {
   private def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  /** D5 — embedding-cosine near-dup pairs (threshold 0.35), blocked by the
-    * `label` column (coarse IVF-style cell): pairs are only compared within
-    * a block, turning O(n²) into Σ O(|cell|²) — the partition-pruned scale
-    * path. Exact cosine on the candidates.
+  /** D5 — embedding-cosine near-dup pairs (threshold 0.35), blocked by
+    * TRAINED codebook cell (Similarity.scaledAssigned — k-means at
+    * k = ⌈√n⌉): pairs are only compared within a cell, turning O(n²) into
+    * Σ O(|cell|²) — and because the codebook REFINES with corpus size
+    * (√n cells of √n expected members), within-cell pair work grows
+    * n^1.5, sub-quadratic per decade. The r8 form blocked on the fixed
+    * 10-value `label` column, whose cells grew linearly with n (100× pair
+    * work per 10× data — the one `weak` shape in VERDICT r8); the trained
+    * cells close it, and the oracle embeds the same centroids as SQL
+    * literals so the hash gate stays exact. Exact cosine on candidates;
+    * norm computed ONCE per vector (row-local in scaledAssigned).
     *
-    * Scale boundary, stated honestly (SCALE.md "sf10" section): at a LOOSE
-    * threshold on clustered vectors the ANSWER is quadratic — most
-    * within-cluster pairs qualify, so no blocking scheme can make pair
-    * enumeration linear (same output-bound class as j13). The blocking key
-    * must also refine with corpus size (a trained codebook, as in x3, not
-    * this fixed 10-label column). d5/d7/x6 are therefore gated at the
-    * oracle scales but EXCLUDED from the ≥sf10 rehearsals; the production
-    * embedding-dedup shapes at that scale are x3/x5's cell-blocked capped
-    * top-k and d7's clustering run per cell. */
+    * Honest residual boundary: at a LOOSE threshold on clustered vectors
+    * the ANSWER itself is quadratic (most within-cluster pairs qualify —
+    * same output-bound class as j13); no blocking scheme changes that,
+    * only the candidate-generation cost, which this one bounds. */
   private val d5: Q = (s, d) => {
-    graft.GraftExtensions.ensure(s)
-    // norm is computed ONCE per vector (row-local) — per-pair work is a
-    // single dot product, not three.
-    val v = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val v = Similarity.scaledAssigned(s, d)
     val a = v.as("a"); val b = v.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
@@ -948,15 +945,42 @@ object Dedup {
   private val dotSql =
     "list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]))"
 
-  /** d5's full pair query — its own oracle, and the edge set d7 closes. */
-  private val d5PairSql =
-    s"""WITH v0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       | v AS (SELECT vec_id, label, v,
+  /** d5's full pair query — its own oracle, and the edge set d7 closes.
+    * DYNAMIC (a function of the data dir): the blocking cells come from
+    * the Spark-trained codebook, embedded as SQL literals
+    * (Similarity.scaledAsgCte) — deterministic training, exact round-trip
+    * doubles, so the hash gate stays exact. */
+  private def d5PairSqlFor(s: SparkSession, d: String): String =
+    s"""WITH v0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       | v AS (SELECT vec_id, v,
        |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm FROM v0),
+       |${Similarity.scaledAsgCte(s, d)},
        | p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
        |   round($dotSql / (a.norm * b.norm), 4) AS cos
-       |   FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |   FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
        | SELECT v1, v2, cos FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
+
+  /** Oracles that EMBED data-derived literals (the trained blocking
+    * codebook) — generated against the actual dir at Verify dump time
+    * (SparkEntry.oracleSqlFor); same contract as Similarity.dynamicOracles. */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
+    "d5_embedding_neardup" -> d5PairSqlFor(s, d),
+    // same oracle-tractability bound as d6: the recursive closure is
+    // O(family²) on the testdata's small duplicate families; the Spark
+    // side never materializes a closure at any scale
+    "d7_embedding_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT v1, v2 FROM (${d5PairSqlFor(s, d)})),
+         | edges AS (SELECT v1 AS x, v2 AS y FROM p UNION SELECT v2, v1 FROM p),
+         | reach(x, y) AS (
+         |   SELECT x, y FROM edges
+         |   UNION
+         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         | lab AS (SELECT em.vec_id,
+         |     least(em.vec_id, coalesce(min(r.y), em.vec_id)) AS cluster_id
+         |   FROM embeddings em LEFT JOIN reach r ON r.x = em.vec_id
+         |   GROUP BY em.vec_id)
+         | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+         | FROM lab ORDER BY vec_id""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1024,23 +1048,8 @@ object Dedup {
          |   GROUP BY d.doc_id)
          | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
          | FROM lab ORDER BY doc_id""".stripMargin,
-    // same oracle-tractability bound as d6: the recursive closure is
-    // O(family²) on the testdata's small duplicate families; the Spark
-    // side never materializes a closure at any scale
-    "d7_embedding_clusters" ->
-      s"""WITH RECURSIVE p AS (SELECT v1, v2 FROM ($d5PairSql)),
-         | edges AS (SELECT v1 AS x, v2 AS y FROM p UNION SELECT v2, v1 FROM p),
-         | reach(x, y) AS (
-         |   SELECT x, y FROM edges
-         |   UNION
-         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         | lab AS (SELECT em.vec_id,
-         |     least(em.vec_id, coalesce(min(r.y), em.vec_id)) AS cluster_id
-         |   FROM embeddings em LEFT JOIN reach r ON r.x = em.vec_id
-         |   GROUP BY em.vec_id)
-         | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
-         | FROM lab ORDER BY vec_id""".stripMargin,
-    // same closure-oracle tractability bound as d6/d7
+    // same closure-oracle tractability bound as d6 (d7's closure oracle is
+    // dir-dependent — see dynamicOracles)
     "d8_simhash_clusters" -> {
       val sh32 = (1 to 32).map { p =>
         s"(CASE WHEN list_sum(list_transform(shingles, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
@@ -1136,7 +1145,8 @@ object Dedup {
          |   ${graft.functions.ExactRatio.scaledSql("coalesce(pd.n_dup_chunks, 0)",
               "coalesce(pd.n_chunks, 0)", 10000L)} AS dup_chunk_bp
          | FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id ORDER BY t.doc_id""".stripMargin,
-    "d5_embedding_neardup" -> d5PairSql,
+    // d5's oracle is dir-dependent (literal trained codebook) — see
+    // dynamicOracles
     // same chunking via zipped unnest + generate_subscripts: DuckDB's
     // (pos-1)//W group IS Spark's slice(toks, i*W+1, W) passage
     "px8_passage_dedup" ->

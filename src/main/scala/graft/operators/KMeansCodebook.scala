@@ -42,12 +42,28 @@ object KMeansCodebook {
       // HOF fold). The old crossJoin + row_number form shuffled and sorted
       // k×sample rows per iteration to compute this per-row-local value
       // (r3 finding).
-      val assigned = sample
-        .withColumn("best", greatest(centroids.map { case (id, c) =>
-          struct(call_function("graft_dot", col("v"), typedlit(c)).as("cos"),
-            lit(-id).as("neg_id"))
-        }: _*))
-        .withColumn("cell_id", -col("best.neg_id"))
+      // same unroll-vs-join switch as Similarity.assignCells: unrolled
+      // greatest() below UnrollMax (plan/codegen size grows with k),
+      // broadcast-join + max_by above it — identical argmax either way
+      // ((dot, -id) total order; graft_dot both sides), spec-proven
+      val assigned =
+        if (k <= Similarity.UnrollMax) sample
+          .withColumn("best", greatest(centroids.map { case (id, c) =>
+            struct(call_function("graft_dot", col("v"), typedlit(c)).as("cos"),
+              lit(-id).as("neg_id"))
+          }: _*))
+          .withColumn("cell_id", -col("best.neg_id"))
+        else {
+          val cbDf = s.createDataFrame(centroids).toDF("cid", "cv")
+          sample.crossJoin(broadcast(cbDf))
+            .withColumn("score", struct(
+              call_function("graft_dot", col("v"), col("cv")).as("cos"),
+              (-col("cid")).as("neg_id")))
+            .groupBy(col("vec_id"))
+            .agg(max_by(struct(col("v"), col("cid")), col("score")).as("b"))
+            .select(col("vec_id"), col("b.v").as("v"),
+              col("b.cid").as("cell_id"))
+        }
       // decimal mean, not double: decimal addition is exactly associative
       // and commutative, so the aggregate is IDENTICAL whatever order
       // shuffle fetches merge partials in — double sums vary in the last

@@ -215,11 +215,44 @@ object Similarity {
     * same codebook and appends — no rebuild, no rescan, and incremental ≡
     * one-shot exactly (spec-proven), the ANN twin of d9's band-index
     * admit. */
+  /** Above this codebook size the statically-unrolled greatest() argmax
+    * stops being the right plan: k literal struct scores inflate analysis
+    * and generated-code size linearly with k (and at k in the hundreds
+    * risk the huge-method JIT cliff the d4 rehearsal hit). Past it,
+    * assignment switches to the broadcast-join + max_by form — same
+    * argmax, same (cos DESC, cell_id ASC) total order, proven equal by
+    * spec — whose plan size is O(1) in k. 64 keeps every oracle-gated
+    * scale (k=23 at sf0.01, k=45 at sf0.1) on the unrolled fast path. */
+  private[graft] val UnrollMax = 64
+
   private[graft] def assignCells(v: DataFrame,
                                      cells: Seq[(Long, Seq[Double])]): DataFrame =
-    v.withColumn("best", greatest(cellNorms(cells).map(cellScore): _*))
-      .select(col("vec_id"), col("v"), col("norm"),
-        (-col("best.neg_id")).as("cell_id"))
+    if (cells.size <= UnrollMax)
+      v.withColumn("best", greatest(cellNorms(cells).map(cellScore): _*))
+        .select(col("vec_id"), col("v"), col("norm"),
+          (-col("best.neg_id")).as("cell_id"))
+    else assignCellsJoin(v, cells)
+
+  /** Join-form assignment for large codebooks: broadcast the k-row
+    * codebook, score each (vector, cell) pair, keep the per-vector argmax
+    * via max_by over the SAME (cos, -cell_id) struct order the unrolled
+    * form compares. Partial aggregation collapses the k-fanout to one row
+    * per vector before the exchange, so the shuffle carries n rows — the
+    * one-time postings-build cost every production IVF pays. */
+  private[graft] def assignCellsJoin(v: DataFrame,
+                                         cells: Seq[(Long, Seq[Double])]): DataFrame = {
+    val s = v.sparkSession
+    val cb = s.createDataFrame(cellNorms(cells)).toDF("cell_id", "cv", "cnorm")
+    v.crossJoin(broadcast(cb))
+      .withColumn("score", struct(
+        (dot(col("v"), col("cv")) / (col("norm") * col("cnorm"))).as("cos"),
+        (-col("cell_id")).as("neg_id")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("norm"), col("cell_id")),
+        col("score")).as("b"))
+      .select(col("vec_id"), col("b.v").as("v"), col("b.norm").as("norm"),
+        col("b.cell_id").as("cell_id"))
+  }
 
   /** Admit a delta of vectors into a stored IVF postings table: assign the
     * delta row-locally with the SAME broadcast codebook and append.
@@ -278,16 +311,60 @@ object Similarity {
   private val x3: Q = (s, d) =>
     rerank(ivfCands(vecs(s, d), fixedCodebook(s, d)), Seq("cell_id"))
 
+  /** Corpus size — ONE count against parquet row-group metadata, memoized
+    * per (dir, mtime); the input every adaptive-k decision derives from. */
+  private val nCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private[graft] def corpusN(s: SparkSession, d: String): Long = {
+    val fp = new java.io.File(s"$d/embeddings.parquet").lastModified
+    nCache.computeIfAbsent((d, fp), _ => Tables.embeddings(s, d).count()).longValue
+  }
+
+  /** ADAPTIVE codebook size k = max(8, ⌈√n⌉) — the blocking/IVF key must
+    * REFINE as the corpus grows (VERDICT r8 item 1/7): a fixed k means
+    * cells grow linearly with n, so within-cell pair work grows n²/k ~ n²
+    * and IVF's candidate bound erodes (x3b measured 3.4× at the 10×
+    * rehearsal). √n balances assignment cost (n·k) against within-cell
+    * pair cost (n²/k) at n^1.5 each — sub-quadratic per decade, the
+    * standard IVF sizing. */
+  private[graft] def scaledK(s: SparkSession, d: String): Int =
+    math.max(8, math.ceil(math.sqrt(corpusN(s, d).toDouble)).toInt)
+
+  /** nprobe scales WITH k (≈ k/8) so the probed fraction of the corpus —
+    * the recall lever — stays constant as the codebook refines; a fixed
+    * nprobe over a growing k silently trades recall for speed. */
+  private[graft] def scaledNprobe(s: SparkSession, d: String): Int =
+    math.max(2, math.round(scaledK(s, d) / 8.0).toInt)
+
+  /** The trained codebook at the adaptive size (3 Lloyd's iterations,
+    * memoized per dir+mtime in KMeansCodebook). */
+  private[graft] def scaledCodebook(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    KMeansCodebook.centroidsFor(s, d, scaledK(s, d), 3)
+      .map { case (id, cv) => (id.toLong, cv) }
+
+  /** Every vector with its trained-cell assignment — THE blocking relation
+    * of the embedding-dedup family (d5 pairs, d7 clusters, x6 decontam).
+    * Row-local argmax over the broadcast codebook; no shuffle, no window.
+    * Memoized (Memo shared-core contract): the assignment plan carries
+    * k·dim literal centroids, and re-analyzing that tree per consumer cost
+    * more than the assignment itself — materializing once is also exactly
+    * the persisted postings relation a production build keeps on disk. */
+  private[graft] def scaledAssigned(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "cell_asg", "embeddings.parquet")(
+      assignCells(vecs(s, d), scaledCodebook(s, d)))
+
   /** X3b — IVF over a TRAINED codebook (KMeansCodebook, 3 Lloyd's
-    * iterations) with nprobe=2: k-means buys data-adaptive, balanced cells
-    * (bounded per-cell candidate cost on clustered real embeddings; on the
-    * isotropic testdata it is recall-neutral) and the second probe is the
-    * recall lever. Rows-only at the gate (iterative float training has no
-    * tractable SQL mirror); KMeansSpec pins an absolute recall floor. */
+    * iterations) at the ADAPTIVE size k = ⌈√n⌉ with nprobe ≈ k/8: k-means
+    * buys data-adaptive, balanced cells (bounded per-cell candidate cost
+    * on clustered real embeddings; on the isotropic testdata it is
+    * recall-neutral) and the probe count is the recall lever. Oracle-gated
+    * via the literal-codebook SQL ([[dynamicOracles]]): training is
+    * Spark-side, but the trained centroids are plain driver data both
+    * engines can assign against identically. KMeansSpec additionally pins
+    * an absolute recall floor. */
   private val x3b: Q = (s, d) =>
-    rerank(ivfCands(vecs(s, d),
-      KMeansCodebook.centroidsFor(s, d, NCells, 3)
-        .map { case (id, cv) => (id.toLong, cv) }, nprobe = 2), Seq("cell_id"))
+    rerank(ivfCands(vecs(s, d), scaledCodebook(s, d),
+      nprobe = scaledNprobe(s, d)), Seq("cell_id"))
 
   private val PqM = 8       // subspaces
   private val PqSub = 8     // dims per subspace (PqM · PqSub = Dim)
@@ -498,17 +575,19 @@ object Similarity {
     * (paraphrases share no shingles but do share an embedding
     * neighborhood). The split is the deterministic vec_id parity (any
     * real pipeline substitutes its px10 group split); candidates are
-    * label-blocked exactly like d5, so the join is Σ|cell_train|·|cell_eval|
-    * within blocks, never train×eval. Output is per-eval-vector: how many
-    * train contaminants and the worst cosine — the report an eval curator
-    * acts on. */
+    * blocked by TRAINED codebook cell exactly like d5 — k = ⌈√n⌉ refines
+    * with the corpus, so the join is Σ|cell_train|·|cell_eval| within
+    * cells whose size grows √n, never train×eval (the r8 form blocked on
+    * the fixed 10-value label column, whose cells grew linearly — VERDICT
+    * r8 item 1). Output is per-eval-vector: how many train contaminants
+    * and the worst cosine — the report an eval curator acts on. */
   private val x6: Q = (s, d) => {
-    val v = vecs(s, d)
+    val v = scaledAssigned(s, d)
     val train = v.filter(col("vec_id") % 2 === 0)
-      .select(col("label"), col("v").as("tv"), col("norm").as("tnorm"))
+      .select(col("cell_id"), col("v").as("tv"), col("norm").as("tnorm"))
     val eval_ = v.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id"), col("label"), col("v"), col("norm"))
-    eval_.join(train, Seq("label"))
+      .select(col("vec_id"), col("cell_id"), col("v"), col("norm"))
+    eval_.join(train, Seq("cell_id"))
       .withColumn("cos",
         round(dot(col("v"), col("tv")) / (col("norm") * col("tnorm")), 4))
       .filter(col("cos") >= 0.35)
@@ -713,6 +792,74 @@ object Similarity {
   lazy val oracles: Map[String, String] =
     oraclesBase + ("x4_ann_recall" -> x4Sql) + ("x9_mmr_rerank" -> x9Sql)
 
+  /** Shortest round-trip decimal for a double (Java's Double.toString):
+    * DuckDB parses it back — whether through an exact DECIMAL literal cast
+    * to DOUBLE or an E-notation DOUBLE literal — to the IDENTICAL bits,
+    * because the shortest representation rounds to its source double by
+    * definition. This is what makes Spark-trained centroids embeddable in
+    * oracle SQL without any cross-engine float drift. */
+  private def dlit(x: Double): String = java.lang.Double.toString(x)
+
+  /** cb/asg0/asg CTE block over a LITERAL codebook: the Spark-trained
+    * centroids (and their Scala-computed norms) rendered as VALUES rows,
+    * followed by the same argmax-assignment SQL the x3/x5 oracles already
+    * hash-match. Expects a `v` CTE (vec_id, v, norm) in scope. `asg` keeps
+    * (vec_id, v, norm, cell_id) — the blocking relation. */
+  private[operators] def litAsgCte(cells: Seq[(Long, Seq[Double])]): String = {
+    val rows = cellNorms(cells).map { case (id, cv, n) =>
+      s"($id, [${cv.map(dlit).mkString(",")}], ${dlit(n)})"
+    }.mkString(",\n   ")
+    s""" cb AS (SELECT t.cell_id, list_transform(t.cv, x -> CAST(x AS DOUBLE)) AS cv,
+       |     CAST(t.cnorm AS DOUBLE) AS cnorm
+       |   FROM (VALUES $rows) t(cell_id, cv, cnorm)),
+       | asg0 AS (SELECT v.vec_id, v.v, v.norm, cb.cell_id,
+       |   list_sum(list_transform(range($Dim), i -> v.v[i+1] * cb.cv[i+1])) / (v.norm * cb.cnorm) AS cell_cos
+       |   FROM v CROSS JOIN cb),
+       | asg AS (SELECT vec_id, v, norm, cell_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc FROM asg0) WHERE rc = 1)""".stripMargin
+  }
+
+  /** The trained-codebook CTE for `d`'s embeddings at the adaptive size —
+    * shared by this object's dynamic oracles and Dedup's (d5/d7). */
+  private[operators] def scaledAsgCte(s: SparkSession, d: String): String =
+    litAsgCte(scaledCodebook(s, d))
+
+  private def x6SqlFor(s: SparkSession, d: String): String =
+    s"""WITH $vCte,
+       |${scaledAsgCte(s, d)},
+       | t AS (SELECT cell_id, v AS tv, norm AS tnorm FROM asg WHERE vec_id % 2 = 0),
+       | e AS (SELECT vec_id, cell_id, v, norm FROM asg WHERE vec_id % 2 = 1),
+       | c AS (SELECT e.vec_id,
+       |   round(list_sum(list_transform(range($Dim), i -> e.v[i+1] * t.tv[i+1]))
+       |     / (e.norm * t.tnorm), 4) AS cos
+       |  FROM e JOIN t ON e.cell_id = t.cell_id)
+       | SELECT vec_id, count(*) AS n_contaminants, max(cos) AS max_cos
+       | FROM c WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin
+
+  private def x3bSqlFor(s: SparkSession, d: String): String = {
+    val np = scaledNprobe(s, d)
+    s"""WITH $vCte,
+       |${scaledAsgCte(s, d)},
+       | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, cell_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc
+       |   FROM asg0 WHERE vec_id < 5) WHERE rc <= $np),
+       | c AS (SELECT q.q_id, a.vec_id, a.cell_id, $dotQSql / ($normSql) AS cos_raw
+       |   FROM asg a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id),
+       | r AS (SELECT q_id, vec_id, cell_id, cos_raw,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
+       | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, cell_id
+       | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Oracles that EMBED data-derived literals (the trained codebook), so
+    * they cannot be static strings: Verify generates them against the
+    * actual data dir at dump time (SparkEntry.oracleSqlFor). Training is
+    * deterministic per (dir, data) — decimal-mean Lloyd's — so both
+    * engines see the same cells and the hash gate stays exact. */
+  def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
+    "x6_embed_decontam" -> x6SqlFor(s, d),
+    "x3b_ann_ivf_trained" -> x3bSqlFor(s, d))
+
   /** x9's oracle: the greedy unrolled to [[MmrK]] stages, generated from
     * the same constants as the Spark loop so k and λ cannot drift. */
   private lazy val x9Sql: String = {
@@ -771,20 +918,6 @@ object Similarity {
         |   md5(array_to_string(q, ',')) AS q_md5,
         |   CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         | FROM q ORDER BY vec_id""".stripMargin,
-    "x6_embed_decontam" ->
-      """WITH v0 AS (SELECT vec_id, label,
-        |     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        | v AS (SELECT vec_id, label, v,
-        |   sqrt(list_sum(list_transform(range(len(v)), i -> v[i+1] * v[i+1]))) AS norm
-        |  FROM v0),
-        | t AS (SELECT label, v AS tv, norm AS tnorm FROM v WHERE vec_id % 2 = 0),
-        | e AS (SELECT vec_id, label, v, norm FROM v WHERE vec_id % 2 = 1),
-        | c AS (SELECT e.vec_id,
-        |   round(list_sum(list_transform(range(len(e.v)), i -> e.v[i+1] * t.tv[i+1]))
-        |     / (e.norm * t.tnorm), 4) AS cos
-        |  FROM e JOIN t ON e.label = t.label)
-        | SELECT vec_id, count(*) AS n_contaminants, max(cos) AS max_cos
-        | FROM c WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "x1_knn_bruteforce" ->
       s"""WITH $vCte,
          | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm FROM v WHERE vec_id < 5),

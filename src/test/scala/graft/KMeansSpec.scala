@@ -17,13 +17,47 @@ class KMeansSpec extends SparkSpec {
     assert(cb.forall(r => r.getDouble(2) > 0.0)) // no degenerate centroid
   }
 
-  test("trained codebook + nprobe 2 clears an absolute recall floor") {
+  test("join-form cell assignment equals the unrolled argmax exactly") {
+    import org.apache.spark.sql.functions._
+    // the same codebook through both forms must assign every vector to
+    // the identical cell — the switch at UnrollMax can never change an
+    // answer, only the plan (unrolled k-literal greatest vs broadcast
+    // join + max_by)
+    val cells = operators.Similarity.scaledCodebook(spark, sf)
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
+    assert(cells.size <= operators.Similarity.UnrollMax) // gate scales unroll
+    val unrolled = operators.Similarity.assignCells(v, cells)
+      .select("vec_id", "cell_id")
+    val joined = operators.Similarity.assignCellsJoin(v, cells)
+      .select("vec_id", "cell_id")
+    assert(unrolled.exceptAll(joined).isEmpty && joined.exceptAll(unrolled).isEmpty)
+  }
+
+  test("k-means training at k above UnrollMax produces a stable codebook") {
+    // exercises train()'s join-form assignment branch (the sf1+ path where
+    // k = ceil(sqrt(n)) exceeds the unroll threshold)
+    val k = operators.Similarity.UnrollMax + 6
+    val cb = operators.KMeansCodebook.forEmbeddings(spark, sf, k, 2).collect()
+    assert(cb.length === k)
+    assert(cb.forall(_.getSeq[Double](1).length === 64))
+    assert(cb.forall(r => r.getDouble(2) > 0.0))
+  }
+
+  test("trained adaptive codebook + scaled nprobe clears an absolute recall floor") {
     val exact = q("x1_knn_bruteforce").select("q_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val trained = q("x3b_ann_ivf_trained").select("q_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).count(exact)
-    // nprobe=2 searches 2/16 cells; recall measured 0.76-0.9 across SFs —
-    // 0.5 is a robust floor far above the 2/16 random-candidate baseline
+    // k = ceil(sqrt(n)) cells probed at nprobe ~ k/8 keeps the probed
+    // corpus fraction ~1/8 as the codebook refines; recall measured
+    // 0.76-0.9 across SFs — 0.5 is a robust floor far above the 1/8
+    // random-candidate baseline
     assert(trained * 2 >= exact.size, s"trained=$trained of ${exact.size}")
+    // the probe count actually scales with the codebook
+    val k = operators.Similarity.scaledK(spark, sf)
+    assert(operators.Similarity.scaledNprobe(spark, sf) ===
+      math.max(2, math.round(k / 8.0).toInt))
   }
 }

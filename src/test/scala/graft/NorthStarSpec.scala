@@ -93,13 +93,18 @@ class DedupSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
-  test("d5 embedding near-dups are same-label pairs with cos >= threshold") {
-    val lbl = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+  test("d5 embedding near-dups are same-trained-cell pairs with cos >= threshold") {
+    val cells = operators.Similarity.scaledAssigned(spark, sf)
+      .select(col("vec_id"), col("cell_id"))
     val bad = q("d5_embedding_neardup")
-      .join(lbl.withColumnRenamed("vec_id", "v1").withColumnRenamed("label", "l1"), "v1")
-      .join(lbl.withColumnRenamed("vec_id", "v2").withColumnRenamed("label", "l2"), "v2")
-      .filter(col("l1") =!= col("l2") || col("cos") < 0.35)
+      .join(cells.withColumnRenamed("vec_id", "v1").withColumnRenamed("cell_id", "c1"), "v1")
+      .join(cells.withColumnRenamed("vec_id", "v2").withColumnRenamed("cell_id", "c2"), "v2")
+      .filter(col("c1") =!= col("c2") || col("cos") < 0.35)
     assert(bad.count() === 0L)
+    // the blocking key refines with corpus size: k = max(8, ceil(sqrt(n)))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(operators.Similarity.scaledK(spark, sf) ===
+      math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt))
   }
 
   test("d6 clustering converged: every candidate pair shares a cluster") {

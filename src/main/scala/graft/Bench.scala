@@ -91,7 +91,10 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
-        val dt = (System.nanoTime() - t0) / 1e9 - drainInto()
+        // clamp at 0: builds are timed exclusively (Memo.timedBuild), but
+        // measurement noise around a build-dominated query must never
+        // produce a negative net time — the -1 sentinel means CRASH only
+        val dt = math.max(0.0, (System.nanoTime() - t0) / 1e9 - drainInto())
         // stderr progress line per query: at rehearsal scales (sf1/sf10 —
         // SCALE.md) a run is tens of minutes, and a silent stall would be
         // undiagnosable; stdout stays the one-JSON-line contract.

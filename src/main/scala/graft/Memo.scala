@@ -40,6 +40,31 @@ object Memo {
     * the same build-once-compose-many shape outside this cache). */
   def logBuild(tag: String, sec: Double): Unit = buildLog.add((tag, sec))
 
+  /** Per-thread stack of in-progress build frames; each frame accumulates
+    * the wall-clock of its DIRECT child builds so a parent logs only its
+    * EXCLUSIVE time. Cores compose (cell_asg builds on the k-means
+    * training core), and logging inclusive spans double-counted the
+    * nested child — Bench's per-query subtraction then drove a query's
+    * net time NEGATIVE, which the -1 failure sentinel misread as a crash
+    * (caught live in the first r9 smoke run). */
+  private val frames = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+  }
+
+  /** Time `f` as the build of `tag`, logging EXCLUSIVE seconds (total
+    * minus nested timedBuild spans on this thread). */
+  def timedBuild[T](tag: String)(f: => T): T = {
+    val stack = frames.get()
+    stack.push(Array(0.0))
+    val t0 = System.nanoTime()
+    try f finally {
+      val total = (System.nanoTime() - t0) / 1e9
+      val child = stack.pop()(0)
+      if (!stack.isEmpty) stack.peek()(0) += total
+      logBuild(tag, math.max(0.0, total - child))
+    }
+  }
+
   /** Remove and return all builds logged since the last drain. */
   def drainBuilds(): Seq[(String, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -66,9 +91,7 @@ object Memo {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val t0 = System.nanoTime()
-      val built = build.localCheckpoint(true)
-      logBuild(tag, (System.nanoTime() - t0) / 1e9)
+      val built = timedBuild(tag)(build.localCheckpoint(true))
       val prev = cache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }

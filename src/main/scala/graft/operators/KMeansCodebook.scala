@@ -111,12 +111,10 @@ object KMeansCodebook {
     trained.computeIfAbsent((d, k, iters, fp), { _ =>
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val t0 = System.nanoTime()
-      val cs = train(v, k, iters)
       // same bench-attribution contract as Memo cores: training runs once,
-      // whichever query constructs first must not be charged for it
-      graft.Memo.logBuild(s"kmeans_k${k}_i$iters", (System.nanoTime() - t0) / 1e9)
-      cs
+      // whichever query constructs first must not be charged for it;
+      // timedBuild keeps nested spans exclusive (cell_asg wraps this)
+      graft.Memo.timedBuild(s"kmeans_k${k}_i$iters")(train(v, k, iters))
     })
   }
 

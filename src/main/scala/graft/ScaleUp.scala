@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-rehearsal data generator (VERDICT r7 item 3).
@@ -77,6 +77,34 @@ object ScaleUp {
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
     }
 
+  /** ZIPF-SKEW remap for rehearsals (VERDICT r8 item 6): disjoint-key
+    * replication keeps per-key group sizes CONSTANT, so the salted paths
+    * (a15, j16) and the CC/window operators never see skew grow with
+    * scale — uniform rehearsals can't exercise them. This deterministic
+    * remap sends `hotFrac`/10 of rows to `hotN` hot keys (zipf-ish head:
+    * key h gets ~hotFrac/(10·hotN) of ALL rows, ~F× a uniform key's
+    * share at factor F), leaving the tail untouched. `seed` columns make
+    * the draw row-local and reproducible; the result keeps the original
+    * dtype so the scaled schema matches the source. Hot keys 1..hotN stay
+    * inside every FK dim domain (suppkey/user ids start at 1). Skew mode
+    * is a BENCH distribution, not a correctness surface: it deliberately
+    * breaks the distinct-count-multiplies-by-F law for the skewed column
+    * (counts by key are what skew MEANS) while keeping row counts and
+    * primary-key disjointness intact. */
+  private def skewKey(k: Column, dtype: org.apache.spark.sql.types.DataType,
+                      hotN: Int, hotFrac: Int, seed: Seq[Column]): Column =
+    when(pmod(xxhash64(seed: _*), lit(10L)) < lit(hotFrac.toLong),
+      pmod(xxhash64(seed :+ lit(1L): _*), lit(hotN.toLong)) + lit(1L))
+      .otherwise(k).cast(dtype)
+
+  /** Skewed variant: l_suppkey (= commits.leader_key_address, the a15/j16
+    * aggregation/join key) concentrates 70% of rows on 5 hot suppliers. */
+  def scaleLineitemSkewed(df: DataFrame, f: Int, off: Long): DataFrame =
+    scaleLineitem(df, f, off)
+      .withColumn("l_suppkey", skewKey(col("l_suppkey"),
+        df.schema("l_suppkey").dataType, hotN = 5, hotFrac = 7,
+        Seq(col("l_orderkey"), col("l_linenumber"))))
+
   def scaleEvents(df: DataFrame, f: Int): DataFrame = {
     val eventOff = keyOff(Seq(df), Seq("event_id"))
     val userOff = keyOff(Seq(df), Seq("user_id"))
@@ -85,6 +113,14 @@ object ScaleUp {
         .withColumn("user_id", col("user_id") + lit(i * userOff))
     }
   }
+
+  /** Skewed variant: user_id (sessionization/MAU/funnel state key)
+    * concentrates 70% of events on 5 hot users. */
+  def scaleEventsSkewed(df: DataFrame, f: Int): DataFrame =
+    scaleEvents(df, f)
+      .withColumn("user_id", skewKey(col("user_id"),
+        df.schema("user_id").dataType, hotN = 5, hotFrac = 7,
+        Seq(col("event_id"))))
 
   def scaleDocuments(df: DataFrame, f: Int): DataFrame = {
     val off = keyOff(Seq(df), Seq("doc_id"))
@@ -112,6 +148,8 @@ object ScaleUp {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse(s"target/scaledata/sf${factor}x")
+    // third arg "zipf" → skewed fact distributions (see skewKey)
+    val zipf = args.lift(2).contains("zipf")
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), "graft-scaleup")
 
@@ -129,8 +167,12 @@ object ScaleUp {
     val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
     val oOff = orderOff(orders, lineitem)
     write("orders", scaleOrders(orders, factor, oOff))
-    write("lineitem", scaleLineitem(lineitem, factor, oOff))
-    write("events", scaleEvents(Tables.events(spark, srcDir), factor))
+    write("lineitem",
+      if (zipf) scaleLineitemSkewed(lineitem, factor, oOff)
+      else scaleLineitem(lineitem, factor, oOff))
+    write("events",
+      if (zipf) scaleEventsSkewed(Tables.events(spark, srcDir), factor)
+      else scaleEvents(Tables.events(spark, srcDir), factor))
     write("documents", scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor))
     write("embeddings", scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor))
     System.err.println(s"[scaleup] wrote ${factor}x of $srcDir to $outDir")

@@ -56,6 +56,25 @@ class ScaleUpSpec extends SparkSpec {
     assert(joined.filter(!col("text").startsWith(col("t0"))).isEmpty)
   }
 
+  test("zipf mode: hot keys dominate, row counts and PK disjointness intact") {
+    val li = Tables.lineitem(spark, sf)
+    val off = ScaleUp.orderOff(Tables.orders(spark, sf), li)
+    val sk = ScaleUp.scaleLineitemSkewed(li, F, off)
+    // row count law survives skew; PK (orderkey) disjointness survives skew
+    assert(sk.count() == F * li.count())
+    assert(sk.select(countDistinct("l_orderkey")).head.getLong(0) ==
+      F * li.select(countDistinct("l_orderkey")).head.getLong(0))
+    // the 5 hot suppliers hold a dominant share (~70% by construction;
+    // assert a robust >= 50%)
+    val hot = sk.filter(col("l_suppkey").between(1, 5)).count()
+    assert(hot * 2 >= sk.count(), s"hot share ${hot.toDouble / sk.count()}")
+    // dtype unchanged (union/readers must not see a widened column)
+    assert(sk.schema("l_suppkey").dataType === li.schema("l_suppkey").dataType)
+    // hot keys remain valid FK values into supplier
+    val supMax = Tables.supplier(spark, sf).agg(max("s_suppkey")).head.getLong(0)
+    assert(supMax >= 5)
+  }
+
   test("embeddings: perturbation is tiny and only on component 0") {
     val e = ScaleUp.scaleEmbeddings(Tables.embeddings(spark, sf), F)
     val vecOff = ScaleUp.keyOff(Seq(Tables.embeddings(spark, sf)), Seq("vec_id"))

@@ -94,6 +94,38 @@ object Probe {
       time("x3b 2nd")(operators.Similarity.queries("x3b_ann_ivf_trained")(spark, d).count())
       spark.stop(); return
     }
+    if (args.contains("g5")) {
+      // VERDICT r8 item 8: confirm the BFS round count follows SEED
+      // SPACING, not data size — g5 runs on customer keys (a DIM, copied
+      // unchanged by ScaleUp), so rehearsal dirs must show the same
+      // rounds AND the same wall shape as sf0.1.
+      val e = plans.PageRank.symmetric(plans.PageRank.chordEdges(spark, d))
+      val seeds = e.select(col("u").as("node")).distinct()
+        .filter(col("node") % plans.PageRank.SeedMod === 1L)
+      val t0 = System.nanoTime()
+      val (dist, rounds) = plans.PageRank.bfsOfCounted(e, seeds, 16)
+      val n = dist.count()
+      println(f"g5 bfs: $rounds rounds, $n nodes, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s  (seed spacing ${plans.PageRank.SeedMod})")
+      time("g5 full query")(plans.PageRank.queries("g5_bfs_distance")(spark, d).count())
+      spark.stop(); return
+    }
+    if (args.contains("p2")) {
+      // VERDICT r8 item 8: is the carry pass double-scanning? The window
+      // frame `w` IS consumed twice by design (bucket agg + final join —
+      // measured cheaper than caching); this probe states the scan count
+      // from the executed plan and times the pieces.
+      time("linkTable scan")(plans.ForkWalk.linkTable(spark, d).count())
+      val p2 = plans.ForkWalk.queries("p2_chain_filter")(spark, d)
+      time("p2 full")(p2.count())
+      time("p2 full 2nd")(
+        plans.ForkWalk.queries("p2_chain_filter")(spark, d).count())
+      val scans = p2.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Scan parquet"))
+      println(s"p2 executed plan: $scans parquet scans " +
+        "(2 of the fact table = the deliberate recompute-not-cache of w)")
+      spark.stop(); return
+    }
     val docs = Tables.documents(spark, d)
     time("scan")(docs.count())
     time("tokens")(docs.select(toks(col("text")).as("tk")).agg(sum(size(col("tk")))).head().getLong(0))

@@ -46,7 +46,7 @@ object PageRank {
 
   /** Ordered (a < b) path-with-chords edges over customer keys:
     * k→k+1 and k→k+2 for every key with the neighbor in range. */
-  private def chordEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def chordEdges(s: SparkSession, d: String): DataFrame = {
     val n = Tables.customer(s, d).agg(max(col("c_custkey")).cast("long").as("n"))
     val c = Tables.customer(s, d)
       .select(col("c_custkey").cast("long").as("a"))
@@ -57,7 +57,7 @@ object PageRank {
         .select(col("a"), (col("a") + 2L).as("b")))
   }
 
-  private def symmetric(e: DataFrame): DataFrame =
+  private[graft] def symmetric(e: DataFrame): DataFrame =
     e.select(col("a").as("u"), col("b").as("v"))
       .unionByName(e.select(col("b").as("u"), col("a").as("v")))
 

@@ -57,17 +57,33 @@ object CryptoQueries {
         blockId(md5(col("l_orderkey").cast("string")),
           md5(concat(lit("c"), col("l_orderkey").cast("string")))).as("stacks_block_id"),
         col("n_txs"))
-    // broadcast the block side: ~12 MB of 64-char digests at sf0.1 sits
-    // just over the 10 MB auto-broadcast threshold, so Spark picks a
-    // sort-merge join — two full sorts on 64-char strings that dwarf the
-    // digest cost itself (measured: components 0.7 s, SMJ join 2.5 s).
-    // At cluster scale the block side is the per-burnchain-block dimension
-    // (orders of magnitude smaller than the tx fact side) — broadcast is
-    // the shape that survives 100x.
-    broadcast(blocks).join(txCounts, "stacks_block_id")
+    // broadcast the block side when it is dimension-sized: ~12 MB of
+    // 64-char digests at sf0.1 sits just over the 10 MB auto-broadcast
+    // threshold, so Spark would pick a sort-merge join — two full sorts
+    // on 64-char strings that dwarf the digest cost itself (measured:
+    // components 0.7 s, SMJ join 2.5 s). At cluster scale the block side
+    // is the per-burnchain-block dimension (orders of magnitude smaller
+    // than the tx fact side) — broadcast is the shape that survives 100×.
+    // GUARDED by an actual row count (one parquet-metadata action): the
+    // sf10 rehearsal force-broadcast 15 M digests (~1.4 GB hash relation
+    // — 37 s, 20× sf1, the round-9 filed residual). Above the cap the
+    // join falls to shuffle_hash — hash join without the SMJ sorts, no
+    // gigabyte broadcast build.
+    val blockRows = Tables.orders(s, d).count()
+    val joined =
+      if (blockRows <= BroadcastRowCap)
+        broadcast(blocks).join(txCounts, "stacks_block_id")
+      else blocks.hint("shuffle_hash").join(txCounts, "stacks_block_id")
+    joined
       .select(col("o_orderkey"), col("n_txs"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Broadcast guard for [[f1]]: 4 M digest rows ≈ a few hundred MB of
+    * hash relation — the upper edge of what an executor should host.
+    * Every oracle-gate scale (≤150 k) and sf1 (1.5 M) broadcast; sf10
+    * (15 M) shuffles. */
+  private val BroadcastRowCap = 4000000L
 
   /** F2–F4 — address book: a deterministic compressed-pubkey per supplier
     * (02 ‖ SHA-256(name)), hashed to both BTC base58check and Stacks

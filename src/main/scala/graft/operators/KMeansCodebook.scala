@@ -42,28 +42,27 @@ object KMeansCodebook {
       // HOF fold). The old crossJoin + row_number form shuffled and sorted
       // k×sample rows per iteration to compute this per-row-local value
       // (r3 finding).
-      // same unroll-vs-join switch as Similarity.assignCells: unrolled
-      // greatest() below UnrollMax (plan/codegen size grows with k),
-      // broadcast-join + max_by above it — identical argmax either way
-      // ((dot, -id) total order; graft_dot both sides), spec-proven
-      val assigned =
-        if (k <= Similarity.UnrollMax) sample
-          .withColumn("best", greatest(centroids.map { case (id, c) =>
-            struct(call_function("graft_dot", col("v"), typedlit(c)).as("cos"),
-              lit(-id).as("neg_id"))
-          }: _*))
-          .withColumn("cell_id", -col("best.neg_id"))
-        else {
-          val cbDf = s.createDataFrame(centroids).toDF("cid", "cv")
-          sample.crossJoin(broadcast(cbDf))
-            .withColumn("score", struct(
-              call_function("graft_dot", col("v"), col("cv")).as("cos"),
-              (-col("cid")).as("neg_id")))
-            .groupBy(col("vec_id"))
-            .agg(max_by(struct(col("v"), col("cid")), col("score")).as("b"))
-            .select(col("vec_id"), col("b.v").as("v"),
-              col("b.cid").as("cell_id"))
-        }
+      // Assignment is ALWAYS the broadcast-join + max_by form here (not
+      // the unrolled greatest Similarity.assignCells uses below
+      // UnrollMax): training re-plans every iteration with fresh
+      // centroids, and the unrolled form embeds them as literals — a new
+      // Janino compilation per iteration (the k=45 training measured
+      // ~8 s, dominated by 6 fresh codegens). The join form's generated
+      // code is literal-free (centroids flow through the broadcast
+      // relation), so iterations hit the codegen cache. Identical argmax
+      // either way — same graft_dot floats, same (dot, -id) total order —
+      // and the one-shot assignCells path keeps its unrolled fast form.
+      val assigned = {
+        val cbDf = s.createDataFrame(centroids).toDF("cid", "cv")
+        sample.crossJoin(broadcast(cbDf))
+          .withColumn("score", struct(
+            call_function("graft_dot", col("v"), col("cv")).as("cos"),
+            (-col("cid")).as("neg_id")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("v"), col("cid")), col("score")).as("b"))
+          .select(col("vec_id"), col("b.v").as("v"),
+            col("b.cid").as("cell_id"))
+      }
       // decimal mean, not double: decimal addition is exactly associative
       // and commutative, so the aggregate is IDENTICAL whatever order
       // shuffle fetches merge partials in — double sums vary in the last

@@ -57,11 +57,16 @@ object Memo {
     val stack = frames.get()
     stack.push(Array(0.0))
     val t0 = System.nanoTime()
-    try f finally {
+    var ok = false
+    try { val r = f; ok = true; r } finally {
       val total = (System.nanoTime() - t0) / 1e9
       val child = stack.pop()(0)
       if (!stack.isEmpty) stack.peek()(0) += total
-      logBuild(tag, math.max(0.0, total - child))
+      // a build that THREW is not a completed core: logging its partial
+      // wall would inflate memo line items with time for work that will
+      // re-run (and re-log) on the next consumer — the crash stays inside
+      // the enclosing query's failure handling (review r9)
+      if (ok) logBuild(tag, math.max(0.0, total - child))
     }
   }
 

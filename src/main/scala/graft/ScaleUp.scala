@@ -53,7 +53,11 @@ object ScaleUp {
     * heights. */
   private[graft] def keyOff(dfs: Seq[DataFrame], keyCols: Seq[String]): Long =
     dfs.zip(keyCols).map { case (df, c) =>
-      df.agg(max(col(c).cast("long"))).head.getLong(0)
+      val row = df.agg(max(col(c).cast("long"))).head
+      // fail with the table/column named, not an opaque NPE from a null
+      // max over an empty source (review r9)
+      require(!row.isNullAt(0), s"ScaleUp: source has no rows for key '$c' — cannot derive an offset")
+      row.getLong(0)
     }.max + 1L
 
   /** Union F copies of `df`, transforming copy i via `remap(df, i)`.
@@ -106,8 +110,14 @@ object ScaleUp {
         Seq(col("l_orderkey"), col("l_linenumber"))))
 
   def scaleEvents(df: DataFrame, f: Int): DataFrame = {
-    val eventOff = keyOff(Seq(df), Seq("event_id"))
-    val userOff = keyOff(Seq(df), Seq("user_id"))
+    // one aggregation job for both key maxima (review r9: two single-
+    // column jobs scanned events twice)
+    val row = df.agg(max(col("event_id").cast("long")),
+      max(col("user_id").cast("long"))).head
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "ScaleUp: events source has no rows — cannot derive offsets")
+    val eventOff = row.getLong(0) + 1L
+    val userOff = row.getLong(1) + 1L
     replicate(df, f) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * eventOff))
         .withColumn("user_id", col("user_id") + lit(i * userOff))

@@ -40,10 +40,19 @@ object SparkEntry {
     * oracles are generated against the actual data dir at Verify dump
     * time. Training is deterministic per (dir, data) and the centroids
     * round-trip exactly as SQL literals, so the hash gate stays exact. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+                   only: Option[Set[String]] = None): Map[String, String] = {
+    // generate a module's dynamic oracles only when the (optional) subset
+    // actually asks for one of its keys — generation trains the codebook,
+    // which a dev-loop subset run of unrelated queries must not pay for
+    // (review r9)
+    def wanted(keys: Set[String]) = only.forall(o => o.exists(keys.contains))
     oracleSql ++
-      operators.Dedup.dynamicOracles(spark, sfDir) ++
-      operators.Similarity.dynamicOracles(spark, sfDir)
+      (if (wanted(operators.Dedup.dynamicOracleKeys))
+        operators.Dedup.dynamicOracles(spark, sfDir) else Map.empty) ++
+      (if (wanted(operators.Similarity.dynamicOracleKeys))
+        operators.Similarity.dynamicOracles(spark, sfDir) else Map.empty)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops and for

@@ -42,8 +42,9 @@ object Verify {
       case c => c.toString
     } + "\""
     // dir-aware: includes the literal-codebook oracles (d5/d7/x6/x3b)
-    // generated against THIS sfDir
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // generated against THIS sfDir — `only` passed through so subset runs
+    // skip the generation cost entirely when no dynamic key is requested
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -69,7 +69,7 @@ object CryptoQueries {
     // — 37 s, 20× sf1, the round-9 filed residual). Above the cap the
     // join falls to shuffle_hash — hash join without the SMJ sorts, no
     // gigabyte broadcast build.
-    val blockRows = Tables.orders(s, d).count()
+    val blockRows = orderRows(s, d)
     val joined =
       if (blockRows <= BroadcastRowCap)
         broadcast(blocks).join(txCounts, "stacks_block_id")
@@ -84,6 +84,18 @@ object CryptoQueries {
     * Every oracle-gate scale (≤150 k) and sf1 (1.5 M) broadcast; sf10
     * (15 M) shuffles. */
   private val BroadcastRowCap = 4000000L
+
+  /** orders row count memoized per (dir, mtime) — the guard must not run
+    * a fresh Spark count job on every plan CONSTRUCTION (Bench warmup +
+    * timed run, Verify, plan-shape specs; review r9). Same contract as
+    * Similarity.corpusN. */
+  private val orderRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private def orderRows(s: SparkSession, d: String): Long = {
+    val fp = new java.io.File(s"$d/orders.parquet").lastModified
+    orderRowsCache.computeIfAbsent((d, fp), _ => Tables.orders(s, d).count())
+      .longValue
+  }
 
   /** F2–F4 — address book: a deterministic compressed-pubkey per supplier
     * (02 ‖ SHA-256(name)), hashed to both BTC base58check and Stacks

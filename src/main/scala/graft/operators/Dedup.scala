@@ -960,6 +960,11 @@ object Dedup {
        |   FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
        | SELECT v1, v2, cos FROM p WHERE cos >= 0.35 ORDER BY v1, v2""".stripMargin
 
+  /** Declared statically so callers can skip generation (which trains the
+    * codebook) when a subset run doesn't need these keys. */
+  val dynamicOracleKeys: Set[String] =
+    Set("d5_embedding_neardup", "d7_embedding_clusters")
+
   /** Oracles that EMBED data-derived literals (the trained blocking
     * codebook) — generated against the actual dir at Verify dump time
     * (SparkEntry.oracleSqlFor); same contract as Similarity.dynamicOracles. */

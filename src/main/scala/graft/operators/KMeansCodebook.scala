@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   * the shuffle carries k·dim rows, not the sample). The k×dim result is
   * driver-collected: that IS the broadcast artifact, a few KB.
   *
-  * Determinism: seeds are the k lowest vec_ids; double-sum reorder across
-  * partitions can jitter means in the last ulp, so downstream checks
-  * compare aggregate quality, not exact assignments (this feeds the
-  * rows-only x3b query + spec, never a hash-compared oracle). */
+  * Determinism MATTERS here (review r9 — this doc once said it didn't):
+  * since round 9 the trained centroids are embedded as exact literals in
+  * dir-generated DuckDB oracle SQL (SparkEntry.oracleSqlFor), so x3b and
+  * the d5/d7/x6 blocking are HASH-COMPARED against these values. The
+  * decimal-mean aggregation below is what makes training independent of
+  * shuffle merge order — do not replace it with a double sum, or the
+  * codebook (and every query built on it) becomes session-dependent and
+  * the exact gate breaks. Seeds are the k lowest vec_ids. */
 object KMeansCodebook {
 
   /** Train on (vec_id, v: array<double>) rows; returns cell_id → centroid. */

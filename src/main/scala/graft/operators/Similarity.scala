@@ -277,11 +277,35 @@ object Similarity {
     val withNorm = cellNorms(cells)
     def score(c: (Long, Seq[Double], Double)): Column = cellScore(c)
     // query side (5 rows): sort the k scores ascending, take the nprobe
-    // tail — same total order as the assignment argmax
-    val q = v.filter(col("vec_id") < 5)
-      .withColumn("scores", array(withNorm.map(score): _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"),
+    // tail — same total order as the assignment argmax. Same
+    // unroll-vs-join switch as assignCells (review r9): the unrolled
+    // `array(k literal struct scores)` embeds k·Dim literals in the plan,
+    // which above UnrollMax costs O(k·Dim) analysis + a huge codegen on
+    // EVERY plan construction; the join form scores (query × broadcast
+    // codebook) rows and collapses to the same sorted-tail via
+    // array_sort(collect_list) — identical floats (graft_dot), identical
+    // (cos, neg_id) total order, and a groupBy over 5 query keys, never
+    // a window over the vector set.
+    val qScored =
+      if (cells.size <= UnrollMax)
+        v.filter(col("vec_id") < 5)
+          .withColumn("scores", array(withNorm.map(score): _*))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("norm").as("qnorm"), col("scores"))
+      else {
+        val s = v.sparkSession
+        val cb = s.createDataFrame(withNorm).toDF("cell_id", "cv", "cnorm")
+        v.filter(col("vec_id") < 5).crossJoin(broadcast(cb))
+          .withColumn("sc", struct(
+            (dot(col("v"), col("cv")) / (col("norm") * col("cnorm"))).as("cos"),
+            (-col("cell_id")).as("neg_id")))
+          .groupBy(col("vec_id"), col("v"), col("norm"))
+          .agg(array_sort(collect_list(col("sc"))).as("scores"))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("norm").as("qnorm"), col("scores"))
+      }
+    val q = qScored
+      .select(col("q_id"), col("qv"), col("qnorm"),
         explode(slice(array_sort(col("scores")), -nprobe, nprobe)).as("probe"))
       .select(col("q_id"), col("qv"), col("qnorm"),
         (-col("probe.neg_id")).as("cell_id"))
@@ -856,6 +880,12 @@ object Similarity {
     * actual data dir at dump time (SparkEntry.oracleSqlFor). Training is
     * deterministic per (dir, data) — decimal-mean Lloyd's — so both
     * engines see the same cells and the hash gate stays exact. */
+  /** Declared statically so callers (Verify subset runs) can decide
+    * whether generation — which trains the codebook — is needed at all,
+    * without invoking it. */
+  val dynamicOracleKeys: Set[String] =
+    Set("x6_embed_decontam", "x3b_ann_ivf_trained")
+
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
     "x6_embed_decontam" -> x6SqlFor(s, d),
     "x3b_ann_ivf_trained" -> x3bSqlFor(s, d))

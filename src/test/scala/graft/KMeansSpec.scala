@@ -45,6 +45,42 @@ class KMeansSpec extends SparkSpec {
     assert(cb.forall(r => r.getDouble(2) > 0.0))
   }
 
+  test("join-form probe path (k > UnrollMax) matches a driver-side recompute exactly") {
+    import org.apache.spark.sql.functions._
+    // above UnrollMax BOTH sides of ivfCands switch to the join form
+    // (assignment AND query-side probe scoring); the candidate set must
+    // equal a from-scratch driver-side argmax over the same floats
+    // (ascending-fold dot products — bit-identical to graft_dot)
+    val k = operators.Similarity.UnrollMax + 6
+    val nprobe = 3
+    val cells = operators.KMeansCodebook.centroidsFor(spark, sf, k, 2)
+      .map { case (id, cv) => (id.toLong, cv) }
+    val v = operators.Similarity.vecs(spark, sf)
+    val cand = operators.Similarity.ivfCands(v, cells, nprobe)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // driver-side mirror
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cn = cells.map { case (id, cv) => (id, cv, math.sqrt(cv.map(x => x * x).sum)) }
+    val vs = v.select(col("vec_id"), col("v"), col("norm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    def scores(vec: Seq[Double], norm: Double) =
+      cn.map { case (id, cv, cnorm) => ((dot(vec, cv) / (norm * cnorm), -id), id) }
+    val assign = vs.map { case (id, vec, norm) =>
+      id -> scores(vec, norm).maxBy(_._1)._2 }.toMap
+    val expected = (for {
+      (qid, qv, qn) <- vs if qid < 5
+      probed = scores(qv, qn).sortBy(_._1).takeRight(nprobe).map(_._2).toSet
+      (vid, _, _) <- vs if vid != qid && probed.contains(assign(vid))
+    } yield (qid, vid)).toSet
+    assert(cand === expected)
+  }
+
   test("trained adaptive codebook + scaled nprobe clears an absolute recall floor") {
     val exact = q("x1_knn_bruteforce").select("q_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -532,6 +532,14 @@ object Similarity {
       .localCheckpoint(true)
     recallOf(ivfCands(vecs(s, d), fixedCodebook(s, d)), "ivf")
       .unionByName(recallOf(pqCandsFrom(ap, s, d), "ivf_pq", Some(ap)))
+      // the trained ADAPTIVE codebook (x3b's path) measured in the same
+      // battery — recall AND candidate cost of the √n-cell / k/8-probe
+      // sizing are hash-gated per round, so a codebook or nprobe change
+      // that erodes either is caught by the driver, not a spec rerun
+      // (VERDICT r8 item 7)
+      .unionByName(recallOf(
+        ivfCands(vecs(s, d), scaledCodebook(s, d), scaledNprobe(s, d)),
+        "ivf_trained"))
       .unionByName(recallOf(candX2(s, d), "lsh"))
       .unionByName(recallOf(candX2b(s, d), "lsh_mp"))
       .unionByName(recallOf(candX2c(s, d), "lsh_or"))
@@ -779,7 +787,11 @@ object Similarity {
          | SELECT q_id, vec_id FROM c""".stripMargin
   )
 
-  private lazy val x4Sql: String = {
+  /** x4's oracle — DYNAMIC since round 9: the battery includes the
+    * trained-adaptive-codebook row (`ivf_trained`), whose candidate CTE
+    * embeds the literal centroids, so the whole statement is generated
+    * per dir (the other five methods' subqueries stay the static SQL). */
+  private def x4SqlFor(s: SparkSession, d: String): String = {
     val scaled = graft.functions.ExactRatio.scaledSql("hits", "total", 10000L)
     def row(method: String, out: String) =
       s"""SELECT '$method' AS method, hits, total, $scaled AS recall_bp, cand_pairs
@@ -790,20 +802,25 @@ object Similarity {
        | o AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2c_ann_or")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
        | p AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x5_ann_ivfpq")})),
+       | w AS (SELECT q_id, neighbor_id FROM (${x3bSqlFor(s, d)})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
        | mh AS (SELECT count(*) AS hits FROM m JOIN e USING (q_id, neighbor_id)),
        | oh AS (SELECT count(*) AS hits FROM o JOIN e USING (q_id, neighbor_id)),
        | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id)),
        | ph AS (SELECT count(*) AS hits FROM p JOIN e USING (q_id, neighbor_id)),
+       | wh AS (SELECT count(*) AS hits FROM w JOIN e USING (q_id, neighbor_id)),
        | lc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh")}))),
        | mc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_mp")}))),
        | oc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_or")}))),
        | fc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf")}))),
-       | pc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf_pq")})))
+       | pc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf_pq")}))),
+       | wc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (WITH ${x3bCandCte(s, d)} SELECT q_id, vec_id FROM c)))
        | ${row("ivf", "f")}
        | UNION ALL
        | ${row("ivf_pq", "p")}
+       | UNION ALL
+       | ${row("ivf_trained", "w")}
        | UNION ALL
        | ${row("lsh", "l")}
        | UNION ALL
@@ -814,7 +831,7 @@ object Similarity {
   }
 
   lazy val oracles: Map[String, String] =
-    oraclesBase + ("x4_ann_recall" -> x4Sql) + ("x9_mmr_rerank" -> x9Sql)
+    oraclesBase + ("x9_mmr_rerank" -> x9Sql)
 
   /** Shortest round-trip decimal for a double (Java's Double.toString):
     * DuckDB parses it back — whether through an exact DECIMAL literal cast
@@ -860,20 +877,25 @@ object Similarity {
        | SELECT vec_id, count(*) AS n_contaminants, max(cos) AS max_cos
        | FROM c WHERE cos >= 0.35 GROUP BY 1 ORDER BY vec_id""".stripMargin
 
-  private def x3bSqlFor(s: SparkSession, d: String): String = {
+  /** The trained-IVF CTE chain through `c` (candidates with cos_raw) —
+    * shared by x3b's full oracle and x4's `ivf_trained` hit/cost rows. */
+  private def x3bCandCte(s: SparkSession, d: String): String = {
     val np = scaledNprobe(s, d)
-    s"""WITH $vCte,
+    s"""$vCte,
        |${scaledAsgCte(s, d)},
        | q AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, cell_id FROM (
        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc
        |   FROM asg0 WHERE vec_id < 5) WHERE rc <= $np),
        | c AS (SELECT q.q_id, a.vec_id, a.cell_id, $dotQSql / ($normSql) AS cos_raw
-       |   FROM asg a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id),
+       |   FROM asg a JOIN q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id)""".stripMargin
+  }
+
+  private def x3bSqlFor(s: SparkSession, d: String): String =
+    s"""WITH ${x3bCandCte(s, d)},
        | r AS (SELECT q_id, vec_id, cell_id, cos_raw,
        |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
        | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos, cell_id
        | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-  }
 
   /** Oracles that EMBED data-derived literals (the trained codebook), so
     * they cannot be static strings: Verify generates them against the
@@ -884,11 +906,12 @@ object Similarity {
     * whether generation — which trains the codebook — is needed at all,
     * without invoking it. */
   val dynamicOracleKeys: Set[String] =
-    Set("x6_embed_decontam", "x3b_ann_ivf_trained")
+    Set("x6_embed_decontam", "x3b_ann_ivf_trained", "x4_ann_recall")
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
     "x6_embed_decontam" -> x6SqlFor(s, d),
-    "x3b_ann_ivf_trained" -> x3bSqlFor(s, d))
+    "x3b_ann_ivf_trained" -> x3bSqlFor(s, d),
+    "x4_ann_recall" -> x4SqlFor(s, d))
 
   /** x9's oracle: the greedy unrolled to [[MmrK]] stages, generated from
     * the same constants as the Spark loop so k and λ cannot drift. */

@@ -56,16 +56,20 @@ object KMeansCodebook {
       // relation), so iterations hit the codegen cache. Identical argmax
       // either way — same graft_dot floats, same (dot, -id) total order —
       // and the one-shot assignCells path keeps its unrolled fast form.
+      // score THIN (vec_id, 16-byte score) and join the vector payload
+      // back once per row — running the 512-byte array through the
+      // aggregate buffer for every (vector, cell) pair was the sf10
+      // allocation storm (same fix as Similarity.assignCellsJoin)
       val assigned = {
         val cbDf = s.createDataFrame(centroids).toDF("cid", "cv")
-        sample.crossJoin(broadcast(cbDf))
-          .withColumn("score", struct(
+        val best = sample.crossJoin(broadcast(cbDf))
+          .select(col("vec_id"), struct(
             call_function("graft_dot", col("v"), col("cv")).as("cos"),
-            (-col("cid")).as("neg_id")))
+            (-col("cid")).as("neg_id")).as("score"))
           .groupBy(col("vec_id"))
-          .agg(max_by(struct(col("v"), col("cid")), col("score")).as("b"))
-          .select(col("vec_id"), col("b.v").as("v"),
-            col("b.cid").as("cell_id"))
+          .agg(max(col("score")).as("b"))
+          .select(col("vec_id"), (-col("b.neg_id")).cast("int").as("cell_id"))
+        sample.join(best, Seq("vec_id"))
       }
       // decimal mean, not double: decimal addition is exactly associative
       // and commutative, so the aggregate is IDENTICAL whatever order

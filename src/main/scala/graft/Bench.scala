@@ -106,7 +106,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0
       }
-    } ++ memoBuilds.toSeq
+    }
     val calibAfter = calibrate(spark)
     val calib = math.min(calibBefore, calibAfter)
     val failed = results.collect { case (k, v) if v < 0 => k }
@@ -118,14 +118,21 @@ object Bench {
     // that sums/averages the map instead of reading "value" (ADVICE r7).
     val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Shared-core builds live in their OWN "builds" map, not "queries":
+    // every "queries" key validates against SparkEntry.queries, so a
+    // consumer diffing per-query timings across rounds never has to
+    // special-case a memo: prefix (ADVICE r9). value = queries + builds.
+    val bs = memoBuilds.toSeq.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      memoBuilds.values.sum
     val normalized = total * CalibRefSec / calib
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""calib_sec":$calib,"calib_ref_sec":$CalibRefSec,""" +
         s""""total_normalized":$normalized,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""queries":$qs,"builds":$bs,"sf":"$sfDir"}"""
     println(line)
     // Persist the full record to a repo file too: the round artifact must
     // not depend on stdout surviving truncation (BENCH_r03.json lost its

@@ -61,12 +61,18 @@ object Memo {
     try { val r = f; ok = true; r } finally {
       val total = (System.nanoTime() - t0) / 1e9
       val child = stack.pop()(0)
-      if (!stack.isEmpty) stack.peek()(0) += total
       // a build that THREW is not a completed core: logging its partial
       // wall would inflate memo line items with time for work that will
       // re-run (and re-log) on the next consumer — the crash stays inside
-      // the enclosing query's failure handling (review r9)
-      if (ok) logBuild(tag, math.max(0.0, total - child))
+      // the enclosing query's failure handling (review r9). For the same
+      // reason the aborted child's span must NOT be subtracted from the
+      // parent's exclusive time: a parent that catches the crash and
+      // recovers did the recovery work itself, and the child logged
+      // nothing to balance the subtraction (ADVICE r9).
+      if (ok) {
+        if (!stack.isEmpty) stack.peek()(0) += total
+        logBuild(tag, math.max(0.0, total - child))
+      }
     }
   }
 

@@ -185,7 +185,17 @@ object ScaleUp {
       else scaleEvents(Tables.events(spark, srcDir), factor))
     write("documents", scaleDocuments(spark.read.parquet(s"$srcDir/documents.parquet"), factor))
     write("embeddings", scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor))
-    System.err.println(s"[scaleup] wrote ${factor}x of $srcDir to $outDir")
+    // Skewed dirs are BENCH-ONLY: zipf rewrites l_suppkey/user_id on copy 0
+    // too, so the "original rows survive verbatim" law does not hold and
+    // pointing Verify or the oracle gate at one produces confusing
+    // mismatches. The marker file makes such a dir self-identifying
+    // (ADVICE r9).
+    if (zipf)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/_SCALEUP_ZIPF"),
+        "skewed bench-only dir: copy-0 rows are rewritten, do not oracle-gate\n")
+    System.err.println(s"[scaleup] wrote ${factor}x of $srcDir to $outDir" +
+      (if (zipf) " (zipf — bench-only)" else ""))
     spark.stop()
   }
 }

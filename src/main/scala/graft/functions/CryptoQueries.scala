@@ -92,8 +92,16 @@ object CryptoQueries {
   private val orderRowsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
   private def orderRows(s: SparkSession, d: String): Long = {
-    val fp = new java.io.File(s"$d/orders.parquet").lastModified
-    orderRowsCache.computeIfAbsent((d, fp), _ => Tables.orders(s, d).count())
+    // lastModified = 0 for a missing path would cache under fingerprint 0
+    // and then serve that count forever once the file appears — fail loud
+    // instead (the join needs the table anyway) (ADVICE r9)
+    val f = new java.io.File(s"$d/orders.parquet")
+    require(f.exists, s"orders.parquet missing under $d")
+    // routed through timedBuild so the one parquet-metadata count Bench
+    // triggers lands in its own builds line item instead of inside
+    // whichever f1-family query plans first (ADVICE r9)
+    orderRowsCache.computeIfAbsent((d, f.lastModified),
+      _ => graft.Memo.timedBuild("orders_rowcount")(Tables.orders(s, d).count()))
       .longValue
   }
 

@@ -5,8 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed Lloyd's k-means for the IVF codebook (the piece x3 stubs as
-  * "fixed 16 lowest vec_ids" — VERDICT r2 caveat). Spherical variant:
-  * cells maximize cosine, centroids are per-dimension means.
+  * "fixed 16 lowest vec_ids" — VERDICT r2 caveat). Dot-product variant:
+  * TRAINING assigns by unnormalized dot (argmax graft_dot — no division
+  * by the per-iteration centroid norm), centroids are per-dimension
+  * means; SERVING assignment (Similarity.assignCells) divides by the
+  * final centroid norm, i.e. maximizes cosine. With unequal centroid
+  * norms the two argmaxes can differ for borderline vectors — a recall-
+  * quality subtlety only, not a correctness one: both engines share the
+  * FINAL centroids and the SAME serving rule, so the oracle gate is
+  * unaffected (ADVICE r9 — this doc once claimed training maximized
+  * cosine).
   *
   * Scale shape: codebooks are trained OFFLINE on a bounded sample (every
   * production IVF build does this — training on all 100 TB buys nothing),

@@ -196,38 +196,39 @@ object Retrieval {
   private[graft] val Needle = "stream spark"
   private[graft] val Needle2 = "slow small filter"
 
-  /** TX16 — TRIGRAM-INDEX SUBSTRING SEARCH (the pg_trgm plan): find every
-    * document containing an arbitrary substring, with occurrence counts,
-    * WITHOUT the full-corpus substring scan a LIKE '%needle%' implies.
+  /** TX16 — TRIGRAM SUBSTRING SEARCH, RARE-GRAM-FIRST (the pg_trgm plan):
+    * find every document containing an arbitrary substring, with
+    * occurrence counts, without paying the full LIKE '%needle%' scan's
+    * cost profile on non-matching documents.
     *
-    * Shape: each document row-locally generates its character trigrams,
-    * dedups, and keeps only the needle's trigrams — so the one shuffle
-    * carries ≤ |trigrams(needle)| rows per CANDIDATE document, and
-    * documents sharing no trigram with the needle contribute NOTHING. A
-    * candidate must contain ALL needle trigrams (count == n), then the
-    * exact occurrence count runs on candidates only — trigram containment
-    * is necessary but not sufficient (the grams can all be present
-    * without being contiguous), so the verify step is what makes the
-    * result exact, and the prefilter is what makes it cheap. At 100 TB
-    * the trigram postings table is PERSISTED once (gram → doc, the
-    * inverted index) and each query probes only its own grams; this plan
-    * fuses build+probe with the probe's pruning applied at build time —
-    * same single-shuffle economics as tx8/tx13. */
-  private[graft] def substringSearch(docs: DataFrame, needle: String): DataFrame = {
+    * Shape (round 10 — the previous form materialized EVERY document's
+    * trigram array just to intersect it with the needle's grams, ~one
+    * short-lived string per corpus character; 92 s of allocation at sf10):
+    * candidacy is a CONJUNCTIVE row-local prefilter — the document must
+    * contain every needle trigram — with the conjuncts ordered by
+    * ascending document frequency, so codegen's short-circuit `&&` rejects
+    * almost every document on its FIRST, most selective gram probe and the
+    * common grams are only ever tested on documents the rare ones already
+    * passed. Gram dfs come from one bounded sample pass ([[gramOrder]],
+    * memoized per (dir, needle, mtime)); ordering affects only the plan —
+    * conjunction commutes — so the sampled estimate can never change the
+    * answer. Survivors take the exact occurrence count (trigram
+    * containment is necessary, not sufficient), which is what makes the
+    * result exact while the prefilter makes it cheap.
+    *
+    * At 100 TB the same economics run against the PERSISTED postings
+    * table (gram → doc): probe the rarest gram's postings list first and
+    * semi-join the rest in df order, touching no document bytes until the
+    * verify. This fused build+probe form is that plan with the postings
+    * probe collapsed into the scan that would have built them — the
+    * df-ordered short-circuit IS the ordered semi-join, minus a shuffle. */
+  private[graft] def substringSearch(docs: DataFrame, needle: String,
+                                     dir: Option[String] = None): DataFrame = {
     require(needle.length >= 3, "trigram search needs a needle of >= 3 chars")
-    val grams = needle.sliding(3).toSeq.distinct
-    val post = docs
-      .select(col("doc_id"),
-        explode(array_distinct(filter(
-          when(length(col("text")) >= 3,
-            expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-            .otherwise(array().cast("array<string>")),
-          g => g.isin(grams: _*)))).as("gram"))
-    val cand = post.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("ng"))
-      .filter(col("ng") === lit(grams.size.toLong))
-      .select(col("doc_id"))
-    docs.join(cand, Seq("doc_id"), "left_semi")
+    val ordered = gramOrder(docs, needle, dir)
+    val candidate = ordered.map(g => col("text").contains(lit(g)))
+      .reduce(_ && _)
+    docs.filter(candidate)
       .select(col("doc_id"),
         call_function("div",
           length(col("text")) - length(replace(col("text"), lit(needle), lit(""))),
@@ -236,8 +237,45 @@ object Retrieval {
       .orderBy(col("doc_id"))
   }
 
-  private val tx16: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle)
-  private val tx16b: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle2)
+  /** The needle's distinct trigrams, rarest first: df per gram measured
+    * with contains() probes over a 1-in-64 doc_id sample (one row-local
+    * scan of ~1.6% of the corpus, k longs collected — geometry-bounded),
+    * ties broken lexically so the order is deterministic. Memoized per
+    * (dir, needle, source mtime) and routed through Memo.timedBuild, so
+    * plan construction never re-runs the sample (the orderRows contract)
+    * and Bench attributes the one pass to its own builds line; an
+    * explicit frame with no dir (spec fixtures) just computes. An empty
+    * sample degrades to lexical order — still correct, conjunction
+    * commutes. */
+  private val gramOrderCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), Seq[String]]()
+  private[graft] def gramOrder(docs: DataFrame, needle: String,
+                               dir: Option[String] = None): Seq[String] = {
+    val grams = needle.sliding(3).toSeq.distinct
+    def measure(): Seq[String] = {
+      val row = docs.filter(col("doc_id") % 64 === 0)
+        .agg(
+          sum(col("text").contains(lit(grams.head)).cast("long")).as("g0"),
+          grams.tail.zipWithIndex.map { case (g, i) =>
+            sum(col("text").contains(lit(g)).cast("long")).as(s"g${i + 1}")
+          }: _*)
+        .collect().headOption
+      val dfs = grams.indices.map(i =>
+        row.flatMap(r => Option(r.get(i)).map(_.asInstanceOf[Long]))
+          .getOrElse(0L))
+      grams.zip(dfs).sortBy { case (g, n) => (n, g) }.map(_._1)
+    }
+    dir match {
+      case Some(d) =>
+        val fp = new java.io.File(s"$d/documents.parquet").lastModified
+        gramOrderCache.computeIfAbsent((d, needle, fp),
+          _ => graft.Memo.timedBuild("tx16_gram_dfs")(measure()))
+      case None => measure()
+    }
+  }
+
+  private val tx16: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle, Some(d))
+  private val tx16b: Q = (s, d) => substringSearch(Tables.documents(s, d), Needle2, Some(d))
 
   private val KnnK = 3
 

@@ -231,6 +231,60 @@ class DedupSpec extends SparkSpec {
     assert(!out(7L).getBoolean(4))
   }
 
+  test("px17b with a non-binding cap reproduces px17 exactly (fixture law)") {
+    val sp = spark; import sp.implicits._
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val hay = needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, hay), (2L, (1 to 30).map(i => s"y$i").mkString(" ")),
+      (17L, needle), (7L, "q1 q2 q3 q4 q5"))
+      .toDF("doc_id", "text")
+    // cap >= n_train ⇒ the hot vocabulary is empty: n_rare == n_shingles
+    // and every (best_train_id, containment_bp, contaminated) must equal
+    // the uncapped px17's — the law that pins px17b's semantics to px17's
+    val capped = operators.Dedup.containmentCapped(docs, cap = 1000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val exact = operators.Dedup.containment(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(capped.keySet === exact.keySet)
+    for ((id, c) <- capped; e = exact(id)) {
+      assert(c.getLong(1) === e.getLong(1), s"n_shingles doc $id")
+      assert(c.getLong(2) === c.getLong(1), s"n_rare == n_shingles doc $id")
+      assert(c.getLong(3) === e.getLong(2), s"best_train_id doc $id")
+      assert(c.getLong(4) === e.getLong(3), s"containment_bp doc $id")
+      assert(c.getBoolean(5) === e.getBoolean(4), s"contaminated doc $id")
+    }
+  }
+
+  test("px17b df-cap: boilerplate shingles are excluded, genuine containment survives") {
+    val sp = spark; import sp.implicits._
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val boiler = "b1 b2 b3 b4 b5" // 3 internal shingles, planted in 3 train docs
+    val docs = Seq(
+      (1L, needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")),
+      (11L, boiler + " " + (1 to 20).map(i => s"p$i").mkString(" ")),
+      (21L, boiler + " " + (1 to 20).map(i => s"r$i").mkString(" ")),
+      (31L, boiler + " " + (1 to 20).map(i => s"s$i").mkString(" ")),
+      (17L, needle),  // genuine contamination: verbatim inside train doc 1
+      (27L, boiler)   // pure boilerplate: all shingles hot at cap 2
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.containmentCapped(docs, cap = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(17L, 27L))
+    // doc 17's distinctive shingles all have df 1 — the cap removes
+    // nothing it needs: still fully contained in train doc 1
+    assert(out(17L).getLong(2) === out(17L).getLong(1)) // n_rare == n_shingles
+    assert(out(17L).getLong(3) === 1L)
+    assert(out(17L).getLong(4) === 10000L)
+    assert(out(17L).getBoolean(5))
+    // doc 27 is nothing but hot shingles: no rare evidence, never flagged,
+    // and the degenerate case is visible via n_rare = 0
+    assert(out(27L).getLong(2) === 0L)
+    assert(out(27L).getLong(3) === -1L)
+    assert(out(27L).getLong(4) === 0L)
+    assert(!out(27L).getBoolean(5))
+  }
+
   test("px22 eval-scrub covers the train split; kept iff no hits; px17 cross-law") {
     val out = q("px22_eval_scrub").cache()
     val expect = Tables.documents(spark, sf)
@@ -1002,6 +1056,35 @@ class TextQueriesSpec extends SparkSpec {
     // necessity, explicitly: doc 1 really does contain every needle gram
     val grams = needle.sliding(3).toSeq.distinct
     assert(grams.forall("sparkle stream spam".contains(_)))
+  }
+
+  test("tx16 rare-gram-first: df-ordered conjuncts, no trigram materialization") {
+    val sp = spark; import sp.implicits._
+    // doc_ids are multiples of 64 so every doc lands in gramOrder's
+    // 1-in-64 df sample; "abc" is planted common, the zzz grams rare
+    val needle = "abczzz"
+    val docs = Seq(
+      (0L, "abc filler one"), (64L, "abc filler two"),
+      (128L, "abc filler three"), (192L, s"has $needle here"))
+      .toDF("doc_id", "text")
+    val ordered = functions.Retrieval.gramOrder(docs, needle)
+    assert(ordered.toSet === needle.sliding(3).toSet)
+    // df(abc) = 4 vs 1 for each zzz-gram: the common gram probes LAST, so
+    // codegen's short-circuit && rejects non-candidates on a rare gram
+    assert(ordered.last === "abc")
+    assert(ordered.head !== "abc")
+    // the plan is a row-local Contains conjunction — no Generate (the old
+    // form materialized every document's trigram array) and no join/agg
+    // before the verify. Asserted over the parquet-backed table: a local
+    // fixture constant-folds to a LocalTableScan and hides the filter.
+    val plan = functions.Retrieval
+      .substringSearch(Tables.documents(spark, sf), functions.Retrieval.Needle)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"))
+    assert(plan.contains("Contains"))
+    // and it is still exact: equals the direct contains scan
+    val out = functions.Retrieval.substringSearch(docs, needle).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((192L, 1L)))
   }
 
   test("tx17 lexical knn: contiguous ranks, non-increasing cos2, pairs from tx9") {

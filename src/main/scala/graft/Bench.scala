@@ -30,6 +30,27 @@ object Bench {
     (1 to 3).map(_ => run()).min
   }
 
+  /** Force FULL evaluation of a query's output: xxhash64 over every output
+    * column, summed. `count()` is not an honest benchmark action — Catalyst
+    * legally deletes work that cannot change the row count, and round 10
+    * caught it red-handed: px17's argmax became a grouped aggregate
+    * (provably unique join key), so count() ELIMINATED the left joins and
+    * with them the entire candidate-join subtree — 0.25 s "measured" for a
+    * query whose real cost is ~500 s at sf10. Hashing references every
+    * column, so join elimination and output-column pruning are both off
+    * the table, while final sorts stay excluded (EliminateSorts removes an
+    * ordering under an aggregate — count() excluded them too, keeping
+    * cross-round numbers comparable). All registered outputs are scalar
+    * columns (driver-comparator contract), so xxhash64 accepts them. */
+  private def evaluate(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    // bit_xor, not sum: summing 64-bit hashes overflows, and ANSI mode
+    // (Spark 4 default) turns that into a runtime error; xor is order-
+    // insensitive and overflow-free
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,7 +91,7 @@ object Bench {
     // the JSON line contract).
     chosen.map(_._1).groupBy(_.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
       .map(_._2.head).foreach { w =>
-        try SparkEntry.queries(w)(spark, sfDir).count()
+        try evaluate(SparkEntry.queries(w)(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"warmup $w failed: $e") }
       }
     drainInto() // attribute warmup-triggered core builds
@@ -90,7 +111,7 @@ object Bench {
     val results = chosen.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        evaluate(fn(spark, sfDir))
         // clamp at 0: builds are timed exclusively (Memo.timedBuild), but
         // measurement noise around a build-dominated query must never
         // produce a negative net time — the -1 sentinel means CRASH only

@@ -110,6 +110,57 @@ object Probe {
       time("g5 full query")(plans.PageRank.queries("g5_bfs_distance")(spark, d).count())
       spark.stop(); return
     }
+    if (args.contains("px17")) {
+      // VERDICT r9 item 5: measured candidate counts vs answer rows for
+      // the containment family — the evidence that px17's cost IS its
+      // candidate set and px17b's cap bounds it.
+      for ((label, cap) <- Seq(
+          "exact (px17)" -> None,
+          s"capped df<=${operators.Dedup.ContainDfCap} (px17b)" ->
+            Some(operators.Dedup.ContainDfCap))) {
+        val t0 = System.nanoTime()
+        val (occ, pairs, flagged) = operators.Dedup.containmentProbe(spark, d, cap)
+        println(f"px17 $label%-28s occ rows=$occ%,14d  (test,train) pairs=$pairs%,12d" +
+          f"  flagged=$flagged%,8d  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
+      }
+      time("px17 full")(operators.Dedup.queries("px17_containment")(spark, d).count())
+      time("px17b full")(operators.Dedup.queries("px17b_containment_capped")(spark, d).count())
+      spark.stop(); return
+    }
+    if (args.contains("j13")) {
+      // VERDICT r9 item 5: candidate rows (bucket equi-join output) vs
+      // true matches vs answer rows — j13's cost is its true match set
+      // (output-bound), with bounded bucket slack above it.
+      val cand = operators.RelationalCore.j13Candidates(spark, d)
+      val matches = operators.RelationalCore.j13Matches(spark, d)
+      time("j13 candidates (bucket join)")(cand.count())
+      time("j13 true matches")(matches.count())
+      time("j13 answer rows")(
+        operators.RelationalCore.queries("j13_range_join")(spark, d).count())
+      val c = cand.count(); val m = matches.count()
+      println(f"j13 bucket slack = ${c.toDouble / m}%.2f× (candidates / true matches)")
+      spark.stop(); return
+    }
+    if (args.contains("tx16")) {
+      println(s"tx16 gram order (rarest first): " +
+        functions.Retrieval.gramOrder(
+          Tables.documents(spark, d), functions.Retrieval.Needle, Some(d)))
+      time("tx16 full")(functions.Retrieval.queries("tx16_substring")(spark, d).count())
+      time("tx16 full 2nd")(functions.Retrieval.queries("tx16_substring")(spark, d).count())
+      time("tx16b full")(functions.Retrieval.queries("tx16_substring3w")(spark, d).count())
+      spark.stop(); return
+    }
+    if (args.contains("x4")) {
+      // VERDICT r9 item 2: publish the recall battery's own output at
+      // rehearsal scale — recall@10 and candidate cost per ANN variant
+      // move with the adaptive k/nprobe, so sf0.1 numbers don't cover sf1+.
+      val t0 = System.nanoTime()
+      val rows = operators.Similarity.queries("x4_ann_recall")(spark, d)
+        .collect()
+      println(f"x4 recall battery (${(System.nanoTime() - t0) / 1e9}%.1f s):")
+      rows.foreach(r => println("  " + r.toString))
+      spark.stop(); return
+    }
     if (args.contains("p2")) {
       // VERDICT r8 item 8: is the carry pass double-scanning? The window
       // frame `w` IS consumed twice by design (bucket agg + final join —

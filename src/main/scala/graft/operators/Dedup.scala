@@ -698,6 +698,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Probe-only cardinalities for the containment family (Probe px17 —
+    * the evidence behind SCALE.md's candidate-bound claims): returns
+    * (shingle-grain join rows, distinct (test, train) pairs, flagged test
+    * docs) for the exact px17 plan (cap = None) or px17b's capped plan.
+    * Mirrors containmentFrom/containmentCappedFrom's candidate stages. */
+  private[graft] def containmentProbe(s: SparkSession, d: String,
+      cap: Option[Long] = None): (Long, Long, Long) = {
+    val ds = docHashedShingles(s, d).withColumnRenamed("hs", "shingles")
+    val test = ds.filter(col("doc_id") % 10 === 7)
+    val trainShAll = ds.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("train_id"), explode(col("shingles")).as("sh"))
+    val testShAll = test.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val (testSh, trainSh) = cap match {
+      case Some(c) =>
+        val hot = trainShAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > c).select(col("sh"))
+        (testShAll.join(hot, Seq("sh"), "left_anti"),
+          trainShAll.join(hot, Seq("sh"), "left_anti"))
+      case None => (testShAll, trainShAll)
+    }
+    // occ is NOT checkpointed: at sf10 the exact plan's join output is
+    // billions of rows — the probe recomputes it per count instead of
+    // materializing it
+    val occ = testSh.join(trainSh, Seq("sh"))
+    val q = if (cap.isDefined) px17b else px17
+    (occ.count(),
+      occ.groupBy(col("doc_id"), col("train_id")).agg(count(lit(1)))
+        .count(),
+      q(s, d).filter(col("contaminated")).count())
+  }
+
   /** PX22 — EVAL-SCRUB, the REMOVAL px17's detection implies, in the
     * direction that protects the benchmark: drop from TRAIN every
     * document that CONTAINS a test/eval item (containment measured

@@ -232,8 +232,12 @@ object RelationalCore {
     * The shuffle is keyed by bucket — linear in each side — and the count/
     * sum aggregate takes map-side partials. Bucket width is the tuning
     * knob: wider ⇒ fewer interval replicas but looser pre-filter. */
-  private val j13: Q = (s, d) => {
-    val dayUs = 86400000000L
+  private val dayUs = 86400000000L
+
+  /** j13's bucket-equi-join candidate stage, split out so the scale probe
+    * can count candidate rows vs true matches without copying the plan
+    * (Probe j13 — the evidence behind SCALE.md's "output-bound" claim). */
+  private[graft] def j13Candidates(s: SparkSession, d: String): DataFrame = {
     val bucketUs = 32L * dayUs
     val iv = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 20 === 0)
@@ -248,7 +252,15 @@ object RelationalCore {
         unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
       .withColumn("bkt", floor(col("ship_us") / bucketUs).cast("long"))
     iv.join(probes, Seq("bkt"))
+  }
+
+  /** j13's exact-range recheck over the candidates — the true match set. */
+  private[graft] def j13Matches(s: SparkSession, d: String): DataFrame =
+    j13Candidates(s, d)
       .filter(col("ship_us") >= col("win_start_us") && col("ship_us") < col("win_end_us"))
+
+  private val j13: Q = (s, d) => {
+    j13Matches(s, d)
       .groupBy(col("win_id"))
       .agg(count(lit(1)).as("n_ship"),
         sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))

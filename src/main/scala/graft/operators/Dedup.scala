@@ -626,6 +626,16 @@ object Dedup {
     * train docs are excluded from candidate generation AND scoring. */
   private[graft] val ContainDfCap = 50L
 
+  /** px17b's EVIDENCE FLOOR: a test doc is flagged only when at least this
+    * many rare shingles back the ratio. Without it the cap's shrunken
+    * denominator turns containment_bp into noise exactly where the corpus
+    * is most replicated — measured at sf10 (100× replication): 49 104 of
+    * 50 000 test docs "contaminated" because 1-of-2 rare shingles matched
+    * somewhere, vs 4 100 under the exact score. Below the floor px17b
+    * abstains (contaminated = false, n_rare visible for alerting) — the
+    * standard min-evidence rule of decontamination pipelines. */
+  private[graft] val ContainMinRare = 8L
+
   /** PX17b — BOUNDED containment decontamination: px17 with a df-cap on
     * the shingle vocabulary (the mechanism px17's Scaladoc names; round-9
     * verdict's one `weak` shape). px17's candidate set is Σ_sh df_t·df_r
@@ -645,7 +655,9 @@ object Dedup {
     * distinctive shingles have df ≈ 1 and all survive; what the cap
     * removes matches everything and therefore identifies nothing. A test
     * doc that is PURE boilerplate (n_rare = 0) scores 0 — reported via
-    * the n_rare column, which a pipeline alerts on rather than trusting.
+    * the n_rare column, which a pipeline alerts on rather than trusting —
+    * and flagging requires n_rare ≥ [[ContainMinRare]] (the evidence
+    * floor: a ratio over 1–2 surviving shingles is noise, not signal).
     *
     * Scale shape: the hot vocabulary (df > cap) is at most
     * occurrences/cap DISTINCT shingles — a left_anti join prunes both
@@ -694,7 +706,9 @@ object Dedup {
           coalesce(col("n_shared"), lit(0L)),
           coalesce(col("n_rare"), lit(0L)), 10000L)
           .as("containment_bp"))
-      .withColumn("contaminated", col("containment_bp") >= ContainMinBp)
+      .withColumn("contaminated",
+        col("n_rare") >= ContainMinRare &&
+          col("containment_bp") >= ContainMinBp)
       .orderBy(col("doc_id"))
   }
 
@@ -1281,7 +1295,8 @@ object Dedup {
          |   FROM test t LEFT JOIN nr ON t.doc_id = nr.doc_id
          |   LEFT JOIN best b ON t.doc_id = b.doc_id)
          | SELECT doc_id, n_shingles, n_rare, best_train_id, containment_bp,
-         |   containment_bp >= $ContainMinBp AS contaminated
+         |   n_rare >= $ContainMinRare AND containment_bp >= $ContainMinBp
+         |     AS contaminated
          | FROM scored ORDER BY doc_id""".stripMargin,
     "px18_cdc_chunks" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -241,7 +241,10 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     // cap >= n_train ⇒ the hot vocabulary is empty: n_rare == n_shingles
     // and every (best_train_id, containment_bp, contaminated) must equal
-    // the uncapped px17's — the law that pins px17b's semantics to px17's
+    // the uncapped px17's — the law that pins px17b's semantics to px17's.
+    // (contaminated additionally requires n_rare >= ContainMinRare; the
+    // fixture's flagged doc has exactly 8 shingles and the unflagged ones
+    // score 0 bp, so the evidence floor is not binding here.)
     val capped = operators.Dedup.containmentCapped(docs, cap = 1000L)
       .collect().map(r => r.getLong(0) -> r).toMap
     val exact = operators.Dedup.containment(docs)

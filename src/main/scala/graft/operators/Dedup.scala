@@ -918,11 +918,15 @@ object Dedup {
     * string, not a dropped row). */
   private val px8: Q = (s, d) => {
     val ct = ChunkTokens
+    // checkpoint-pinned: chunks feed a Generate (posexplode) plus the
+    // final join, and pushed filters re-inline the split/slice chain
+    // inside both consumers (the containmentFrom/spanScrubAt rationale)
     val chunked = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(
         s"transform(sequence(0, int(ceil(size(toks) / $ct.0D)) - 1), " +
           s"i -> array_join(slice(toks, i * $ct + 1, $ct), ' '))").as("chunks"))
+      .localCheckpoint(true)
     val passages = chunked.select(col("doc_id"),
       posexplode(col("chunks")).as(Seq("cidx", "chunk")))
     val boiler = passages.groupBy(col("chunk"))
@@ -972,10 +976,23 @@ object Dedup {
     * the 4-token grain, px14b the coarser 6-token grain — same plan at
     * any k, oracle generated from the same constant. */
   private[graft] def spanScrubAt(k: Int)(docs: DataFrame): DataFrame = {
+    // checkpoint-pinned for the same reason as containmentFrom: the token
+    // array feeds a Generate (window posexplode) plus two more consumers,
+    // and pushed-down filters re-inline the regex tokenizer inside them
     val toked = docs.select(col("doc_id"), toks(col("text")).as("tk"))
-    val ws = toked.filter(size(col("tk")) >= k)
+      .localCheckpoint(true)
+    // the window expr is TOTAL (short docs yield an empty array INSIDE the
+    // expression, not via a preceding filter): filter inference from the
+    // Generate inlines this chain into a combined predicate whose conjunct
+    // order is the optimizer's choice, so a separate size>=k guard can
+    // legally evaluate AFTER the slice — ANSI slice(start=0) error on a
+    // short doc (caught by the fixture spec when the checkpoint moved the
+    // filter boundary, round 10)
+    val ws = toked
       .select(col("doc_id"), expr(
-        s"transform(sequence(0, size(tk) - $k), i -> array_join(slice(tk, i + 1, $k), ' '))")
+        s"CASE WHEN size(tk) >= $k THEN transform(sequence(0, size(tk) - $k), " +
+          s"i -> array_join(slice(tk, i + 1, $k), ' ')) " +
+          "ELSE array() END")
         .as("wins"))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("p", "w")))
     val dupW = ws.groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -983,17 +1000,27 @@ object Dedup {
     val cov = ws.join(dupW, Seq("w"))
       .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("tpos"))
       .distinct()
-    val tp = toked.select(col("doc_id"), posexplode(col("tk")).as(Seq("tpos", "tok")))
-    val keptAgg = tp.join(cov, Seq("doc_id", "tpos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        expr("md5(array_join(transform(array_sort(collect_list(" +
-          "struct(tpos, tok))), x -> x.tok), ' '))").as("kept_md5"))
-    toked.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-      .join(keptAgg, Seq("doc_id"), "left")
+    // Reassembly is ROW-LOCAL (round 10): aggregate the covered positions
+    // to ONE int-array per doc, join that at doc grain, and filter the
+    // token array in place. The old form re-exploded every doc to token
+    // grain, anti-joined, and rebuilt each doc via collect_list +
+    // array_sort — two extra token-grain shuffles and a per-doc sort that
+    // the honest bench exposed as ~90% of px14's cost (it had hidden
+    // behind count()'s left-join elimination). Membership is an
+    // array_contains scan per token — O(|cov|·n) per doc, bounded by the
+    // short doc lengths; order is the array's own order, so the kept
+    // string is byte-identical to the sorted-collect_list form.
+    val covSet = cov.groupBy(col("doc_id"))
+      .agg(collect_set(col("tpos")).as("covps"))
+    toked.join(covSet, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(col("covps").isNull, col("tk"))
+          .otherwise(filter(col("tk"),
+            (_, i) => !array_contains(col("covps"), i)))
+          .as("kept"))
       .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Data profiling (north-star hygiene op): per-column null counts, distinct
   * cardinalities and min/max over the fact table — the pre-ingestion
-  * validation pass every large pipeline runs before training. ONE scan
-  * computes every column's stats (a single wide aggregate), then the result
-  * is unpivoted to rows; at 100 TB this matters because k separate
-  * per-column jobs would re-read the table k times.
+  * validation pass every large pipeline runs before training. One job,
+  * one COLUMNAR aggregation branch per column (parquet reads each branch's
+  * single column, so the union of k branches reads the same bytes as one
+  * full-row scan — and avoids the k·n-row Expand a single multi-distinct
+  * aggregate plans).
   *
   * Column set excludes doubles on purpose: float-to-string rendering
   * differs across engines and the gate compares strings; numeric profiling
@@ -23,26 +24,28 @@ object Profiling {
       "l_linestatus", "l_shipdate")
 
   private val pr1: Q = (s, d) => {
+    // One COLUMNAR branch per profiled column, unioned: groupBy the column
+    // (shuffle = its distinct values, partial-aggregated map-side), then a
+    // 1-row rollup per branch. The previous single wide aggregate with k
+    // countDistinct's planned an Expand — every row duplicated k+1 times
+    // through the hash aggregate — which the honest bench priced at 6.8 s
+    // vs ~1.5 s for this form (round 10). Parquet being columnar, the k
+    // branch scans read the same total bytes as one full-row scan; at
+    // 100 TB the k distinct-value shuffles are each a fraction of the one
+    // k·n-row Expand shuffle, and column pruning is plan-asserted. */
     val li = Tables.lineitem(s, d)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd"),
-        min(col(c)).cast("string").as(s"${c}_min"),
-        max(col(c)).cast("string").as(s"${c}_max"))
+    cols.map { c =>
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("nulls"),
+          count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("v")).cast("string").as("min_value"),
+          max(col("v")).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"),
+          coalesce(col("nulls"), lit(0L)).as("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
     }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      struct(
-        lit(c).as("column_name"),
-        (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
-        col(s"${c}_nd").as("n_distinct"),
-        col(s"${c}_min").as("min_value"),
-        col(s"${c}_max").as("max_value"))
-    }
-    wide.select(explode(array(stacked: _*)).as("p"))
-      .select(col("p.column_name"), col("p.n_nulls"), col("p.n_distinct"),
-        col("p.min_value"), col("p.max_value"))
+      .reduce(_ unionByName _)
       .orderBy(col("column_name"))
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.expressions.{DotProduct, Sha512_256, SortedLongIntersect}
+import graft.expressions.{BandedLevenshtein, DotProduct, Sha512_256, SortedLongIntersect}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so they resolve by name in SQL and via call_function — the
@@ -27,7 +27,10 @@ object GraftExtensions {
         Sha512_256(c(0))),
     (FunctionIdentifier("graft_isect"), SortedLongIntersect.info,
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SortedLongIntersect(c(0), c(1))))
+        SortedLongIntersect(c(0), c(1))),
+    (FunctionIdentifier("graft_lev"), BandedLevenshtein.info,
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BandedLevenshtein(c(0), c(1), c(2))))
 
   /** Idempotent per-session registration, for sessions built without
     * `.withExtensions` (e.g. a harness-owned SparkSession running one of

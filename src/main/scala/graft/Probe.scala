@@ -141,6 +141,26 @@ object Probe {
       println(f"j13 bucket slack = ${c.toDouble / m}%.2f× (candidates / true matches)")
       spark.stop(); return
     }
+    if (args.contains("d10")) {
+      val pairs = operators.Dedup.lshPairsCached(spark, d)
+      time("lsh pairs")(pairs.count())
+      val t = Tables.documents(spark, d).select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      val j = pairs
+        .join(t.select(col("doc_id").as("d1"), col("text").as("t1"),
+          col("len").as("len1")), Seq("d1"))
+        .join(t.select(col("doc_id").as("d2"), col("text").as("t2"),
+          col("len").as("len2")), Seq("d2")).localCheckpoint(true)
+      time("join only (checkpointed)")(j.count())
+      time("lev16 over pairs")(j.select(
+        levenshtein(col("t1"), col("t2"), 16).as("dd"))
+        .filter(col("dd") =!= -1).count())
+      time("lev full over pairs")(j.select(
+        levenshtein(col("t1"), col("t2")).as("dd"))
+        .filter(col("dd") >= 0).count())
+      time("d10 full")(operators.Dedup.queries("d10_edit_verify")(spark, d).count())
+      spark.stop(); return
+    }
     if (args.contains("tx16")) {
       println(s"tx16 gram order (rarest first): " +
         functions.Retrieval.gramOrder(

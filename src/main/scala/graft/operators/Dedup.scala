@@ -791,6 +791,7 @@ object Dedup {
     * plant pairs (one-edit twins, a length-gap prune case) without having
     * to force LSH collisions. `pairs` = (d1, d2); `docs` = documents. */
   private[graft] def editVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
     val t = docs.select(col("doc_id"), col("text"),
       length(col("text")).cast("long").as("len"))
     val j = pairs
@@ -804,10 +805,36 @@ object Dedup {
     // the flag inequality proves the verdict without running the DP. The
     // prune is EXACTLY the flag rule's complement through that bound —
     // no rounding, so pruned pairs can never be flag-eligible.
-    val pruned = gap * 10000L > maxLen * EditMaxDistBp
+    // THRESHOLD-BANDED DP via the native graft_lev expression (round 10):
+    // the honest bench exposed the full O(n·m) Levenshtein as 131 s at
+    // sf1 (count() had pruned the DP column wholesale — it was never
+    // actually paid in a bench), and Spark's built-in measured ~16 ms per
+    // ~300-char pair even threshold-banded. graft_lev runs Ukkonen's
+    // O(n·k) band over raw ASCII bytes (char fallback for multibyte) with
+    // the PER-ROW decision radius k = floor(maxLen·EditMaxDistBp/10⁴) —
+    // its |n−m| > k first line IS the length-gap prune, and its −1 past
+    // the band IS the decision clamp, so the whole verify is one
+    // single-evaluation expression. The oracle applies the same clamp to
+    // DuckDB's exact unbanded distance; the spec cross-checks against the
+    // unbanded DP at fixture scale.
+    // Two bands, both native: a k=8 probe first — near-dup pairs (the
+    // candidate set's common case) are a few edits apart and resolve in
+    // ~1/40 of the full-radius band — then the full decision radius only
+    // for unresolved pairs. The probe result is BOUND as a lambda
+    // variable (CaseWhen branches are outside codegen subexpression
+    // elimination, so a bare two-reference form would run the probe DP
+    // twice); the wide band sits in a conditional branch, evaluated only
+    // when taken. thr ≤ 8 short-circuits: the probe's −1 is already the
+    // final verdict there.
+    val thr = call_function("div", maxLen * EditMaxDistBp, lit(10000L))
     j.select(col("d1"), col("d2"), maxLen.as("max_len"),
-        when(pruned, lit(-1L))
-          .otherwise(levenshtein(col("t1"), col("t2")).cast("long"))
+        element_at(transform(
+          array(call_function("graft_lev", col("t1"), col("t2"),
+            least(lit(8L), thr))), probe =>
+          when(probe =!= -1L, probe)
+            .otherwise(when(thr <= 8L, lit(-1L))
+              .otherwise(call_function("graft_lev", col("t1"), col("t2"), thr)))),
+          1)
           .as("edit_dist"))
       .select(col("d1"), col("d2"), col("edit_dist"),
         when(col("edit_dist") === -1L, lit(-1L))
@@ -825,12 +852,14 @@ object Dedup {
     * order-blind — two docs with the same vocabulary but scrambled
     * sentences score high Jaccard; Levenshtein is the order-sensitive
     * ground truth ("how many edits apart"). Scale shape: the O(n·m) DP
-    * runs ONLY at LSH-candidate grain (never doc×doc), and the length-gap
+    * runs ONLY at LSH-candidate grain (never doc×doc), the length-gap
     * prune skips it wherever |len1−len2| alone settles the verdict
-    * (dist ≥ gap), emitting dist/sim = −1 — the standard cheap lower
-    * bound that, at 100 TB, eliminates most of the DP spend because near
-    * dups have near-equal lengths. Both engines share the prune and the
-    * integer flag rule, so the gate compares bit-for-bit. */
+    * (dist ≥ gap), and the DP itself is THRESHOLD-BANDED (see
+    * [[editVerify]]) — exact distances are reported only up to the flag
+    * boundary floor(maxLen·[[EditMaxDistBp]]/10⁴); −1 beyond it means
+    * "provably not a near-dup", whichever prune or band proved it. Both
+    * engines share the prunes, the clamp, and the integer flag rule, so
+    * the gate compares bit-for-bit. */
   private val d10: Q = (s, d) =>
     editVerify(lshPairsCached(s, d), Tables.documents(s, d))
 
@@ -1160,10 +1189,16 @@ object Dedup {
       s"""WITH $candSql,
          | t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len
          |   FROM documents),
-         | p AS (SELECT d1, d2, greatest(a.len, b.len) AS max_len,
+         | p0 AS (SELECT d1, d2, greatest(a.len, b.len) AS max_len,
          |     CASE WHEN abs(a.len - b.len) * 10000 > greatest(a.len, b.len) * $EditMaxDistBp
-         |          THEN -1 ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS edit_dist
-         |   FROM cand JOIN t a ON cand.d1 = a.doc_id JOIN t b ON cand.d2 = b.doc_id)
+         |          THEN -1 ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS ed0
+         |   FROM cand JOIN t a ON cand.d1 = a.doc_id JOIN t b ON cand.d2 = b.doc_id),
+         | -- decision clamp mirroring the banded Spark plan: past the flag
+         | -- boundary the exact value is not part of the contract
+         | p AS (SELECT d1, d2, max_len,
+         |     CASE WHEN ed0 <> -1 AND ed0 * 10000 > max_len * $EditMaxDistBp
+         |          THEN -1 ELSE ed0 END AS edit_dist
+         |   FROM p0)
          | SELECT d1, d2, edit_dist,
          |   CASE WHEN edit_dist = -1 THEN -1
          |        ELSE ${graft.functions.ExactRatio.scaledSql(

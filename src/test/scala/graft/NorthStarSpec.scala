@@ -48,8 +48,11 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)).getLong(2) === 1L)
     assert(out((1L, 2L)).getBoolean(4))
     // same token SET, reversed order: set measures (d4 Jaccard) say "dup",
-    // the order-sensitive edit distance says NOT — d10's reason to exist
-    assert(out((1L, 3L)).getLong(2) > 22L)
+    // the order-sensitive edit distance says NOT — d10's reason to exist.
+    // Since the round-10 banded contract, beyond-boundary distances are
+    // clamped to the −1 sentinel rather than reported exactly.
+    assert(out((1L, 3L)).getLong(2) === -1L)
+    assert(out((1L, 3L)).getLong(3) === -1L)
     assert(!out((1L, 3L)).getBoolean(4))
     // the length gap alone settles it: DP skipped, sentinel emitted
     assert(out((1L, 4L)).getLong(2) === -1L)
@@ -63,23 +66,58 @@ class DedupSpec extends SparkSpec {
     assert(out.select("d1", "d2").except(cand).isEmpty)
     assert(cand.except(out.select("d1", "d2")).isEmpty)
     assert(out.count() === cand.count())
-    // recompute lengths; check the prune fired exactly on the gap bound
-    val lens = Tables.documents(spark, sf)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    // cross-check against the UNBANDED DP at spec scale: −1 iff the true
+    // distance violates the flag bound (gap-pruned pairs satisfy this too,
+    // dist >= gap), and every reported distance is the exact one
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
     val j = out
-      .join(lens.select(col("doc_id").as("d1"), col("len").as("len1")), "d1")
-      .join(lens.select(col("doc_id").as("d2"), col("len").as("len2")), "d2")
+      .join(texts.select(col("doc_id").as("d1"), col("text").as("t1"),
+        col("len").as("len1")), "d1")
+      .join(texts.select(col("doc_id").as("d2"), col("text").as("t2"),
+        col("len").as("len2")), "d2")
       .withColumn("max_len", greatest(col("len1"), col("len2")))
-      .withColumn("gap", abs(col("len1") - col("len2")))
+      .withColumn("true_dist", levenshtein(col("t1"), col("t2")).cast("long"))
     assert(j.filter((col("edit_dist") === -1L) =!=
-      (col("gap") * 10000L > col("max_len") *
+      (col("true_dist") * 10000L > col("max_len") *
         operators.Dedup.EditMaxDistBp)).isEmpty)
+    assert(j.filter(col("edit_dist") =!= -1L)
+      .filter(col("edit_dist") =!= col("true_dist")).isEmpty)
     assert(j.filter(col("edit_dist") =!= -1L)
       .filter(col("is_near_dup") =!= (col("edit_dist") * 10000L <=
         col("max_len") * operators.Dedup.EditMaxDistBp)).isEmpty)
-    // the prune is sound: a pruned pair could never be flagged, because
-    // dist >= gap — spot-proven by the planted fixture above
     out.unpersist()
+  }
+
+  test("graft_lev equals the clamped exact levenshtein on random pairs") {
+    val sp = spark; import sp.implicits._
+    GraftExtensions.ensure(sp)
+    // small alphabet → dense distance spectrum; k swept across the band
+    // boundaries (0, 1, around |n−m|, beyond) to catch off-by-ones the
+    // fixture laws can't
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    def rs(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(4))).mkString
+    val rows = (1 to 500).map { _ =>
+      val a = rs(rnd.nextInt(25))
+      val b = if (rnd.nextBoolean()) {
+        // near variant: a few point edits on a copy
+        val sb = new StringBuilder(a)
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), alpha(rnd.nextInt(4)))
+        }
+        sb.toString
+      } else rs(rnd.nextInt(25))
+      (a, b, rnd.nextInt(14).toLong)
+    }
+    val bad = rows.toDF("a", "b", "k")
+      .select(
+        call_function("graft_lev", col("a"), col("b"), col("k")).as("banded"),
+        levenshtein(col("a"), col("b")).cast("long").as("exact"), col("k"))
+      .filter(col("banded") =!=
+        when(col("exact") <= col("k"), col("exact")).otherwise(lit(-1L)))
+    assert(bad.isEmpty)
   }
 
   test("d3 simhash is a 16-bit value, equal for identical token streams") {

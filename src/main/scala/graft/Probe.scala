@@ -129,8 +129,12 @@ object Probe {
     }
     if (args.contains("j13")) {
       // VERDICT r9 item 5: candidate rows (bucket equi-join output) vs
-      // true matches vs answer rows — j13's cost is its true match set
-      // (output-bound), with bounded bucket slack above it.
+      // true matches vs answer rows. Round 10 rewrote the plan: the probe
+      // side pre-aggregates to ship_us grain (exact — distributive aggs,
+      // predicate reads only ship_us), so candidates/matches here are at
+      // TIMESTAMP grain (windows × covered timestamps), no longer raw
+      // fact pairs — the old raw-grain match set (50 B pairs at sf10,
+      // 813 s) is gone from the plan entirely.
       val cand = operators.RelationalCore.j13Candidates(spark, d)
       val matches = operators.RelationalCore.j13Matches(spark, d)
       time("j13 candidates (bucket join)")(cand.count())

@@ -782,6 +782,74 @@ object Dedup {
 
   private val px22: Q = (s, d) => evalScrubFrom(docShingles(s, d))
 
+  /** PX22b — BOUNDED eval-scrub: px22 with px17b's df-cap on the shingle
+    * vocabulary, applied to the removal direction. Exact px22's candidate
+    * set is the same unbounded Σ_sh df_t·df_r as px17's (the honest bench
+    * measured it at 458 s at sf10 under 100× replication — hidden before
+    * round 10 because count() let Catalyst eliminate the unique-key left
+    * join that carried all the work). The bound is identical to px17b's:
+    * shingles in more than `cap` train docs are excluded from candidate
+    * generation AND scoring, so candidate rows ≤ cap · Σ_t |sh(t)| —
+    * linear in corpus size at fixed cap, no join key above the cap.
+    *
+    * A train doc is scrubbed when some test item's RARE-vocabulary
+    * containment in it clears [[ContainMinBp]] with at least
+    * [[ContainMinRare]] rare shingles of evidence — the same score px17b
+    * flags on, so the cross-law "px17b-contaminated test ⇒ its argmax
+    * train partner is px22b-scrubbed" holds by construction (the spec
+    * asserts it on the live corpus). `n_rare` here is the TRAIN doc's own
+    * surviving-shingle count — the boilerplate-visibility column (a doc
+    * that is pure boilerplate shows n_rare = 0 and can never be implicated
+    * by rare evidence; a pipeline alerts on it rather than trusting it). */
+  private[graft] def evalScrubCapped(
+      docs: DataFrame, cap: Long = ContainDfCap): DataFrame =
+    evalScrubCappedFrom(docShinglesOf(docs).localCheckpoint(true), cap)
+
+  private def evalScrubCappedFrom(
+      shingleFrame: DataFrame, cap: Long = ContainDfCap): DataFrame = {
+    val ds = shingleFrame
+    val test = ds.filter(col("doc_id") % 10 === 7)
+    val train = ds.filter(col("doc_id") % 10 =!= 7)
+    val trainSh = train.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    // shingles are distinct per doc, so count(*) per sh IS the train df
+    val hot = trainSh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+      .select(col("sh"))
+    val testRare = test
+      .select(col("doc_id").as("test_id"), explode(col("shingles")).as("sh"))
+      .join(hot, Seq("sh"), "left_anti")
+    val tRare = testRare.groupBy(col("test_id"))
+      .agg(count(lit(1)).as("t_rare"))
+    val trainRare = trainSh.join(hot, Seq("sh"), "left_anti")
+    val hits = trainRare.join(testRare, Seq("sh"))
+      .groupBy(col("doc_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      // pair-grain join with the per-test rare totals: pairs partial-
+      // aggregate map-side first, so this join is orders smaller than
+      // the shingle-occurrence frame above it
+      .join(tRare, Seq("test_id"))
+      .filter(col("t_rare") >= ContainMinRare &&
+        graft.functions.ExactRatio.scaled(
+          col("n_shared"), col("t_rare"), 10000L) >= ContainMinBp)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_hits"))
+    val nRareTrain = trainRare.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rare"))
+    train.select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"))
+      .join(nRareTrain, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"))
+      .withColumn("kept", col("n_eval_hits") === 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val px22b: Q = (s, d) =>
+    // hashed grain like px17b: the df groupBy, anti joins, and the rare
+    // equi-join all run over longs (same exact-parity rationale as hs)
+    evalScrubCappedFrom(
+      docHashedShingles(s, d).withColumnRenamed("hs", "shingles"))
+
   /** d10's near-dup flag rule, as a PURE INTEGER inequality: a pair is a
     * near-dup iff dist·10000 ≤ 2000·maxLen (edit similarity ≥ 80%, no
     * rounding anywhere near the decision boundary). */
@@ -1072,6 +1140,7 @@ object Dedup {
     "d8_simhash_clusters" -> d8,
     "px4_decontaminate" -> px4,
     "px22_eval_scrub" -> px22,
+    "px22b_eval_scrub_capped" -> px22b,
     "px17_containment" -> px17,
     "px17b_containment_capped" -> px17b,
     "px18_cdc_chunks" -> px18
@@ -1305,6 +1374,38 @@ object Dedup {
          |   CAST(coalesce(b.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
          |   coalesce(b.n_eval_hits, 0) = 0 AS kept
          | FROM train tr LEFT JOIN bad b ON tr.doc_id = b.doc_id
+         | ORDER BY tr.doc_id""".stripMargin,
+    "px22b_eval_scrub_capped" ->
+      s"""WITH ds AS ($docShinglesSql),
+         | $hashedShinglesSql,
+         | test AS (SELECT doc_id AS test_id, hs FROM hsds WHERE doc_id % 10 = 7),
+         | train AS (SELECT doc_id, hs FROM hsds WHERE doc_id % 10 <> 7),
+         | train_sh AS (SELECT doc_id, unnest(hs) AS sh FROM train),
+         | hot AS (SELECT sh FROM train_sh GROUP BY sh
+         |   HAVING count(*) > $ContainDfCap),
+         | test_rare AS (SELECT t.test_id, t.sh
+         |   FROM (SELECT test_id, unnest(hs) AS sh FROM test) t
+         |   ANTI JOIN hot USING (sh)),
+         | t_rare AS (SELECT test_id, count(*) AS t_rare FROM test_rare
+         |   GROUP BY 1),
+         | train_rare AS (SELECT r.doc_id, r.sh FROM train_sh r
+         |   ANTI JOIN hot USING (sh)),
+         | pairs AS (SELECT r.doc_id, t.test_id, count(*) AS n_shared
+         |   FROM train_rare r JOIN test_rare t USING (sh) GROUP BY 1, 2),
+         | bad AS (SELECT p.doc_id, count(*) AS n_eval_hits
+         |   FROM pairs p JOIN t_rare n USING (test_id)
+         |   WHERE n.t_rare >= $ContainMinRare
+         |     AND ${graft.functions.ExactRatio.scaledSql(
+              "p.n_shared", "n.t_rare", 10000L)} >= $ContainMinBp
+         |   GROUP BY 1),
+         | nrt AS (SELECT doc_id, count(*) AS n_rare FROM train_rare
+         |   GROUP BY 1)
+         | SELECT tr.doc_id, CAST(len(tr.hs) AS BIGINT) AS n_shingles,
+         |   CAST(coalesce(nrt.n_rare, 0) AS BIGINT) AS n_rare,
+         |   CAST(coalesce(b.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+         |   coalesce(b.n_eval_hits, 0) = 0 AS kept
+         | FROM train tr LEFT JOIN nrt ON tr.doc_id = nrt.doc_id
+         | LEFT JOIN bad b ON tr.doc_id = b.doc_id
          | ORDER BY tr.doc_id""".stripMargin,
     "px17_containment" ->
       s"""WITH ds AS ($docShinglesSql),

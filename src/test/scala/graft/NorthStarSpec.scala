@@ -364,6 +364,75 @@ class DedupSpec extends SparkSpec {
     assert(out(10L).getLong(2) === 0L && out(10L).getBoolean(3))
   }
 
+  test("px22b with a non-binding cap reproduces px22 exactly (fixture law)") {
+    val sp = spark; import sp.implicits._
+    // same geometry as the px22 fixture; the needle has exactly 8
+    // shingles (= ContainMinRare), so the evidence floor is met and the
+    // capped scrub must match the exact one column-for-column (with
+    // n_rare == n_shingles, since an empty hot vocabulary prunes nothing)
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val hay = needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, hay), (2L, (1 to 30).map(i => s"y$i").mkString(" ")),
+      (10L, (1 to 20).map(i => s"z$i").mkString(" ")),
+      (17L, needle), (7L, "q1 q2 q3 q4 q5"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup.evalScrubCapped(docs, cap = 1000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val exact = operators.Dedup.evalScrub(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(capped.keySet === exact.keySet)
+    for ((id, c) <- capped; e = exact(id)) {
+      assert(c.getLong(1) === e.getLong(1), s"n_shingles doc $id")
+      assert(c.getLong(2) === c.getLong(1), s"n_rare == n_shingles doc $id")
+      assert(c.getLong(3) === e.getLong(2), s"n_eval_hits doc $id")
+      assert(c.getBoolean(4) === e.getBoolean(3), s"kept doc $id")
+    }
+  }
+
+  test("px22b df-cap: boilerplate hits are dropped, genuine containment still scrubs") {
+    val sp = spark; import sp.implicits._
+    // px17b's boilerplate fixture seen from the train side: exact px22
+    // scrubs docs 11/21/31 because the pure-boilerplate test doc 27 is
+    // "contained" in each of them; under cap 2 that evidence is hot
+    // vocabulary (df 3) so px22b keeps all three — while train doc 1,
+    // which genuinely contains test doc 17 (8 rare shingles, df 1 each),
+    // is scrubbed by both
+    val needle = (1 to 10).map(i => s"w$i").mkString(" ")
+    val boiler = "b1 b2 b3 b4 b5"
+    val docs = Seq(
+      (1L, needle + " " + (1 to 40).map(i => s"x$i").mkString(" ")),
+      (11L, boiler + " " + (1 to 20).map(i => s"p$i").mkString(" ")),
+      (21L, boiler + " " + (1 to 20).map(i => s"r$i").mkString(" ")),
+      (31L, boiler + " " + (1 to 20).map(i => s"s$i").mkString(" ")),
+      (17L, needle),
+      (27L, boiler)
+    ).toDF("doc_id", "text")
+    val exact = operators.Dedup.evalScrub(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!exact(11L).getBoolean(3) && !exact(21L).getBoolean(3) &&
+      !exact(31L).getBoolean(3)) // the boilerplate false positives
+    val out = operators.Dedup.evalScrubCapped(docs, cap = 2L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 11L, 21L, 31L))
+    assert(out(1L).getLong(3) === 1L && !out(1L).getBoolean(4))
+    for (id <- Seq(11L, 21L, 31L)) {
+      assert(out(id).getLong(3) === 0L && out(id).getBoolean(4), s"doc $id")
+      // the 3 boiler-internal shingles are hot; the rest survive
+      assert(out(id).getLong(2) === out(id).getLong(1) - 3L, s"n_rare doc $id")
+    }
+  }
+
+  test("px22b cross-law with px17b: flagged test docs' argmax partners are scrubbed") {
+    val scrubbed = q("px22b_eval_scrub_capped").filter(!col("kept"))
+      .select(col("doc_id").as("best_train_id"))
+    val missing = q("px17b_containment_capped")
+      .filter(col("contaminated") && col("best_train_id") =!= -1L)
+      .select(col("best_train_id"))
+      .join(scrubbed, Seq("best_train_id"), "left_anti")
+    assert(missing.count() === 0L)
+  }
+
   test("px18 CDC chunks tile each doc verbatim and respect the boundary rule") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf)

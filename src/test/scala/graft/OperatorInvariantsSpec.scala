@@ -209,6 +209,16 @@ class WindowsSpec extends SparkSpec {
     assert(bad.count() === 0L)
   }
 
+  test("a13 two-pass cumsum broadcasts its carry (no fact re-shuffle)") {
+    // the skew-proof shape (SCALE.md round 10): local window partitioned
+    // by (miner, bucket), carry joined back as a BROADCAST — a hash join
+    // here would re-shuffle the whole windowed fact side, silently
+    // restoring the per-miner hot-key serialization the bucketing removed
+    val plan = q("a13_cumsum_by_miner").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
   test("a14 dedup leaves one row per (address, height)") {
     val dup = q("a14_height_dedup")
       .groupBy("address", "height").count().filter(col("count") > 1).count()

@@ -25,6 +25,18 @@ object Sessions {
       .appName(appName)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let the shuffle partition COUNT scale with the data instead of
+      // being pinned to the core count: AQE starts every exchange at 512
+      // partitions and coalesces down to the byte-size/parallelism target
+      // at runtime. At the gate scale (sf0.1) shuffles are tens of MB, so
+      // AQE coalesces right back to ~cores and plans are unchanged; at the
+      // sf100 rehearsal a 32-way shuffle meant 2 GB sort/hash partitions —
+      // the source of a13's 12.8× and f1's 17.8× per-decade superlinearity
+      // (spill, not compute). 512 initial keeps those partitions ≤ ~125 MB.
+      // On a real cluster this is exactly AQE's documented role; the env
+      // override exists for A/B probes, not production tuning.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.ui.enabled", "false")
     engineConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()

@@ -32,11 +32,19 @@ object CryptoQueries {
     * 600k + 150k redundant SHA-512/256 evals at sf0.1, ~4x the useful
     * digest work (measured: f1 4.5 s with, 1.3 s without). coalesce with a
     * non-null literal makes the key non-nullable, so Catalyst folds the
-    * isnotnull away; values are unchanged (the digest is never null). */
+    * isnotnull away; values are unchanged (the digest is never null).
+    *
+    * The join key is the RAW 32-byte digest, not its 64-char lowercase hex:
+    * the digest never reaches f1's output (o_orderkey, n_txs only), so
+    * hex+lower over every row existed purely to manufacture a join key
+    * twice as wide — at the sf100 rehearsal that's 300 M string builds and
+    * double the shuffle/hash-relation bytes on the suite's widest join.
+    * Binary equality is exactly hex-string equality here (hex is
+    * injective). */
   private def blockId(blockHash: org.apache.spark.sql.Column,
                       consensusHash: org.apache.spark.sql.Column) =
-    coalesce(lower(hex(call_function("graft_sha512_256",
-      concat(unhex(blockHash), unhex(consensusHash))))), lit(""))
+    coalesce(call_function("graft_sha512_256",
+      concat(unhex(blockHash), unhex(consensusHash))), lit(Array.empty[Byte]))
 
   /** F1/J9 — the reference's real computed-key join: stacks_block_id =
     * SHA-512/256(block_hash ‖ consensus_hash) (rpc.js:320-336), block side

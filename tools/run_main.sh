@@ -3,7 +3,9 @@
 # without going through sbt (so it can run while sbt test holds the lock).
 # Usage: tools/run_main.sh graft.ScaleUp 10 target/scaledata/sf1
 MAIN="$1"; shift
-exec java -Xmx96g \
+# GRAFT_XMX: sf100 rehearsals OOM'd the 125 GiB box at -Xmx96g when a second
+# JVM (sbt) was resident — 80g leaves headroom for sbt + page cache.
+exec java -Xmx"${GRAFT_XMX:-96g}" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

@@ -148,6 +148,40 @@ object Dedup {
     graft.Memo.cached(s, d, "lsh_pairs", "documents.parquet")(
       lshPairs(bandsFromHs(docHashedShingles(s, d))))
 
+  /** d10b's bucket-size cap: a band bucket with more than this many
+    * colliding documents is degenerate mass duplication (boilerplate, or
+    * the replica cliques ScaleUp plants) — its O(size²) pairs carry no
+    * per-pair information the cluster queries (d6/d8) don't already
+    * capture at O(size), and at the sf100 rehearsal the uncapped pair set
+    * spilled past the machine's entire free disk. Same production guard
+    * family as px17b's shingle df-cap. */
+  private[graft] val LshBucketCap = 64L
+
+  /** Pair generation restricted to band buckets of size in [2, cap] —
+    * the BOUNDED near-dup candidate path. Shape: one count aggregate on
+    * the band key, a co-partitioned semi-join (no reshuffle: same key),
+    * then a collect_list whose per-group state is PROVABLY ≤ cap rows, and
+    * row-local pair expansion. Candidates ≤ 4n·cap/2 — linear in corpus
+    * size by construction, vs the uncapped form's Σ bucket² (quadratic in
+    * clique size: 2.5 B pairs carrying full texts at the sf100
+    * rehearsal's 1000-replica cliques). The spec proves this expansion
+    * ≡ [[lshPairs]] over the same bucket restriction. */
+  private[graft] def lshPairsCapped(bands: DataFrame, cap: Long): DataFrame = {
+    val small = bands
+      .groupBy(col("band_idx"), col("bh"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2L, cap))
+      .select(col("band_idx"), col("bh"))
+    bands.join(small, Seq("band_idx", "bh"), "left_semi")
+      .groupBy(col("band_idx"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+          struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .distinct()
+  }
+
   /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
     * are candidate pairs. The band-bucket equi-join is what makes this
     * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
@@ -931,6 +965,19 @@ object Dedup {
   private val d10: Q = (s, d) =>
     editVerify(lshPairsCached(s, d), Tables.documents(s, d))
 
+  /** D10B — edit verify over the BUCKET-CAPPED candidate set
+    * ([[lshPairsCapped]], cap [[LshBucketCap]]): the production-scale twin
+    * of d10, exactly as px17b/px22b bound px17/px22. Under organic
+    * duplication no bucket nears the cap, so d10b ≡ d10 column-for-column
+    * (spec law + the oracle gate, where the cap binds nothing); under
+    * mass replication the over-cap buckets — whose pairs are the
+    * quadratic term, and which the CLUSTER queries summarize at linear
+    * cost — are excluded from pair generation on both engines. */
+  private val d10b: Q = (s, d) =>
+    editVerify(
+      lshPairsCapped(bandsFromHs(docHashedShingles(s, d)), LshBucketCap),
+      Tables.documents(s, d))
+
   /** px18's chunk grain at (doc, chunk) level — exposed for the spec's
     * reassembly and shift-invariance drives. A token CUTS (ends a chunk)
     * iff its md5 starts with '0' — a 1-in-16 content-defined boundary,
@@ -1132,6 +1179,7 @@ object Dedup {
     "d2_minhash_lsh" -> d2,
     "d9_incremental_dedup" -> d9,
     "d10_edit_verify" -> d10,
+    "d10b_edit_verify_capped" -> d10b,
     "d3_simhash" -> d3,
     "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5,
@@ -1186,17 +1234,32 @@ object Dedup {
     s"list_min(list_transform(hs, h -> xor(h, ${seeds(j)})))"
   private def bandSql(a: Int, b: Int): String =
     s"md5(CAST(h$a AS VARCHAR) || ':' || CAST(h$b AS VARCHAR))"
-  /** Shared candidate-pair CTE chain (d2's whole plan, reused by d4). */
-  private val candSql =
+  /** The ds→sig→bands prefix shared by the capped and uncapped pair CTEs. */
+  private val bandsChainSql =
     s"""ds AS ($docShinglesSql),
        | sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(", ")}
        |   FROM (SELECT doc_id, $hsSql AS hs FROM ds)),
        | bands AS (SELECT doc_id, b.band_idx,
        |   CASE b.band_idx WHEN 0 THEN ${bandSql(0, 1)} WHEN 1 THEN ${bandSql(2, 3)}
        |                   WHEN 2 THEN ${bandSql(4, 5)} ELSE ${bandSql(6, 7)} END AS bh
-       |   FROM sig, (SELECT unnest(range(4)) AS band_idx) b),
+       |   FROM sig, (SELECT unnest(range(4)) AS band_idx) b)""".stripMargin
+
+  /** Shared candidate-pair CTE chain (d2's whole plan, reused by d4). */
+  private val candSql =
+    s"""$bandsChainSql,
        | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** d10b's candidate chain: pairs only from buckets of size ≤ cap —
+    * the oracle applies [[LshBucketCap]] exactly as [[lshPairsCapped]]
+    * does (px17b's capped-oracle pattern). */
+  private def candSqlCapped(cap: Long) =
+    s"""$bandsChainSql,
+       | okb AS (SELECT band_idx, bh FROM bands
+       |   GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $cap),
+       | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |   FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |   JOIN okb ON a.band_idx = okb.band_idx AND a.bh = okb.bh)""".stripMargin
 
   private val simhashSql: String = (1 to 16).map { p =>
     s"(CASE WHEN list_sum(list_transform(tk, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1 << (p - 1)} ELSE 0 END)"
@@ -1247,6 +1310,31 @@ object Dedup {
          | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
          | FROM lab ORDER BY vec_id""".stripMargin)
 
+  /** d10's banded-verify SQL over any candidate CTE chain exposing `cand`
+    * — d10 and d10b share this tail verbatim, so the two gates can differ
+    * only in candidate generation. */
+  private def editVerifySqlOver(candCtes: String): String =
+    s"""WITH $candCtes,
+       | t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len
+       |   FROM documents),
+       | p0 AS (SELECT d1, d2, greatest(a.len, b.len) AS max_len,
+       |     CASE WHEN abs(a.len - b.len) * 10000 > greatest(a.len, b.len) * $EditMaxDistBp
+       |          THEN -1 ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS ed0
+       |   FROM cand JOIN t a ON cand.d1 = a.doc_id JOIN t b ON cand.d2 = b.doc_id),
+       | -- decision clamp mirroring the banded Spark plan: past the flag
+       | -- boundary the exact value is not part of the contract
+       | p AS (SELECT d1, d2, max_len,
+       |     CASE WHEN ed0 <> -1 AND ed0 * 10000 > max_len * $EditMaxDistBp
+       |          THEN -1 ELSE ed0 END AS edit_dist
+       |   FROM p0)
+       | SELECT d1, d2, edit_dist,
+       |   CASE WHEN edit_dist = -1 THEN -1
+       |        ELSE ${graft.functions.ExactRatio.scaledSql(
+                 "max_len - edit_dist", "max_len", 10000L)} END AS edit_sim_bp,
+       |   edit_dist <> -1 AND edit_dist * 10000 <= max_len * $EditMaxDistBp
+       |     AS is_near_dup
+       | FROM p ORDER BY d1, d2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1254,27 +1342,8 @@ object Dedup {
     "d2_minhash_lsh" ->
       s"""WITH $candSql
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
-    "d10_edit_verify" ->
-      s"""WITH $candSql,
-         | t AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS len
-         |   FROM documents),
-         | p0 AS (SELECT d1, d2, greatest(a.len, b.len) AS max_len,
-         |     CASE WHEN abs(a.len - b.len) * 10000 > greatest(a.len, b.len) * $EditMaxDistBp
-         |          THEN -1 ELSE CAST(levenshtein(a.text, b.text) AS BIGINT) END AS ed0
-         |   FROM cand JOIN t a ON cand.d1 = a.doc_id JOIN t b ON cand.d2 = b.doc_id),
-         | -- decision clamp mirroring the banded Spark plan: past the flag
-         | -- boundary the exact value is not part of the contract
-         | p AS (SELECT d1, d2, max_len,
-         |     CASE WHEN ed0 <> -1 AND ed0 * 10000 > max_len * $EditMaxDistBp
-         |          THEN -1 ELSE ed0 END AS edit_dist
-         |   FROM p0)
-         | SELECT d1, d2, edit_dist,
-         |   CASE WHEN edit_dist = -1 THEN -1
-         |        ELSE ${graft.functions.ExactRatio.scaledSql(
-                   "max_len - edit_dist", "max_len", 10000L)} END AS edit_sim_bp,
-         |   edit_dist <> -1 AND edit_dist * 10000 <= max_len * $EditMaxDistBp
-         |     AS is_near_dup
-         | FROM p ORDER BY d1, d2""".stripMargin,
+    "d10_edit_verify" -> editVerifySqlOver(candSql),
+    "d10b_edit_verify_capped" -> editVerifySqlOver(candSqlCapped(LshBucketCap)),
     "px14_span_scrub" -> spanScrubSql(SpanTokens),
     "px14b_span_scrub_6" -> spanScrubSql(6),
     "d9_incremental_dedup" ->

@@ -90,6 +90,54 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d10b equals d10 under organic duplication (cap binds nothing here)") {
+    // at spec scale no band bucket nears LshBucketCap, so the capped and
+    // uncapped candidate sets — and therefore the full verify outputs —
+    // must be identical column-for-column; this is the organic-corpus law
+    // the oracle gate re-checks at sf0.01
+    val bands = operators.Dedup.bandSignatures(Tables.documents(spark, sf))
+    val maxBucket = bands.groupBy("band_idx", "bh").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= operators.Dedup.LshBucketCap,
+      s"fixture grew a bucket of $maxBucket — pick a larger cap")
+    val full = q("d10_edit_verify")
+    val capped = q("d10b_edit_verify_capped")
+    assert(full.except(capped).isEmpty && capped.except(full).isEmpty)
+  }
+
+  test("d10b drops exactly the over-cap buckets' pairs on a planted mega-clique") {
+    val sp = spark; import sp.implicits._
+    val cap = operators.Dedup.LshBucketCap
+    // a replica clique 6 docs over the cap (identical text → identical
+    // bands → every band bucket has exactly cliqueN members) plus two
+    // organic near-dup docs in buckets of ≤ 2
+    val cliqueN = (cap + 6).toInt
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = ((1 to cliqueN).map(i => (i.toLong, base)) ++
+      Seq((9001L, base.replace("tok7 ", "tok7x ") + " organic pair"),
+        (9002L, base.replace("tok7 ", "tok7y ") + " organic pair")))
+      .toDF("doc_id", "text")
+    val bands = operators.Dedup.bandSignatures(docs)
+    val out = operators.Dedup.lshPairsCapped(bands, cap).cache()
+    // 1. no pair with BOTH ends inside the clique survives (its buckets
+    //    all have cliqueN > cap members)
+    assert(out.filter(col("d1") <= cliqueN && col("d2") <= cliqueN).isEmpty)
+    // 2. the row-local pair expansion is EXACTLY the band self-join
+    //    restricted to small buckets (the formulation the oracle mirrors)
+    val small = bands.groupBy(col("band_idx"), col("bh"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn").between(2L, cap)).drop("bn")
+    val ref = operators.Dedup.lshPairs(
+      bands.join(small, Seq("band_idx", "bh"), "left_semi"))
+    assert(out.except(ref).isEmpty && ref.except(out).isEmpty)
+    // 3. the uncapped set DOES contain the clique's quadratic term — the
+    //    cap is what removed it, not hash luck
+    assert(operators.Dedup.lshPairs(bands)
+      .filter(col("d1") <= cliqueN && col("d2") <= cliqueN)
+      .count() === cliqueN.toLong * (cliqueN - 1) / 2)
+    out.unpersist()
+  }
+
   test("graft_lev equals the clamped exact levenshtein on random pairs") {
     val sp = spark; import sp.implicits._
     GraftExtensions.ensure(sp)

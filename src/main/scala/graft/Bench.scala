@@ -120,6 +120,14 @@ object Bench {
         // SCALE.md) a run is tens of minutes, and a silent stall would be
         // undiagnosable; stdout stays the one-JSON-line contract.
         System.err.println(f"[bench] $name $dt%.2f s")
+        // Outside the timed window: a finished heavy query leaves its
+        // shuffle files on disk until its ShuffleDependency is GC'd, and
+        // an 80 g heap can go a whole rehearsal without a full GC — at
+        // sf100 the accumulated files from 3 prior queries filled the
+        // disk and failed px16 with ENOSPC. One explicit GC after each
+        // >5 s query lets the ContextCleaner reap them promptly; cheap
+        // queries skip it (GC cost would dwarf their runtime share).
+        if (dt > 5) System.gc()
         name -> dt
       }
       catch { case e: Throwable =>

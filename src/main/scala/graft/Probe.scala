@@ -165,6 +165,51 @@ object Probe {
       time("d10 full")(operators.Dedup.queries("d10_edit_verify")(spark, d).count())
       spark.stop(); return
     }
+    if (args.contains("d10b")) {
+      // Candidate-volume evidence for the bucket cap (SCALE.md): the band
+      // self-join must materialize Σ C(bucket_n, 2) rows BEFORE distinct —
+      // computable from bucket sizes alone, no join needed.
+      val bands = operators.Dedup.bandSignatures(Tables.documents(spark, d))
+      val sizes = bands.groupBy(col("band_idx"), col("bh"))
+        .agg(count(lit(1)).as("bn")).localCheckpoint(true)
+      val cap = operators.Dedup.LshBucketCap
+      val stats = sizes.agg(
+        sum(col("bn") * (col("bn") - 1) / 2).as("uncapped_pairs"),
+        sum(when(col("bn") <= cap, col("bn") * (col("bn") - 1) / 2)
+          .otherwise(0L)).as("capped_pairs"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > cap, 1L).otherwise(0L)).as("overcap_buckets"),
+        count(lit(1)).as("buckets")).head()
+      println(s"d10b cap=$cap band-grain pair volume: uncapped=${stats.get(0)} " +
+        s"capped=${stats.get(1)} max_bucket=${stats.get(2)} " +
+        s"overcap_buckets=${stats.get(3)} buckets=${stats.get(4)}")
+      time("d10b full")(
+        operators.Dedup.queries("d10b_edit_verify_capped")(spark, d).count())
+      spark.stop(); return
+    }
+    if (args.contains("a13")) {
+      // Is a13's sf100 growth compute or shuffle-I/O? Executed-plan bytes
+      // from the stage metrics: shuffle write+read and disk/memory spill.
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val spill = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            sw.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            sr.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+            spill.addAndGet(e.stageInfo.taskMetrics.diskBytesSpilled)
+          }
+        })
+      time("a13 full")(
+        operators.Windows.queries("a13_cumsum_by_miner")(spark, d).count())
+      // let the listener bus drain before reading the counters
+      Thread.sleep(2000)
+      println(f"a13 shuffle write ${sw.get / 1e9}%.1f GB, " +
+        f"read ${sr.get / 1e9}%.1f GB, disk spill ${spill.get / 1e9}%.1f GB")
+      spark.stop(); return
+    }
     if (args.contains("tx16")) {
       println(s"tx16 gram order (rarest first): " +
         functions.Retrieval.gramOrder(

@@ -38,6 +38,11 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.ui.enabled", "false")
+      // Shuffle files are reaped only when their ShuffleDependency is
+      // GC'd; with rehearsal-sized heaps full GCs can be 30+ min apart
+      // (the default periodicGC interval), long enough for a multi-query
+      // run's dead shuffle files to fill the disk (sf100: ENOSPC).
+      .config("spark.cleaner.periodicGC.interval", "5min")
     engineConfs.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

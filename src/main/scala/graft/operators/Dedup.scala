@@ -182,6 +182,25 @@ object Dedup {
       .distinct()
   }
 
+  /** CONNECTIVITY-EQUIVALENT star edges of the LSH collision graph: one
+    * edge from each bucket's min doc_id (the hub) to every other member,
+    * instead of the bucket's C(n,2) clique. Within a bucket every member
+    * reaches every other through the hub, so the transitive closure — the
+    * only thing d6's clustering consumes — is IDENTICAL to [[lshPairs]]'
+    * (spec law), while the edge count is Σ(bucket−1) ≤ 4n instead of
+    * Σ C(bucket,2): at the sf100 rehearsal's 1000-replica cliques the
+    * clique form is 2.5 B edges (it ENOSPC'd px16 through d6), the star
+    * form ~20 M. Pairwise consumers (d2/d4/d10) keep the true pair set —
+    * only component-finding may take this shortcut. */
+  private[graft] def lshStarEdges(bands: DataFrame): DataFrame = {
+    val hubs = bands.groupBy(col("band_idx"), col("bh"))
+      .agg(min(col("doc_id")).as("hub"))
+    bands.join(hubs, Seq("band_idx", "bh"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("x"), col("doc_id").as("y"))
+      .distinct()
+  }
+
   /** D2 — MinHash+LSH near-dup candidates: docs sharing any band bucket
     * are candidate pairs. The band-bucket equi-join is what makes this
     * O(n·bands) shuffle instead of O(n²) compare — the core 100 TB dedup
@@ -446,8 +465,12 @@ object Dedup {
     graft.Memo.cached(s, d, s"cc_$tag", srcFile)(connectedComponents(pairs))
 
   private val d6: Q = (s, d) => {
+    // star edges, not the true pair set: component-equivalent by the
+    // lshStarEdges law, linear in corpus size where the clique form is
+    // quadratic in replica-family size — and d6's composed consumers
+    // (px15/px16/px1) no longer force the lsh_pairs build at all
     val labels = cachedLabels(s, d, "lsh", "documents.parquet")(
-      lshPairsCached(s, d).select(col("d1").as("x"), col("d2").as("y")))
+      lshStarEdges(bandsFromHs(docHashedShingles(s, d))))
     // no broadcast hint: the dup-node set can be a large corpus fraction —
     // AQE picks broadcast when it actually fits
     Tables.documents(s, d).select(col("doc_id"))

@@ -138,6 +138,31 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("lsh star edges yield exactly the clique pairs' connected components") {
+    val sp = spark; import sp.implicits._
+    def componentsEqual(bands: org.apache.spark.sql.DataFrame): Unit = {
+      val viaPairs = operators.Dedup.connectedComponents(
+        operators.Dedup.lshPairs(bands)
+          .select(col("d1").as("x"), col("d2").as("y")))
+      val viaStar = operators.Dedup.connectedComponents(
+        operators.Dedup.lshStarEdges(bands))
+      assert(viaPairs.except(viaStar).isEmpty &&
+        viaStar.except(viaPairs).isEmpty)
+    }
+    // organic corpus: many small buckets, some overlapping
+    componentsEqual(
+      operators.Dedup.bandSignatures(Tables.documents(spark, sf)))
+    // planted replica cliques: two big families plus organic near-dups —
+    // the shape where the star form is 2(n-1) edges vs the clique's n²
+    val base1 = (1 to 40).map(i => s"ca$i").mkString(" ")
+    val base2 = (1 to 40).map(i => s"cb$i").mkString(" ")
+    val docs = ((1 to 80).map(i => (i.toLong, base1)) ++
+      (81 to 160).map(i => (i.toLong, base2)) ++
+      Seq((9001L, base1.replace("ca7 ", "ca7x ")),
+        (9002L, base2.replace("cb7 ", "cb7y ")))).toDF("doc_id", "text")
+    componentsEqual(operators.Dedup.bandSignatures(docs))
+  }
+
   test("graft_lev equals the clamped exact levenshtein on random pairs") {
     val sp = spark; import sp.implicits._
     GraftExtensions.ensure(sp)

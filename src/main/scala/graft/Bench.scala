@@ -42,7 +42,7 @@ object Bench {
     * ordering under an aggregate — count() excluded them too, keeping
     * cross-round numbers comparable). All registered outputs are scalar
     * columns (driver-comparator contract), so xxhash64 accepts them. */
-  private def evaluate(df: org.apache.spark.sql.DataFrame): Unit = {
+  private[graft] def evaluate(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
     // bit_xor, not sum: summing 64-bit hashes overflows, and ANSI mode
     // (Spark 4 default) turns that into a runtime error; xor is order-

@@ -120,11 +120,16 @@ object Probe {
             Some(operators.Dedup.ContainDfCap))) {
         val t0 = System.nanoTime()
         val (occ, pairs, flagged) = operators.Dedup.containmentProbe(spark, d, cap)
-        println(f"px17 $label%-28s occ rows=$occ%,14d  (test,train) pairs=$pairs%,12d" +
+        println(f"px17 $label%-28s occ rows=$occ%,14d  (test,train) pairs~=$pairs%,12d" +
           f"  flagged=$flagged%,8d  ${(System.nanoTime() - t0) / 1e9}%7.1f s")
       }
-      time("px17 full")(operators.Dedup.queries("px17_containment")(spark, d).count())
-      time("px17b full")(operators.Dedup.queries("px17b_containment_capped")(spark, d).count())
+      // honest evaluation (hash-xor): count() lets Catalyst delete the
+      // argmax joins — the exact bug the round-10 bench fix closed
+      time("px17 full")({
+        Bench.evaluate(operators.Dedup.queries("px17_containment")(spark, d)); 0L })
+      time("px17b full")({
+        Bench.evaluate(
+          operators.Dedup.queries("px17b_containment_capped")(spark, d)); 0L })
       spark.stop(); return
     }
     if (args.contains("j13")) {
@@ -183,8 +188,9 @@ object Probe {
       println(s"d10b cap=$cap band-grain pair volume: uncapped=${stats.get(0)} " +
         s"capped=${stats.get(1)} max_bucket=${stats.get(2)} " +
         s"overcap_buckets=${stats.get(3)} buckets=${stats.get(4)}")
-      time("d10b full")(
-        operators.Dedup.queries("d10b_edit_verify_capped")(spark, d).count())
+      time("d10b full")({
+        Bench.evaluate(
+          operators.Dedup.queries("d10b_edit_verify_capped")(spark, d)); 0L })
       spark.stop(); return
     }
     if (args.contains("a13")) {
@@ -202,8 +208,13 @@ object Probe {
             spill.addAndGet(e.stageInfo.taskMetrics.diskBytesSpilled)
           }
         })
-      time("a13 full")(
-        operators.Windows.queries("a13_cumsum_by_miner")(spark, d).count())
+      // honest evaluation, not count(): under count() Catalyst deletes
+      // the window (it cannot change the row count) and the probe reads
+      // 0 shuffle bytes off a bare scan — caught live at sf100
+      time("a13 full")({
+        Bench.evaluate(operators.Windows.queries("a13_cumsum_by_miner")(spark, d))
+        0L
+      })
       // let the listener bus drain before reading the counters
       Thread.sleep(2000)
       println(f"a13 shuffle write ${sw.get / 1e9}%.1f GB, " +

@@ -789,15 +789,23 @@ object Dedup {
           trainShAll.join(hot, Seq("sh"), "left_anti"))
       case None => (testShAll, trainShAll)
     }
-    // occ is NOT checkpointed: at sf10 the exact plan's join output is
-    // billions of rows — the probe recomputes it per count instead of
-    // materializing it
-    val occ = testSh.join(trainSh, Seq("sh"))
+    // occ = the join's output cardinality, computed ANALYTICALLY as
+    // Σ_sh df_test(sh)·df_train(sh) (identical value, two df aggregates
+    // and a shingle-grain join of the df tables — never the quadratic
+    // row set itself); the (test, train) pair count is an HLL
+    // approx_count_distinct, whose partials are map-side-combined — the
+    // exact distinct's full shuffle of the pair set ENOSPC'd the sf100
+    // probe (22 B rows), which is the very pathology being measured
+    val occRow = testSh.groupBy(col("sh")).agg(count(lit(1)).as("dft"))
+      .join(trainSh.groupBy(col("sh")).agg(count(lit(1)).as("dfr")),
+        Seq("sh"))
+      .agg(sum(col("dft") * col("dfr"))).head()
+    val occ = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    val pairs = testSh.join(trainSh, Seq("sh"))
+      .agg(approx_count_distinct(
+        struct(col("doc_id"), col("train_id")), 0.02)).head().getLong(0)
     val q = if (cap.isDefined) px17b else px17
-    (occ.count(),
-      occ.groupBy(col("doc_id"), col("train_id")).agg(count(lit(1)))
-        .count(),
-      q(s, d).filter(col("contaminated")).count())
+    (occ, pairs, q(s, d).filter(col("contaminated")).count())
   }
 
   /** PX22 — EVAL-SCRUB, the REMOVAL px17's detection implies, in the

@@ -401,7 +401,18 @@ object Similarity {
 
   private val PqM = 8       // subspaces
   private val PqSub = 8     // dims per subspace (PqM · PqSub = Dim)
-  private val PqTop = 50    // approx-scored survivors per query
+  private val PqTopMin = 50L // re-rank depth floor (gate scales use this)
+  /** Exact-re-rank depth for the PQ path, scaled with the corpus: the ADC
+    * approximation's per-pair error is scale-free, but the DENSITY of
+    * near-boundary competitors grows with n, so a FIXED survivor depth
+    * loses recall as the corpus grows — measured at the sf100 rehearsal:
+    * recall@10 fell 1.00 → 0.38 at 2 M vectors with the old fixed 50.
+    * n/5000 keeps the re-rank (PqTop point lookups per query) trivially
+    * cheap while restoring headroom; every oracle-gate scale (≤200 k
+    * vectors) stays exactly at the floor, so gate hashes are unchanged —
+    * the oracle embeds the SAME formula's value per dir (dynamic since
+    * this change). */
+  private[graft] def pqTopFor(n: Long): Long = math.max(PqTopMin, n / 5000L)
 
   /** PQ codebook: subspace m's centroid for code k = the m-th slice of
     * fixed-codebook cell k's vector, with its squared norm. Sorted by id so
@@ -482,7 +493,7 @@ object Similarity {
     val wA = Window.partitionBy("q_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
     val top = approx.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= PqTop)
+      .filter(col("arank") <= pqTopFor(corpusN(s, d)))
       .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"))
     // exact re-rank fetch: true vectors for the survivors only
     top.join(vecs(s, d).select(col("vec_id"), col("v"), col("norm")),
@@ -719,7 +730,7 @@ object Similarity {
     * exactly: cell scores fold all 64 dims ascending; ADC partials fold
     * 16 dims per subspace and sum in subspace order; recon_sq sums the
     * per-subspace squared norms in subspace order. */
-  private lazy val pqCte: String = {
+  private def pqCteFor(top: Long): String = {
     def subDot(xa: String, xb: String, m: Int): String =
       s"list_sum(list_transform(range($PqSub), i -> $xa[${m * PqSub} + i + 1] * $xb[${m * PqSub} + i + 1]))"
     val sqCols = (0 until PqM).map(m => s"${subDot("v", "v", m)} AS sq$m").mkString(", ")
@@ -753,7 +764,7 @@ object Similarity {
        |     ($adc) / (c.qnorm * sqrt($reconSq)) AS approx_cos
        |   FROM cand c JOIN enc e ON c.vec_id = e.vec_id $cbJoins),
        | top AS (SELECT q_id, qv, qnorm, vec_id FROM (
-       |   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS ar FROM ap) WHERE ar <= $PqTop),
+       |   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS ar FROM ap) WHERE ar <= $top),
        | ex AS (SELECT t.q_id, t.vec_id,
        |     list_sum(list_transform(range($Dim), i -> a.v[i+1] * t.qv[i+1])) / (a.norm * t.qnorm) AS cos_raw
        |   FROM top t JOIN v a ON a.vec_id = t.vec_id)""".stripMargin
@@ -762,9 +773,9 @@ object Similarity {
   /** Standalone candidate-pair queries (q_id, vec_id), one per ANN method
     * — x4's oracle counts them as subqueries (DuckDB allows WITH inside a
     * FROM subquery). */
-  private lazy val candPairSql: Map[String, String] = Map(
+  private def candPairSqlFor(top: Long): Map[String, String] = Map(
     "ivf_pq" ->
-      s"""WITH $pqCte
+      s"""WITH ${pqCteFor(top)}
          | SELECT q_id, vec_id FROM ap""".stripMargin,
     "ivf" ->
       s"""WITH $vCte,
@@ -802,6 +813,7 @@ object Similarity {
     * embeds the literal centroids, so the whole statement is generated
     * per dir (the other five methods' subqueries stay the static SQL). */
   private def x4SqlFor(s: SparkSession, d: String): String = {
+    val candPairSql = candPairSqlFor(pqTopFor(corpusN(s, d)))
     val scaled = graft.functions.ExactRatio.scaledSql("hits", "total", 10000L)
     def row(method: String, out: String) =
       s"""SELECT '$method' AS method, hits, total, $scaled AS recall_bp, cand_pairs
@@ -811,7 +823,7 @@ object Similarity {
        | m AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2b_ann_multiprobe")})),
        | o AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2c_ann_or")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
-       | p AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x5_ann_ivfpq")})),
+       | p AS (SELECT q_id, neighbor_id FROM (${x5SqlFor(s, d)})),
        | w AS (SELECT q_id, neighbor_id FROM (${x3bSqlFor(s, d)})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
@@ -916,9 +928,11 @@ object Similarity {
     * whether generation — which trains the codebook — is needed at all,
     * without invoking it. */
   val dynamicOracleKeys: Set[String] =
-    Set("x6_embed_decontam", "x3b_ann_ivf_trained", "x4_ann_recall")
+    Set("x6_embed_decontam", "x3b_ann_ivf_trained", "x4_ann_recall",
+      "x5_ann_ivfpq")
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
+    "x5_ann_ivfpq" -> x5SqlFor(s, d),
     "x6_embed_decontam" -> x6SqlFor(s, d),
     "x3b_ann_ivf_trained" -> x3bSqlFor(s, d),
     "x4_ann_recall" -> x4SqlFor(s, d))
@@ -1033,11 +1047,14 @@ object Similarity {
          |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM c)
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
          | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
-    "x5_ann_ivfpq" ->
-      s"""WITH $pqCte,
-         | r AS (SELECT q_id, vec_id, cos_raw,
-         |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM ex)
-         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
-         | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   )
+
+  /** x5's oracle — DYNAMIC since the adaptive re-rank depth: the PQ CTE
+    * embeds pqTopFor(corpus size), which the static map cannot know. */
+  private def x5SqlFor(s: SparkSession, d: String): String =
+    s"""WITH ${pqCteFor(pqTopFor(corpusN(s, d)))},
+       | r AS (SELECT q_id, vec_id, cos_raw,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM ex)
+       | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+       | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 }

@@ -775,7 +775,7 @@ object Dedup {
     * docs) for the exact px17 plan (cap = None) or px17b's capped plan.
     * Mirrors containmentFrom/containmentCappedFrom's candidate stages. */
   private[graft] def containmentProbe(s: SparkSession, d: String,
-      cap: Option[Long] = None): (Long, Long, Long) = {
+      cap: Option[Long] = None): (Long, Long) = {
     val ds = docHashedShingles(s, d).withColumnRenamed("hs", "shingles")
     val test = ds.filter(col("doc_id") % 10 === 7)
     val trainShAll = ds.filter(col("doc_id") % 10 =!= 7)
@@ -804,8 +804,18 @@ object Dedup {
     val pairs = testSh.join(trainSh, Seq("sh"))
       .agg(approx_count_distinct(
         struct(col("doc_id"), col("train_id")), 0.02)).head().getLong(0)
+    (occ, pairs)
+  }
+
+  /** The flagged-count half of the containment probe, SEPARATE from the
+    * volumes: the exact query's per-pair count shuffle is the quadratic
+    * set itself (~220 GB at sf100 — cannot finish on one box), and a
+    * caller must be able to report the volumes even where the exact
+    * query is infeasible. */
+  private[graft] def containmentFlagged(s: SparkSession, d: String,
+      cap: Option[Long] = None): Long = {
     val q = if (cap.isDefined) px17b else px17
-    (occ, pairs, q(s, d).filter(col("contaminated")).count())
+    q(s, d).filter(col("contaminated")).count()
   }
 
   /** PX22 — EVAL-SCRUB, the REMOVAL px17's detection implies, in the

@@ -46,8 +46,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     // bit_xor, not sum: summing 64-bit hashes overflows, and ANSI mode
     // (Spark 4 default) turns that into a runtime error; xor is order-
-    // insensitive and overflow-free
-    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+    // insensitive and overflow-free. df(name), not col(name): apply()
+    // resolves the name LITERALLY, where col() would parse a dot or
+    // backtick as a nested-field path (ADVICE r10 — latent only, but the
+    // bench must not constrain future output naming)
+    df.select(xxhash64(df.columns.map(df.apply): _*).as("h"))
       .agg(expr("bit_xor(h)")).head()
   }
 

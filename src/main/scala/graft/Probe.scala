@@ -229,8 +229,11 @@ object Probe {
         Bench.evaluate(operators.Windows.queries("a13_cumsum_by_miner")(spark, d))
         0L
       })
-      // let the listener bus drain before reading the counters
-      Thread.sleep(2000)
+      // drain the listener bus before reading the counters — a fixed sleep
+      // can under-wait under load and silently under-report stage metrics
+      // (ADVICE r10); waitUntilEmpty is the purpose-built drain
+      org.apache.spark.graftshim.ListenerDrain.waitUntilEmpty(
+        spark.sparkContext, 30000L)
       println(f"a13 shuffle write ${sw.get / 1e9}%.1f GB, " +
         f"read ${sr.get / 1e9}%.1f GB, disk spill ${spill.get / 1e9}%.1f GB")
       spark.stop(); return

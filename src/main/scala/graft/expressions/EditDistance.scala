@@ -20,9 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the band. This expression runs the DP over the raw UTF8 BYTES when both
   * inputs are pure ASCII (byte edits ≡ char edits there; one flat array
   * access per cell, two reused int rows, no per-cell decode) and falls
-  * back to a char-level band via String for multi-byte inputs — same
-  * result DuckDB's char-based `levenshtein` reports under the shared
-  * decision clamp, spec-compared against the unbanded DP on fixtures.
+  * back to a CODE-POINT band for multi-byte inputs (one decode pass, then
+  * the same flat-array DP) — same result DuckDB's character-based
+  * `levenshtein` reports under the shared decision clamp, spec-compared
+  * against the unbanded DP on fixtures including astral-plane characters.
   *
   * k is a per-ROW expression (the decision radius depends on each pair's
   * max length) — the built-in only accepts a literal threshold, which
@@ -66,7 +67,11 @@ object BandedLevenshtein {
     if (a.numBytes == a.numChars && b.numBytes == b.numChars) {
       bandedBytes(a.getBytes, b.getBytes, math.min(k, Int.MaxValue - 2L).toInt)
     } else {
-      bandedChars(a.toString, b.toString, math.min(k, Int.MaxValue - 2L).toInt)
+      // CODE POINTS, not UTF-16 units (ADVICE r10): an astral character is
+      // ONE edit in Spark's builtin and DuckDB's levenshtein — charAt-based
+      // iteration counted its surrogate pair as two
+      bandedCodePoints(a.toString.codePoints.toArray,
+        b.toString.codePoints.toArray, math.min(k, Int.MaxValue - 2L).toInt)
     }
   }
 
@@ -107,7 +112,7 @@ object BandedLevenshtein {
     if (res > k) -1L else res.toLong
   }
 
-  private def bandedChars(s: String, t: String, k: Int): Long = {
+  private def bandedCodePoints(s: Array[Int], t: Array[Int], k: Int): Long = {
     val n = s.length; val m = t.length
     if (math.abs(n - m) > k) return -1L
     val inf = k + 1
@@ -122,7 +127,7 @@ object BandedLevenshtein {
       var rowMin = cur(lo - 1)
       j = lo
       while (j <= hi) {
-        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
         var d = prev(j - 1) + cost
         val del = (if (j <= i + k - 1) prev(j) else inf) + 1
         if (del < d) d = del

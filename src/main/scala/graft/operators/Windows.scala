@@ -102,6 +102,15 @@ object Windows {
     * prefix sum of per-bucket totals (≤ height-domain/2¹⁶ rows per miner).
     * ⌊height/B⌋ is monotone in the leading sort key, so bucket order
     * refines the window order exactly; integer fees keep the split exact. */
+  /** Above this many carry rows the broadcast is no longer safe (driver
+    * memory + the 8 GB broadcast hard cap; ~60 B/row ⇒ ~120 MB at the
+    * bound) and a13 falls back to a shuffled join — slower (the windowed
+    * fact side re-shuffles) but unconditionally correct. Carry cardinality
+    * = distinct (miner, ⌊height/2¹⁶⌋) pairs: sf100 measures ~10⁵, so the
+    * fallback only arises on corpora with ≫10⁶ distinct miners
+    * (ADVICE r10 — the unguarded broadcast failed past the limit). */
+  private[graft] val CarryBroadcastMaxRows = 2000000L
+
   private val a13: Q = (s, d) => {
     val B = 1L << 16
     val cm = Domain.commits(s, d)
@@ -109,17 +118,23 @@ object Windows {
     val local = Window.partitionBy(col("leader_key_address"), col("bkt"))
       .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry is materialized once (it feeds the size guard AND the join —
+    // the checkpoint makes the guard's count() free of recompute)
     val carry = cm.groupBy(col("leader_key_address"), col("bkt"))
       .agg(sum(col("burn_fee")).as("bkt_sum"))
       .withColumn("carry", sum(col("bkt_sum")).over(
         Window.partitionBy(col("leader_key_address")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("leader_key_address"), col("bkt"), col("carry"))
-    // broadcast: carry is (miner × height-domain/B) rows — joining it
-    // hash-wise would re-shuffle the windowed fact side (its (miner,bkt)
-    // partitioning is not compatible with carry's miner-only one)
+      .localCheckpoint(true)
+    // broadcast (guarded): carry is (miner × height-domain/B) rows —
+    // joining it hash-wise would re-shuffle the windowed fact side (its
+    // (miner,bkt) partitioning is not compatible with carry's miner-only
+    // one), so broadcast whenever the measured row count allows
+    val carrySide =
+      if (carry.count() <= CarryBroadcastMaxRows) broadcast(carry) else carry
     cm.withColumn("local_cum", sum(col("burn_fee")).over(local))
-      .join(broadcast(carry), Seq("leader_key_address", "bkt"))
+      .join(carrySide, Seq("leader_key_address", "bkt"))
       .withColumn("cum_burn", col("local_cum") + coalesce(col("carry"), lit(0L)))
       .select(col("leader_key_address").as("address"),
         col("stacks_block_height").as("height"), col("vtxindex"),

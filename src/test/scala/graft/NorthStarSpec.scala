@@ -172,16 +172,28 @@ class DedupSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val alpha = "abcd"
     def rs(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(4))).mkString
-    val rows = (1 to 500).map { _ =>
-      val a = rs(rnd.nextInt(25))
+    // non-BMP alphabet (ADVICE r10): 𝐀/𝐁 are SURROGATE PAIRS in UTF-16 —
+    // one code point each, so lev("𝐀","𝐁") must be 1, not 2; the builtin
+    // is code-point-based, so any charAt-grain DP diverges on these rows
+    val astral = Array("𝐀", "𝐁", "é", "x")
+    def rsAstral(n: Int) =
+      (0 until n).map(_ => astral(rnd.nextInt(4))).mkString
+    val rows = (1 to 500).map { i =>
+      val gen: Int => String = if (i % 5 == 0) rsAstral else rs
+      val a = gen(rnd.nextInt(25))
       val b = if (rnd.nextBoolean()) {
-        // near variant: a few point edits on a copy
-        val sb = new StringBuilder(a)
+        // near variant: a few point edits on a copy (code-point-safe:
+        // rebuild from the code-point array, never setCharAt)
+        val cps = a.codePoints.toArray.toBuffer
         (0 until rnd.nextInt(4)).foreach { _ =>
-          if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), alpha(rnd.nextInt(4)))
+          if (cps.nonEmpty) {
+            val repl = if (i % 5 == 0) astral(rnd.nextInt(4)) else
+              alpha(rnd.nextInt(4)).toString
+            cps(rnd.nextInt(cps.length)) = repl.codePointAt(0)
+          }
         }
-        sb.toString
-      } else rs(rnd.nextInt(25))
+        new String(cps.toArray, 0, cps.length)
+      } else gen(rnd.nextInt(25))
       (a, b, rnd.nextInt(14).toLong)
     }
     val bad = rows.toDF("a", "b", "k")

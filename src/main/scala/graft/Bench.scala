@@ -61,9 +61,20 @@ object Bench {
     // dev loop: an optional comma-separated arg restricts to named queries
     // (isolated timings — full-run numbers carry ±2x cross-query noise)
     val only = args.headOption.map(_.split(",").toSet)
+    // exact-groundtruth tier: skipped BY MEASURED DATA above the ceiling
+    // (ScaleTiers — the sf100 cliques make their candidate sets answer-
+    // bound; the capped twins are the tier that runs there). An explicit
+    // `only` arg overrides the skip: a dev pointing the bench at a named
+    // exact query at scale is asking for exactly that probe.
+    val skipped =
+      if (only.isDefined) Set.empty[String] else ScaleTiers.skippedAt(spark, sfDir)
+    if (skipped.nonEmpty)
+      System.err.println(s"[bench] exact-groundtruth tier skipped at this " +
+        s"scale (> ${ScaleTiers.ExactTierMaxDocs} docs): " +
+        skipped.toSeq.sorted.mkString(","))
     // deterministic name order: run-to-run comparability beats hash order
     val chosen = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skipped(n) }
     // Shared-core (Memo) builds are attributed to their OWN `memo:<tag>`
     // line items, and the enclosing query's time is reported build-free:
     // memoization made per-query numbers order-dependent (the first query
@@ -164,6 +175,8 @@ object Bench {
         s""""calib_sec":$calib,"calib_ref_sec":$CalibRefSec,""" +
         s""""total_normalized":$normalized,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""skipped_exact":${skipped.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":$qs,"builds":$bs,"sf":"$sfDir"}"""
     println(line)
     // Persist the full record to a repo file too: the round artifact must

@@ -60,13 +60,24 @@ object Dedup {
     * every persisted LSH index — are byte-identical to the string path. */
   private def docHashedShingles(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "doc_hs", "documents.parquet")(
-      docShingles(s, d).select(
-        col("doc_id"),
-        // sorted ascending: graft_isect's merge-walk precondition (d4).
-        // minhash (min over xor'd hashes) and explode consumers (px17)
-        // are order-insensitive, so one sort at set-build time serves all.
-        sort_array(array_distinct(transform(col("shingles"), x => h64(x))))
-          .as("hs")))
+      hsProjection(docShingles(s, d)))
+
+  /** (doc_id, shingles) → (doc_id, hs) — ONE definition of the hashed-set
+    * projection so the memoized corpus core and explicit spec frames
+    * cannot drift. */
+  private def hsProjection(shingled: DataFrame): DataFrame =
+    shingled.select(
+      col("doc_id"),
+      // sorted ascending: graft_isect's merge-walk precondition (d4).
+      // minhash (min over xor'd hashes) and explode consumers (px17)
+      // are order-insensitive, so one sort at set-build time serves all.
+      sort_array(array_distinct(transform(col("shingles"), x => h64(x))))
+        .as("hs"))
+
+  /** The hashed-shingle frame for an EXPLICIT documents frame (spec
+    * fixtures; the corpus path goes through the memoized core above). */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame =
+    hsProjection(docShinglesOf(docs))
 
   /** D1 — exact dedup by content hash: one row per distinct content, the
     * kept doc is min(doc_id) (deterministic survivor rule). */
@@ -318,20 +329,27 @@ object Dedup {
     * per-call cost multiplies — hash-set array_intersect made the verify
     * joins 60 s at sf1; the allocation-free sorted merge stays ~2 s even
     * with the same inlining. */
-  /** d4's pair frame with both hs payloads attached, pre-scoring — split
-    * out so Probe can time the joins separately from the jaccard filter. */
+  /** The pair frame with both hs payloads attached, pre-scoring — the
+    * shared first stage of d4/d4b's verify (split from the filter so Probe
+    * can time the joins separately from the jaccard scoring). */
+  private def d4JoinedOver(pairs: DataFrame, hs: DataFrame): DataFrame =
+    pairs
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
+
+  /** d4's joined frame over the corpus candidates (Probe's entry point). */
   private[graft] def d4Joined(s: SparkSession, d: String): DataFrame = {
     // harness-owned sessions are built without .withExtensions; register
     // graft_isect before any consumer (d4's filter, Probe's reuse) resolves
     // it (ADVICE r8 — d5/CryptoQueries already follow this convention)
     graft.GraftExtensions.ensure(s)
-    val ds = docHashedShingles(s, d)
-    lshPairsCached(s, d)
-      .join(ds.select(col("doc_id").as("d1"), col("hs").as("sh1")), "d1")
-      .join(ds.select(col("doc_id").as("d2"), col("hs").as("sh2")), "d2")
+    d4JoinedOver(lshPairsCached(s, d), docHashedShingles(s, d))
   }
 
-  private val d4: Q = (s, d) => {
+  /** The exact-Jaccard verify tail shared by d4 and d4b — one definition,
+    * so the two gates can differ ONLY in candidate generation (the
+    * editVerifySqlOver convention, Spark-side). */
+  private def d4Verify(joined: DataFrame): DataFrame =
     // The threshold filter is the ALGEBRAIC form of jaccard_bp >= 5000:
     // with u = |A∪B| = n1+n2−i > 0, floor((20000i+u)/2u) >= 5000 ⟺
     // 20000i >= 9999u ⟺ 29999·i >= 9999·(n1+n2). Filtering on the big
@@ -340,7 +358,7 @@ object Dedup {
     // huge-method JIT limit, which ran interpreted at ~60 µs/row (16 s
     // at sf1). The 3-node integer predicate inlines harmlessly; the
     // ExactRatio projection below evaluates once per SURVIVING row.
-    d4Joined(s, d)
+    joined
       .filter(call_function("graft_isect", col("sh1"), col("sh2")) * 29999L >=
         (size(col("sh1")) + size(col("sh2"))).cast("long") * 9999L &&
         (size(col("sh1")) + size(col("sh2"))) > 0)
@@ -350,6 +368,33 @@ object Dedup {
         (size(col("sh1")) + size(col("sh2"))).cast("long") - col("inter"), 10000L))
       .select(col("d1"), col("d2"), col("jaccard_bp"))
       .orderBy(col("d1"), col("d2"))
+
+  /** The full d4 scoring over an EXPLICIT documents frame and candidate
+    * set — the spec's entry point for planted-fixture laws (the
+    * lshPairsCapped convention). */
+  private[graft] def d4VerifyOver(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensure(docs.sparkSession)
+    d4Verify(d4JoinedOver(pairs, hashedShinglesOf(docs)))
+  }
+
+  private val d4: Q = (s, d) => d4Verify(d4Joined(s, d))
+
+  /** D4B — exact n-gram Jaccard over the BUCKET-CAPPED candidate set
+    * ([[lshPairsCapped]], cap [[LshBucketCap]]): the production-scale twin
+    * of d4, closing the last uncapped quadratic candidate path (VERDICT
+    * r10 item 2 — d10/d6 got bounded twins in r10; d4's verify still ran
+    * the raw LSH pair set, answer-bound at the sf100 rehearsal's
+    * 1000-replica cliques). Under organic duplication no bucket nears the
+    * cap, so d4b ≡ d4 column-for-column (spec law + the oracle gate,
+    * where the cap binds nothing); under mass replication the over-cap
+    * buckets' O(size²) pairs are excluded from generation on both
+    * engines — the cluster queries (d6/d8) summarize those families at
+    * linear cost. */
+  private val d4b: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
+    d4Verify(d4JoinedOver(
+      lshPairsCapped(bandsFromHs(docHashedShingles(s, d)), LshBucketCap),
+      docHashedShingles(s, d)))
   }
 
   /** float[] → double[] as a native array cast (codegen'd). */
@@ -1223,6 +1268,7 @@ object Dedup {
     "d10b_edit_verify_capped" -> d10b,
     "d3_simhash" -> d3,
     "d4_ngram_jaccard" -> d4,
+    "d4b_ngram_jaccard_capped" -> d4b,
     "d5_embedding_neardup" -> d5,
     "d6_neardup_clusters" -> d6,
     "d7_embedding_clusters" -> d7,
@@ -1351,6 +1397,20 @@ object Dedup {
          | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
          | FROM lab ORDER BY vec_id""".stripMargin)
 
+  /** d4's exact-Jaccard SQL over any candidate CTE chain exposing `cand`
+    * — d4 and d4b share this tail verbatim, so the two gates can differ
+    * only in candidate generation (the editVerifySqlOver convention). */
+  private def d4SqlOver(candCtes: String): String =
+    s"""WITH $candCtes,
+       | $hashedShinglesSql,
+       | j AS (SELECT d1, d2,
+       |   ${graft.functions.ExactRatio.scaledSql(
+            "len(list_intersect(s1.hs, s2.hs))",
+            "len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))",
+            10000L)} AS jaccard_bp
+       |   FROM cand JOIN hsds s1 ON cand.d1 = s1.doc_id JOIN hsds s2 ON cand.d2 = s2.doc_id)
+       | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin
+
   /** d10's banded-verify SQL over any candidate CTE chain exposing `cand`
     * — d10 and d10b share this tail verbatim, so the two gates can differ
     * only in candidate generation. */
@@ -1402,16 +1462,8 @@ object Dedup {
     "d3_simhash" ->
       s"""SELECT doc_id, $simhashSql AS simhash
          | FROM (SELECT doc_id, $toksSql AS tk FROM documents) ORDER BY doc_id""".stripMargin,
-    "d4_ngram_jaccard" ->
-      s"""WITH $candSql,
-         | $hashedShinglesSql,
-         | j AS (SELECT d1, d2,
-         |   ${graft.functions.ExactRatio.scaledSql(
-              "len(list_intersect(s1.hs, s2.hs))",
-              "len(s1.hs) + len(s2.hs) - len(list_intersect(s1.hs, s2.hs))",
-              10000L)} AS jaccard_bp
-         |   FROM cand JOIN hsds s1 ON cand.d1 = s1.doc_id JOIN hsds s2 ON cand.d2 = s2.doc_id)
-         | SELECT d1, d2, jaccard_bp FROM j WHERE jaccard_bp >= 5000 ORDER BY d1, d2""".stripMargin,
+    "d4_ngram_jaccard" -> d4SqlOver(candSql),
+    "d4b_ngram_jaccard_capped" -> d4SqlOver(candSqlCapped(LshBucketCap)),
     // Oracle tractability bound (same contract as the fork-walk oracle's
     // WalkWindow): the recursive closure materializes O(family²) rows, fine
     // for the testdata's small duplicate families; the Spark side never

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 /** Invariants for the coverage-gap operators (salted agg, approx distinct,
   * vocab, variant dispatch, stage compare, explode round-trip). */
 class CoverageSpec extends SparkSpec {
+  test("every exact-groundtruth query has a registered, oracle-gated capped twin") {
+    // the scale-tier tag (ScaleTiers) must never orphan: skipping an exact
+    // form at scale is only sound while its bounded twin exists in BOTH
+    // the registry and the oracle gate — and the tagged exact form itself
+    // must stay registered (it is the ground truth the twin's laws check)
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    ScaleTiers.exactGroundtruth.foreach { case (exact, twin) =>
+      assert(qs.contains(exact), s"tagged exact form $exact not registered")
+      assert(qs.contains(twin), s"$exact's capped twin $twin not registered")
+      assert(os.contains(twin), s"$exact's capped twin $twin has no oracle")
+    }
+    // the skip decision is data-driven and OFF at gate scale
+    assert(ScaleTiers.skippedAt(spark, sf).isEmpty)
+  }
+
   test("a15 salted aggregation equals the plain aggregation") {
     val salted = q("a15_salted_leaderboard")
     val plain = Domain.commits(spark, sf)

@@ -138,6 +138,43 @@ class DedupSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d4b equals d4 under organic duplication (cap binds nothing here)") {
+    // the d10b law's exact-Jaccard sibling: at spec scale no band bucket
+    // nears LshBucketCap, so the capped and uncapped candidate sets — and
+    // therefore the verify outputs — are identical column-for-column
+    val full = q("d4_ngram_jaccard")
+    val capped = q("d4b_ngram_jaccard_capped")
+    assert(full.except(capped).isEmpty && capped.except(full).isEmpty)
+  }
+
+  test("d4b drops a planted mega-clique's pairs but keeps the organic near-dup") {
+    val sp = spark; import sp.implicits._
+    val cap = operators.Dedup.LshBucketCap
+    // replica clique 6 docs over the cap + two organic near-dups whose
+    // buckets have ≤ 2 members (they share no shingles with the clique)
+    val cliqueN = (cap + 6).toInt
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val org = (1 to 40).map(i => s"org$i").mkString(" ")
+    val docs = ((1 to cliqueN).map(i => (i.toLong, base)) ++
+      Seq((9001L, org), (9002L, org.replace("org7 ", "org7x "))))
+      .toDF("doc_id", "text")
+    val bands = operators.Dedup.bandSignatures(docs)
+    val capped = operators.Dedup.d4VerifyOver(
+      operators.Dedup.lshPairsCapped(bands, cap), docs).cache()
+    // no clique-internal pair survives; the organic pair does, with the
+    // Jaccard the uncapped scorer assigns it (scoring is shared code, so
+    // only generation can differ — assert it column-for-column)
+    assert(capped.filter(col("d1") <= cliqueN && col("d2") <= cliqueN).isEmpty)
+    val organicFull = operators.Dedup.d4VerifyOver(
+      operators.Dedup.lshPairs(bands), docs)
+      .filter(col("d1") === 9001L && col("d2") === 9002L)
+    val organicCapped = capped.filter(col("d1") === 9001L)
+    assert(organicFull.count() === 1L)
+    assert(organicCapped.except(organicFull).isEmpty &&
+      organicFull.except(organicCapped).isEmpty)
+    capped.unpersist()
+  }
+
   test("lsh star edges yield exactly the clique pairs' connected components") {
     val sp = spark; import sp.implicits._
     def componentsEqual(bands: org.apache.spark.sql.DataFrame): Unit = {

@@ -613,10 +613,16 @@ object TextQueries {
     * frame — exposed so the spec can hand-check a planted vocabulary.
     * Returns the FULL adjacent-pair inventory; the registered query takes
     * the top-[[BpeTop]]. */
-  private[graft] def bpePairs(docs: DataFrame): DataFrame = {
-    val words = docs
+  /** The word-frequency VOCAB table — BPE's working relation: the one
+    * corpus-grain shuffle collapses the token stream to (word, count);
+    * every training round afterwards iterates on THIS table. */
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(toks(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+
+  private[graft] def bpePairs(docs: DataFrame): DataFrame = {
+    val words = vocabOf(docs)
     words
       .select(col("wf"), explode(
         when(length(col("w")) >= 2,
@@ -643,6 +649,97 @@ object TextQueries {
     bpePairs(Tables.documents(s, d))
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(BpeTop)
+
+  /** tx12b's round count — enough rounds to exercise merged-symbol pairs
+    * (merges of merges appear by round 2 on the corpus). */
+  private[graft] val BpeMergeRounds = 8
+
+  /** THE BPE MERGE LOOP over a (w, wf) vocab table — the iteration tx12
+    * only documented (VERDICT r10 missing #2). Words are held as a WRAPPED
+    * SYMBOL STRING: every symbol pipe-delimited on both sides ("abc" →
+    * "|a||b||c|"), which makes applying a merge a single left-to-right
+    * non-overlapping replace("|a||b|" → "|ab|") — EXACTLY greedy BPE merge
+    * semantics ("aaa" merges to [aa, a], never [a, aa]), identical in
+    * Spark and DuckDB, row-local, codegen'd. Tokens are word characters
+    * (toks), so '|' can never occur inside a symbol.
+    *
+    * Each round: one pair-count aggregation at vocab grain (adjacent
+    * symbols weighted by wf, map-side combined), ONE collected row (the
+    * argmax pair, count desc / sym_a / sym_b — deterministic), one
+    * row-local re-symbolization, checkpoint (the g1/x9 eager-loop
+    * convention: round r must not re-derive rounds 1..r−1's replaces).
+    * At 100 TB this is the standard distributed-BPE economics: the corpus
+    * is touched ONCE (vocabOf); R rounds each shuffle the vocab table —
+    * millions of rows, not terabytes — and move one row to the driver.
+    * Returns the merge table (round, sym_a, sym_b, pair_count), the
+    * training artifact a tokenizer ships. */
+  private[graft] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame = {
+    val s = vocab.sparkSession
+    var v = vocab
+      .select(regexp_replace(col("w"), "(.)", "\\|$1\\|").as("wrapped"),
+        col("wf"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val syms = split(
+        col("wrapped").substr(lit(2), length(col("wrapped")) - 2), "\\|\\|")
+      val top = v
+        .select(col("wf"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wf"),
+          explode(transform(sequence(lit(0), size(col("syms")) - 2), i =>
+            struct(element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((r.toLong, a, b, cnt))
+        v = v.withColumn("wrapped",
+            replace(col("wrapped"), lit(s"|$a||$b|"), lit(s"|$a$b|")))
+          .localCheckpoint(true)
+      }
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** TX12B — the corpus BPE merge table at [[BpeMergeRounds]] rounds. The
+    * oracle unrolls the same rounds as CTE layers (the g3 convention), so
+    * the full merge SEQUENCE — including ties broken and merges of earlier
+    * merges — is hash-compared, not just round 1. */
+  private val tx12b: Q = (s, d) =>
+    bpeMerges(vocabOf(Tables.documents(s, d)), BpeMergeRounds)
+
+  /** tx12b's oracle: the merge loop UNROLLED as CTE layers (the g3
+    * convention) — per round, the same pair count over the symbolized
+    * vocab, the same (cnt DESC, a, b) argmax, the same pipe-delimited
+    * replace. Generated from [[BpeMergeRounds]] so Spark and SQL can never
+    * disagree on R. */
+  private def bpeMergesSql(rounds: Int): String = {
+    val layers = (1 to rounds).map { r =>
+      s""" s$r AS (SELECT string_split(substr(wrapped, 2, length(wrapped)-2), '||') AS syms, wf FROM v${r - 1}),
+         | p$r AS (SELECT syms[i+1] AS a, syms[i+2] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+         |   FROM s$r, UNNEST(range(len(syms)-1)) AS r(i) GROUP BY 1, 2),
+         | t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         | v$r AS (SELECT replace(wrapped, '|'||t.a||'||'||t.b||'|', '|'||t.a||t.b||'|') AS wrapped, wf
+         |   FROM v${r - 1}, t$r t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM t$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+       | wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0 GROUP BY 1),
+       | v0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wrapped, wf FROM wf0),
+       |$layers
+       | SELECT * FROM ($union) ORDER BY round""".stripMargin
+  }
 
   /** tx11 thresholds — tuned on the corpus feature distributions so every
     * rule actually fires on some docs (dominance > 1500 bp: ~8%; diversity
@@ -926,6 +1023,7 @@ object TextQueries {
     "px19_curriculum" -> px19,
     "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
+    "tx12b_bpe_merges" -> tx12b,
     "px13_novelty" -> px13,
     "px15_best_of_cluster" -> px15,
     "px16_quality_prep" -> px16,
@@ -1096,6 +1194,7 @@ object TextQueries {
          | SELECT doc_id, n_tokens, top_share_bp, distinct_ratio_bp,
          |   mean_len_milli, CAST(rs AS BIGINT) AS reasons, rs = 0 AS keep
          | FROM r ORDER BY doc_id""".stripMargin,
+    "tx12b_bpe_merges" -> bpeMergesSql(BpeMergeRounds),
     "tx12_bpe_pairs" ->
       s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
          | wf AS (SELECT w, count(*) AS wf FROM w0 GROUP BY 1),

@@ -74,6 +74,48 @@ class BucketingSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("tx16c postings bucketed by gram: probe prunes buckets, one doc-grain shuffle") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS b_postings")
+    val whDir = new java.io.File("spark-warehouse/b_postings")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(whDir)
+    }
+    functions.Retrieval.trigramPostings(Tables.documents(s, sf)).write
+      .bucketBy(8, "gram").sortBy("gram")
+      .mode("overwrite").saveAsTable("b_postings")
+    // the probe aggregates on doc_id, so the planner's "no interesting
+    // partitioning downstream" heuristic would DISABLE the bucketed scan —
+    // losing the bucket PRUNING the layout exists for; a production probe
+    // pins this off exactly like this (autoBucketedScan trades pruning
+    // away, which is the wrong trade for a selective index probe)
+    val prevAuto = s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = functions.Retrieval.substringSearchPostings(
+        s.table("b_postings"), Tables.documents(s, sf),
+        functions.Retrieval.Needle)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the gram filter reads bucket slices of the index, never all of it
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe did not use the bucketed layout:\n$plan")
+      // the only hash exchange is the doc-grain candidate count (over the
+      // probed lists); the index itself is never reshuffled
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nEx === 1, s"expected exactly one doc-grain shuffle:\n$plan")
+      assert("Exchange hashpartitioning\\(gram".r.findAllIn(plan).isEmpty,
+        s"the postings index was reshuffled on gram:\n$plan")
+      // and the bucketed probe computes the fused answer
+      val fused = functions.Retrieval.substringSearch(
+        Tables.documents(s, sf), functions.Retrieval.Needle, Some(sf))
+      assert(probe.except(fused).isEmpty && fused.except(probe).isEmpty)
+    } finally s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("the same join on raw parquet DOES shuffle (control)") {
     val s = spark
     val joined = Tables.lineitem(s, sf)

@@ -1319,6 +1319,50 @@ class TextQueriesSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((192L, 1L)))
   }
 
+  test("tx16c postings probe equals the fused form for both needles") {
+    // probe-path equality: the persisted-index read path must answer
+    // exactly what the fused build+probe answers (the x3b-probes-postings
+    // convention) — column-for-column, both needles
+    for (needle <- Seq(functions.Retrieval.Needle, functions.Retrieval.Needle2)) {
+      val fused = functions.Retrieval
+        .substringSearch(Tables.documents(spark, sf), needle, Some(sf))
+      val viaIndex = functions.Retrieval.substringSearchPostings(
+        functions.Retrieval.trigramPostingsFor(spark, sf),
+        Tables.documents(spark, sf), needle)
+      assert(viaIndex.except(fused).isEmpty && fused.except(viaIndex).isEmpty)
+      assert(fused.count() > 0L)
+    }
+  }
+
+  test("tx16c incremental postings admit equals the one-shot build") {
+    // postings rows are per-doc facts, so admit-batch-then-union must be
+    // SET-identical to indexing the union in one pass — the d9/appendIndex
+    // identity law at gram grain
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") < 340)
+    val batch = docs.filter(col("doc_id") >= 340)
+    val incremental = functions.Retrieval.appendPostings(
+      functions.Retrieval.trigramPostings(hist), batch)
+    val oneShot = functions.Retrieval.trigramPostings(docs)
+    assert(incremental.except(oneShot).isEmpty &&
+      oneShot.except(incremental).isEmpty)
+    // and probing the incrementally-built index gives the fused answer
+    val out = functions.Retrieval.substringSearchPostings(
+      incremental, docs, functions.Retrieval.Needle)
+    val fused = functions.Retrieval
+      .substringSearch(docs, functions.Retrieval.Needle, Some(sf))
+    assert(out.except(fused).isEmpty && fused.except(out).isEmpty)
+  }
+
+  test("tx16c postings contain exactly each doc's distinct trigrams") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "abcab"), (2L, "ab"), (3L, "xyz")).toDF("doc_id", "text")
+    val got = functions.Retrieval.trigramPostings(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 1: abc, bca, cab (distinct); doc 2 too short; doc 3: xyz
+    assert(got === Set((1L, "abc"), (1L, "bca"), (1L, "cab"), (3L, "xyz")))
+  }
+
   test("tx17 lexical knn: contiguous ranks, non-increasing cos2, pairs from tx9") {
     val out = q("tx17_lexical_knn").cache()
     // ranks contiguous 1..n≤3 per doc; similarity never increases with rank
@@ -1422,6 +1466,40 @@ class TextQueriesSpec extends SparkSpec {
     val pairs = top.map(r => (r.getLong(1), r.getString(0)))
     assert(pairs.sliding(2).forall(p => p.length < 2 ||
       p(0)._1 > p(1)._1 || (p(0)._1 == p(1)._1 && p(0)._2 < p(1)._2)))
+  }
+
+  test("tx12b BPE merge loop: hand-checked sequence on the classic vocabulary") {
+    val sp = spark; import sp.implicits._
+    // the Sennrich et al. worked example (public): low×5, lower×2,
+    // newest×6, widest×3. Hand-computed merge sequence, ties broken by
+    // (count DESC, sym_a, sym_b): es(9) [ties st — 'e'<'s'], es+t(9),
+    // l+o(7) [ties ow], lo+w(7), e+w(6) [ties ne/w·est — 'e' first],
+    // ew+est(6) [ties n+ew — 'ew'<'n'], n+ewest(6), d+est(3)
+    // [ties id/wi — 'd' first]. Exercises merges-of-merges (rounds 2, 4,
+    // 6, 7) and every tie-break arm.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "wf")
+    val got = functions.TextQueries.bpeMerges(vocab, 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L), (6L, "ew", "est", 6L),
+      (7L, "n", "ewest", 6L), (8L, "d", "est", 3L)))
+  }
+
+  test("tx12b merge application is greedy left-to-right ('aaa' → [aa, a])") {
+    val sp = spark; import sp.implicits._
+    // one word "aaa": round 1 must merge (a,a) with count 2 (two adjacent
+    // pairs), and the re-symbolized word must be [aa, a] — so round 2's
+    // top pair is (aa, a) with count 1, NOT (a, aa)
+    val vocab = Seq(("aaa", 1L)).toDF("w", "wf")
+    val got = functions.TextQueries.bpeMerges(vocab, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "a", "a", 2L), (2L, "aa", "a", 1L)))
+    // exhaustion: after round 2 the word is ONE symbol [aaa] — no pairs
+    // remain, so the loop stops early instead of emitting degenerate rows
+    assert(functions.TextQueries.bpeMerges(vocab, 10).count() === 2L)
   }
 
   test("px5 is px1 with near-dup canonicals: subset of filters, only canonicals kept") {

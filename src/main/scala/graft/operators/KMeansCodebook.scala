@@ -34,9 +34,20 @@ import org.apache.spark.sql.functions._
   * the exact gate breaks. Seeds are the k lowest vec_ids. */
 object KMeansCodebook {
 
-  /** Train on (vec_id, v: array<double>) rows; returns cell_id → centroid. */
+  /** Train on (vec_id, v: array<double>) rows; returns cell_id → centroid.
+    *
+    * `l2 = false` (default): assignment by argmax unnormalized dot — the
+    * IVF-coarse mode every existing consumer (x3b, d5/d7/x6 blocking)
+    * hash-gates against; do not change its argmax.
+    * `l2 = true`: assignment by argmin ‖v−c‖² ≡ argmax 2⟨v,c⟩−‖c‖² — the
+    * PRODUCT-QUANTIZATION mode (x5b's sub-codebooks). PQ serves by
+    * reconstruction error, and training with the dot objective instead
+    * was measured to WORSEN recall as probes widened (r11: 0.66 → 0.58
+    * recall@10 at sf0.1 going nprobe 4 → 8 — the extra candidates were
+    * ADC-misranked faster than the probes surfaced true neighbors);
+    * matching the training argmin to the serving metric is the fix. */
   def train(vectors: DataFrame, k: Int, iters: Int,
-            sampleCap: Long = 100000L): Seq[(Int, Seq[Double])] = {
+            sampleCap: Long = 100000L, l2: Boolean = false): Seq[(Int, Seq[Double])] = {
     val s = vectors.sparkSession
     graft.GraftExtensions.ensure(s)
     // deterministic bounded sample: lowest vec_ids (testdata is unordered
@@ -69,10 +80,16 @@ object KMeansCodebook {
       // aggregate buffer for every (vector, cell) pair was the sf10
       // allocation storm (same fix as Similarity.assignCellsJoin)
       val assigned = {
-        val cbDf = s.createDataFrame(centroids).toDF("cid", "cv")
+        // ‖c‖² is driver data (k small vectors), carried as a codebook
+        // column so the l2 score stays literal-free for the codegen cache
+        val cbDf = s.createDataFrame(centroids.map { case (id, cv) =>
+          (id, cv, cv.map(x => x * x).sum) }).toDF("cid", "cv", "sq")
+        val scoreCol =
+          if (l2) lit(2.0) * call_function("graft_dot", col("v"), col("cv")) - col("sq")
+          else call_function("graft_dot", col("v"), col("cv"))
         val best = sample.crossJoin(broadcast(cbDf))
           .select(col("vec_id"), struct(
-            call_function("graft_dot", col("v"), col("cv")).as("cos"),
+            scoreCol.as("cos"),
             (-col("cid")).as("neg_id")).as("score"))
           .groupBy(col("vec_id"))
           .agg(max(col("score")).as("b"))

@@ -272,25 +272,25 @@ object Similarity {
                                   nprobe: Int = 1): DataFrame =
     ivfCandsFrom(assignCells(v, cells), v, cells, nprobe)
 
-  /** IVF candidate generation over an EXISTING postings relation (the
-    * persisted-index read path; [[ivfCands]] fuses build+probe for the
-    * registered one-shot queries). */
-  private[graft] def ivfCandsFrom(assigned: DataFrame, v: DataFrame,
-                                      cells: Seq[(Long, Seq[Double])],
-                                      nprobe: Int = 1): DataFrame = {
+  /** The query probe set: (q_id, qv, qnorm, cell_id) — each query row
+    * exploded to its `nprobe` nearest cells. Shared by the trained-IVF
+    * read path (ivfCandsFrom) and the trained-PQ path (pqApproxTrained).
+    *
+    * Scoring switches unroll-vs-join exactly like assignCells (review
+    * r9): the unrolled `array(k literal struct scores)` embeds k·Dim
+    * literals in the plan, which above UnrollMax costs O(k·Dim) analysis
+    * + a huge codegen on EVERY plan construction; the join form scores
+    * (query × broadcast codebook) rows and collapses to the same
+    * sorted-tail via array_sort(collect_list) — identical floats
+    * (graft_dot), identical (cos, neg_id) total order, and a groupBy over
+    * 5 query keys, never a window over the vector set. */
+  private[graft] def queryProbes(v: DataFrame, cells: Seq[(Long, Seq[Double])],
+                                 nprobe: Int): DataFrame = {
     // centroid norms driver-side, same ascending-index fold as the oracle
     val withNorm = cellNorms(cells)
     def score(c: (Long, Seq[Double], Double)): Column = cellScore(c)
     // query side (5 rows): sort the k scores ascending, take the nprobe
-    // tail — same total order as the assignment argmax. Same
-    // unroll-vs-join switch as assignCells (review r9): the unrolled
-    // `array(k literal struct scores)` embeds k·Dim literals in the plan,
-    // which above UnrollMax costs O(k·Dim) analysis + a huge codegen on
-    // EVERY plan construction; the join form scores (query × broadcast
-    // codebook) rows and collapses to the same sorted-tail via
-    // array_sort(collect_list) — identical floats (graft_dot), identical
-    // (cos, neg_id) total order, and a groupBy over 5 query keys, never
-    // a window over the vector set.
+    // tail — same total order as the assignment argmax
     val qScored =
       if (cells.size <= UnrollMax)
         v.filter(col("vec_id") < 5)
@@ -309,11 +309,20 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("v").as("qv"),
             col("norm").as("qnorm"), col("scores"))
       }
-    val q = qScored
+    qScored
       .select(col("q_id"), col("qv"), col("qnorm"),
         explode(slice(array_sort(col("scores")), -nprobe, nprobe)).as("probe"))
       .select(col("q_id"), col("qv"), col("qnorm"),
         (-col("probe.neg_id")).as("cell_id"))
+  }
+
+  /** IVF candidate generation over an EXISTING postings relation (the
+    * persisted-index read path; [[ivfCands]] fuses build+probe for the
+    * registered one-shot queries). */
+  private[graft] def ivfCandsFrom(assigned: DataFrame, v: DataFrame,
+                                      cells: Seq[(Long, Seq[Double])],
+                                      nprobe: Int = 1): DataFrame = {
+    val q = queryProbes(v, cells, nprobe)
     assigned.join(broadcast(q), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
@@ -489,11 +498,12 @@ object Similarity {
     * caller that also needs the pre-prune set for cost accounting can
     * materialize it ONCE and feed both consumers — x4 does). */
   private[graft] def pqCandsFrom(approx: DataFrame, s: SparkSession,
-                                 d: String): DataFrame = {
+                                 d: String, depth: Long = -1L): DataFrame = {
     val wA = Window.partitionBy("q_id")
       .orderBy(col("approx_cos").desc, col("vec_id"))
     val top = approx.withColumn("arank", row_number().over(wA))
-      .filter(col("arank") <= pqTopFor(corpusN(s, d)))
+      .filter(col("arank") <=
+        (if (depth > 0) depth else pqTopFor(corpusN(s, d))))
       .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"))
     // exact re-rank fetch: true vectors for the survivors only
     top.join(vecs(s, d).select(col("vec_id"), col("v"), col("norm")),
@@ -506,6 +516,117 @@ object Similarity {
     pqCandsFrom(pqApprox(s, d), s, d)
 
   private val x5: Q = (s, d) => rerank(pqCands(s, d))
+
+  /** x5b's probe count — CONSTANT, not k/8 (deliberately different from
+    * x3b's scaledNprobe): PQ's recall lever is the exact re-rank depth
+    * (pqTopFor, already ∝ n), so the coarse probe only has to SURFACE the
+    * true neighbors into the ADC set, and a constant number of trained
+    * cells does that on clustered embeddings (x4 gates it per round).
+    * This is what makes x5b's candidate set ~nprobe·n/k = O(√n) per query
+    * — the sub-linear scale shape x5's fixed 16-cell codebook could not
+    * reach (its candidates were 2·n/16, linear; 236 s at sf100, VERDICT
+    * r10 wrong #1). k/8 probes would restore a constant corpus FRACTION
+    * (n/8 candidates — right for plain IVF, where missing a cell loses
+    * the neighbor forever; wasteful for PQ, which re-ranks a deep exact
+    * tail anyway). */
+  private[graft] val PqTrainedNprobe = 12
+
+  /** x5b's exact-re-rank depth: same adaptive n/5000 scaling as x5 but a
+    * deeper floor — the trained path's ADC estimate quantizes RANDOM
+    * 8-dim subspaces with 16 centroids, and at gate scale the probed
+    * candidate pool (~12·√n per query) is only a few× the depth, so a
+    * 50-deep cut measurably drops true neighbors the probes DID surface
+    * (r11 probe at sf0.1: 41/50 in probed cells, 31/50 surviving the
+    * 50-cut). 150 point re-scores per query is noise next to the scan. */
+  private[graft] def pqTopTrainedFor(n: Long): Long = math.max(150L, n / 5000L)
+
+  /** Per-subspace PQ sub-codebooks TRAINED on the corpus (16 codewords ×
+    * PqM subspaces, k-means over the subspace slices — the production PQ
+    * build, replacing x5's slices-of-the-fixed-codebook codewords). Each
+    * training is KMeansCodebook.train on the sliced vectors: bounded
+    * sample, decimal means, deterministic — so the codewords embed in the
+    * oracle as exact literals (the scaledCodebook contract). Memoized per
+    * (dir, mtime); returns per subspace the (code, codeword, ‖codeword‖²)
+    * rows sorted by code 0..15 (positional lookup). */
+  private val pqTrainedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Seq[(Long, Seq[Double], Double)]]]()
+  private[graft] def trainedPqCodebook(s: SparkSession,
+                                       d: String): Seq[Seq[(Long, Seq[Double], Double)]] = {
+    val fp = new java.io.File(s"$d/embeddings.parquet").lastModified
+    pqTrainedCache.computeIfAbsent((d, fp), { _ =>
+      graft.Memo.timedBuild("pq_subcodebooks") {
+        val v = vecs(s, d)
+        (0 until PqM).map { m =>
+          val sliced = v.select(col("vec_id"),
+            slice(col("v"), m * PqSub + 1, PqSub).as("v"))
+          // l2 = true: PQ encodes by reconstruction error, so the training
+          // argmin must be the serving argmin (see KMeansCodebook.train)
+          val cents = KMeansCodebook.train(sliced, NCells, 3, l2 = true)
+          require(cents.map(_._1) == (0 until NCells),
+            s"PQ codes index positionally; expected ids 0..${NCells - 1}")
+          cents.map { case (id, cv) => (id.toLong, cv, cv.map(x => x * x).sum) }
+        }
+      }
+    })
+  }
+
+  /** The PERSISTED PQ INDEX: every vector's trained cell + its PqM trained
+    * codes + the reconstruction norm — ~34 bytes of index entry instead of
+    * 512 bytes of vector, the memory/bandwidth compression PQ exists for.
+    * Built from the memoized IVF postings (scaledAssigned: the coarse
+    * assignment is paid once, shared with x3b/d5/d7/x6); the encode itself
+    * is row-local (per subspace, a statically-unrolled argmax of
+    * 2·⟨v_sub, c⟩ − ‖c‖² over 16 codeword literals). Memoized: this
+    * relation is exactly what a production build writes to disk. */
+  private[graft] def pqEncoded(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "pq_codes", "embeddings.parquet") {
+      val sub = trainedPqCodebook(s, d)
+      def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
+        struct(
+          (lit(2.0) * dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))
+            - lit(c._3)).as("s"),
+          lit(-c._1).as("nc"))
+      scaledAssigned(s, d)
+        .select(Seq(col("vec_id"), col("cell_id")) ++
+          (0 until PqM).map(m =>
+            (-greatest(sub(m).map(c => encScore(m, c)): _*).getField("nc"))
+              .cast("int").as(s"code$m")): _*)
+        .withColumn("recon_sq", (0 until PqM).map(m =>
+          element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
+    }
+
+  /** X5B candidates — IVF-PQ over the TRAINED adaptive codebook: queries
+    * probe their [[PqTrainedNprobe]] nearest trained cells (join-form
+    * scoring — k = ⌈√n⌉ exceeds UnrollMax at scale) carrying per-subspace
+    * ADC lookup tables over the TRAINED codewords; the candidate join runs
+    * against the persisted PQ index ([[pqEncoded]]) — codes only, no
+    * vector payload — and scores by PqM array lookups per pair. Survivors
+    * fetch their true vectors for the exact re-rank (pqCandsFrom, depth
+    * pqTopFor ∝ n). Candidate volume: nprobe·n/k ≈ 4√n per query. */
+  private[graft] def pqApproxTrained(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val cells = scaledCodebook(s, d)
+    val sub = trainedPqCodebook(s, d)
+    // clamp: tiny corpora can have k < the constant probe count (sf0.001's
+    // k = 8), and slice's negative-start tail must not exceed the array
+    val q = queryProbes(v, cells, math.min(PqTrainedNprobe, cells.size))
+      .select(Seq(col("q_id"), col("qv"), col("qnorm"), col("cell_id")) ++
+        (0 until PqM).map(m => array(sub(m).map(c =>
+          dot(slice(col("qv"), m * PqSub + 1, PqSub), typedlit(c._2))): _*)
+          .as(s"qlut$m")): _*)
+    pqEncoded(s, d).join(broadcast(q), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos",
+        (0 until PqM).map(m => element_at(col(s"qlut$m"), col(s"code$m") + 1))
+          .reduce(_ + _) / (col("qnorm") * sqrt(col("recon_sq"))))
+  }
+
+  private val x5b: Q = (s, d) =>
+    rerank(pqCandsFrom(
+      pqApproxTrained(s, d)
+        .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
+          col("approx_cos")),
+      s, d, pqTopTrainedFor(corpusN(s, d))))
 
   /** X4 — ANN recall/cost gate (VERDICT r2 item 4 + r3 item 2): recall@10
     * AND candidate-set size of each ANN path against the exact kNN
@@ -550,8 +671,19 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
         col("approx_cos"))
       .localCheckpoint(true)
+    // the trained-PQ twin: same shared-ADC-pass economics as the fixed row
+    val apT = pqApproxTrained(s, d)
+      .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
+        col("approx_cos"))
+      .localCheckpoint(true)
     recallOf(ivfCands(vecs(s, d), fixedCodebook(s, d)), "ivf")
       .unionByName(recallOf(pqCandsFrom(ap, s, d), "ivf_pq", Some(ap)))
+      // the production IVF-PQ (trained coarse cells + trained sub-
+      // codebooks, constant nprobe): recall AND the ~√n candidate set are
+      // hash-gated per round (VERDICT r10 item 1)
+      .unionByName(recallOf(
+        pqCandsFrom(apT, s, d, pqTopTrainedFor(corpusN(s, d))),
+        "ivf_pq_trained", Some(apT)))
       // the trained ADAPTIVE codebook (x3b's path) measured in the same
       // battery — recall AND candidate cost of the √n-cell / k/8-probe
       // sizing are hash-gated per round, so a codebook or nprobe change
@@ -684,6 +816,7 @@ object Similarity {
     "x3_ann_ivf" -> x3,
     "x3b_ann_ivf_trained" -> x3b,
     "x5_ann_ivfpq" -> x5,
+    "x5b_ann_ivfpq_trained" -> x5b,
     "x4_ann_recall" -> x4,
     "x9_mmr_rerank" -> x9
   )
@@ -824,6 +957,7 @@ object Similarity {
        | o AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x2c_ann_or")})),
        | f AS (SELECT q_id, neighbor_id FROM (${oraclesBase("x3_ann_ivf")})),
        | p AS (SELECT q_id, neighbor_id FROM (${x5SqlFor(s, d)})),
+       | pt AS (SELECT q_id, neighbor_id FROM (${x5bSqlFor(s, d)})),
        | w AS (SELECT q_id, neighbor_id FROM (${x3bSqlFor(s, d)})),
        | t AS (SELECT count(*) AS total FROM e),
        | lh AS (SELECT count(*) AS hits FROM l JOIN e USING (q_id, neighbor_id)),
@@ -831,16 +965,20 @@ object Similarity {
        | oh AS (SELECT count(*) AS hits FROM o JOIN e USING (q_id, neighbor_id)),
        | fh AS (SELECT count(*) AS hits FROM f JOIN e USING (q_id, neighbor_id)),
        | ph AS (SELECT count(*) AS hits FROM p JOIN e USING (q_id, neighbor_id)),
+       | pth AS (SELECT count(*) AS hits FROM pt JOIN e USING (q_id, neighbor_id)),
        | wh AS (SELECT count(*) AS hits FROM w JOIN e USING (q_id, neighbor_id)),
        | lc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh")}))),
        | mc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_mp")}))),
        | oc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("lsh_or")}))),
        | fc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf")}))),
        | pc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (${candPairSql("ivf_pq")}))),
+       | ptc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (WITH ${x5bCteFor(s, d)} SELECT q_id, vec_id FROM ap))),
        | wc AS (SELECT count(*) AS cand_pairs FROM (SELECT DISTINCT q_id, vec_id FROM (WITH ${x3bCandCte(s, d)} SELECT q_id, vec_id FROM c)))
        | ${row("ivf", "f")}
        | UNION ALL
        | ${row("ivf_pq", "p")}
+       | UNION ALL
+       | ${row("ivf_pq_trained", "pt")}
        | UNION ALL
        | ${row("ivf_trained", "w")}
        | UNION ALL
@@ -929,10 +1067,11 @@ object Similarity {
     * without invoking it. */
   val dynamicOracleKeys: Set[String] =
     Set("x6_embed_decontam", "x3b_ann_ivf_trained", "x4_ann_recall",
-      "x5_ann_ivfpq")
+      "x5_ann_ivfpq", "x5b_ann_ivfpq_trained")
 
   def dynamicOracles(s: SparkSession, d: String): Map[String, String] = Map(
     "x5_ann_ivfpq" -> x5SqlFor(s, d),
+    "x5b_ann_ivfpq_trained" -> x5bSqlFor(s, d),
     "x6_embed_decontam" -> x6SqlFor(s, d),
     "x3b_ann_ivf_trained" -> x3bSqlFor(s, d),
     "x4_ann_recall" -> x4SqlFor(s, d))
@@ -1053,6 +1192,66 @@ object Similarity {
     * embeds pqTopFor(corpus size), which the static map cannot know. */
   private def x5SqlFor(s: SparkSession, d: String): String =
     s"""WITH ${pqCteFor(pqTopFor(corpusN(s, d)))},
+       | r AS (SELECT q_id, vec_id, cos_raw,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM ex)
+       | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos
+       | FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** x5b's CTE chain through ap/ex over LITERAL TRAINED codebooks: coarse
+    * cells from the adaptive k-means codebook (scaledAsgCte — the same cb/
+    * asg0/asg block x3b/d5 hash-match), per-subspace codeword VALUES
+    * tables (pcb$m), per-vector argmax codes, ADC against cell-local
+    * postings, survivors exactly re-scored. Float-fold parity with the
+    * Spark side: codeword arrays are 8-dim literals indexed [i+1] against
+    * the full-width vector indexed [m·8+i+1], folded ascending — the same
+    * order graft_dot pins on the slice. */
+  private def x5bCteFor(s: SparkSession, d: String): String = {
+    val np = math.min(PqTrainedNprobe, scaledCodebook(s, d).size)
+    val topN = pqTopTrainedFor(corpusN(s, d))
+    val sub = trainedPqCodebook(s, d)
+    def subDotQ(xa: String, cvRef: String, m: Int): String =
+      s"list_sum(list_transform(range($PqSub), i -> $xa[${m * PqSub} + i + 1] * $cvRef[i + 1]))"
+    val pcbCtes = (0 until PqM).map { m =>
+      val rows = sub(m).map { case (code, cv, sq) =>
+        s"($code, [${cv.map(dlit).mkString(",")}], ${dlit(sq)})"
+      }.mkString(",\n   ")
+      s""" pcb$m AS (SELECT t.code, list_transform(t.cv, x -> CAST(x AS DOUBLE)) AS cv,
+         |     CAST(t.sq AS DOUBLE) AS sq
+         |   FROM (VALUES $rows) t(code, cv, sq))""".stripMargin
+    }.mkString(",\n")
+    val encCtes = (0 until PqM).map { m =>
+      s""" e$m AS (SELECT vec_id, code AS code$m FROM (
+         |   SELECT a.vec_id, cb.code, row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY 2 * ${subDotQ("a.v", "cb.cv", m)} - cb.sq DESC, cb.code) AS rn
+         |   FROM v a CROSS JOIN pcb$m cb) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until PqM).map(m => s"JOIN e$m USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until PqM).map(m => s"JOIN pcb$m c$m ON c$m.code = e.code$m").mkString(" ")
+    val reconSq = (0 until PqM).map(m => s"c$m.sq").mkString(" + ")
+    val adc = (0 until PqM).map(m => subDotQ("c.qv", s"c$m.cv", m)).mkString(" + ")
+    s"""$vCte,
+       |${scaledAsgCte(s, d)},
+       |$pcbCtes,
+       |$encCtes,
+       | enc AS (SELECT v.vec_id, ${(0 until PqM).map(m => s"code$m").mkString(", ")}
+       |   FROM v $encJoins),
+       | qp AS (SELECT vec_id AS q_id, v AS qv, norm AS qnorm, cell_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS rc
+       |   FROM asg0 WHERE vec_id < 5) WHERE rc <= $np),
+       | cand AS (SELECT q.q_id, q.qv, q.qnorm, a.vec_id
+       |   FROM asg a JOIN qp q ON a.cell_id = q.cell_id WHERE a.vec_id <> q.q_id),
+       | ap AS (SELECT c.q_id, c.qv, c.qnorm, c.vec_id,
+       |     ($adc) / (c.qnorm * sqrt($reconSq)) AS approx_cos
+       |   FROM cand c JOIN enc e ON c.vec_id = e.vec_id $cbJoins),
+       | top AS (SELECT q_id, qv, qnorm, vec_id FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_cos DESC, vec_id) AS ar FROM ap) WHERE ar <= $topN),
+       | ex AS (SELECT t.q_id, t.vec_id,
+       |     list_sum(list_transform(range($Dim), i -> a.v[i+1] * t.qv[i+1])) / (a.norm * t.qnorm) AS cos_raw
+       |   FROM top t JOIN v a ON a.vec_id = t.vec_id)""".stripMargin
+  }
+
+  private def x5bSqlFor(s: SparkSession, d: String): String =
+    s"""WITH ${x5bCteFor(s, d)},
        | r AS (SELECT q_id, vec_id, cos_raw,
        |   row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank FROM ex)
        | SELECT q_id, rank, vec_id AS neighbor_id, round(cos_raw, 4) AS cos

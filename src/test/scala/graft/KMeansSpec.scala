@@ -81,6 +81,37 @@ class KMeansSpec extends SparkSpec {
     assert(cand === expected)
   }
 
+  test("l2 k-means separates norm-stratified clusters that dot training collapses") {
+    val sp = spark; import sp.implicits._
+    // two tight clusters along the SAME direction at norms 1 and 10: dot
+    // scoring ranks the large-norm centroid above the small cluster's own
+    // (10 > 1 for a norm-1 point), so dot training collapses everything
+    // into one cell; the l2 argmin ‖v−c‖² keeps them apart — the property
+    // PQ encoding depends on (x5b trains its sub-codebooks with l2 = true)
+    val rnd = new scala.util.Random(7)
+    def pt(base: Double): Seq[Double] =
+      (0 until 4).map(i =>
+        (if (i == 0) base else 0.0) + rnd.nextGaussian() * 0.01)
+    val rows = (0L until 40L).map(i =>
+      (i, pt(if (i % 2 == 0) 1.0 else 10.0)))
+    val df = rows.toDF("vec_id", "v")
+    def assignCounts(cents: Seq[(Int, Seq[Double])], l2: Boolean): Map[Int, Int] =
+      rows.groupBy { case (_, v) =>
+        cents.maxBy { case (id, c) =>
+          val dot = v.zip(c).map { case (a, b) => a * b }.sum
+          val score = if (l2) 2 * dot - c.map(x => x * x).sum else dot
+          (score, -id)
+        }._1
+      }.view.mapValues(_.size).toMap
+    val l2Cents = operators.KMeansCodebook.train(df, 2, 3, l2 = true)
+    assert(assignCounts(l2Cents, l2 = true).values.toSeq.sorted === Seq(20, 20))
+    val l2Norms = l2Cents.map(c => math.sqrt(c._2.map(x => x * x).sum)).sorted
+    assert(math.abs(l2Norms(0) - 1.0) < 0.1 && math.abs(l2Norms(1) - 10.0) < 0.1)
+    // control: dot training + dot serving lumps every point into one cell
+    val dotCents = operators.KMeansCodebook.train(df, 2, 3)
+    assert(assignCounts(dotCents, l2 = false).size === 1)
+  }
+
   test("trained adaptive codebook + scaled nprobe clears an absolute recall floor") {
     val exact = q("x1_knn_bruteforce").select("q_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

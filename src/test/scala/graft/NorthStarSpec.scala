@@ -775,6 +775,33 @@ class SimilaritySpec extends SparkSpec {
     assert(bf.join(pq, "q_id").filter(col("pq_cos") > col("best_cos")).count() === 0L)
   }
 
+  test("x5b trained IVF-PQ: codes in range, depth-bounded re-rank, never beats brute force") {
+    // the persisted PQ index: every code addresses one of the 16 trained
+    // codewords of its subspace, and the reconstruction norm is positive
+    val enc = operators.Similarity.pqEncoded(spark, sf)
+    val codeCols = (0 until 8).map(m => col(s"code$m"))
+    assert(enc.filter(codeCols.map(c => c < 0 || c > 15).reduce(_ || _))
+      .count() === 0L)
+    assert(enc.filter(col("recon_sq") <= 0.0).count() === 0L)
+    assert(enc.count() === Tables.embeddings(spark, sf).count())
+    // exact-distance work is capped at the trained depth per query
+    val n = operators.Similarity.corpusN(spark, sf)
+    val rescored = operators.Similarity.pqCandsFrom(
+      operators.Similarity.pqApproxTrained(spark, sf)
+        .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
+          col("approx_cos")),
+      spark, sf, operators.Similarity.pqTopTrainedFor(n))
+      .select("q_id", "vec_id").distinct().count()
+    assert(rescored <= operators.Similarity.pqTopTrainedFor(n) * 5,
+      s"x5b rescored $rescored pairs — depth cap broken")
+    // an approximate path can never produce a better top-1 than brute force
+    val bf = q("x1_knn_bruteforce").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("best_cos"))
+    val pq = q("x5b_ann_ivfpq_trained").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos").as("pq_cos"))
+    assert(bf.join(pq, "q_id").filter(col("pq_cos") > col("best_cos")).count() === 0L)
+  }
+
   test("x4: OR-amplified LSH reaches recall@10 >= 0.90 at bounded candidate cost") {
     // VERDICT r3 item 2 set the path up; VERDICT r7 item 6 raised the
     // gated contract: recall@10 >= 0.90 (ivf_pq territory) with the

@@ -18,22 +18,30 @@ object Probe {
     GraftExtensions.ensure(spark)
     time("warm")(Tables.lineitem(spark, d).count())
     if (args.contains("f1")) {
-      def blockId(bh: org.apache.spark.sql.Column, ch: org.apache.spark.sql.Column) =
-        lower(hex(call_function("graft_sha512_256", concat(unhex(bh), unhex(ch)))))
-      def digest(k: org.apache.spark.sql.Column) =
-        blockId(md5(k.cast("string")), md5(concat(lit("c"), k.cast("string"))))
-      time("orders scan")(Tables.orders(spark, d).count())
-      time("digest orders")(Tables.orders(spark, d)
-        .select(digest(col("o_orderkey")).as("id")).count())
-      time("digest orders 2nd")(Tables.orders(spark, d)
-        .select(digest(col("o_orderkey")).as("id")).count())
-      time("txcounts agg only")(Tables.lineitem(spark, d)
-        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n")).count())
-      time("txcounts agg+digest")(Tables.lineitem(spark, d)
-        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
-        .select(digest(col("l_orderkey")).as("id"), col("n")).count())
-      time("f1 full")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
-      time("f1 full 2nd")(functions.CryptoQueries.queries("f1_block_id_join")(spark, d).count())
+      // VERDICT r10 item 8: f1's sf100 run-to-run variance (43–120 s) was
+      // the 600 M-row tx-count aggregation re-running under shifting cache
+      // state; with the memoized index, three back-to-back honest
+      // evaluations must sit within ±20% — the index build prints as its
+      // own line item (one-time, what a pipeline persists).
+      Memo.drainBuilds()
+      val times = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        Bench.evaluate(functions.CryptoQueries.queries("f1_block_id_join")(spark, d))
+        var dt = (System.nanoTime() - t0) / 1e9
+        Memo.drainBuilds().foreach { case (t, sec) =>
+          println(f"  build $t ${sec}%.1f s (excluded from run $i)")
+          dt -= sec
+        }
+        println(f"f1 run $i: ${dt}%.2f s")
+        // same discipline as Bench after every >5 s query: GC so the
+        // ContextCleaner reaps the run's dead shuffle files — without it
+        // run 3 measured 2× run 1 purely from disk-side buildup
+        System.gc()
+        dt
+      }
+      val spread = (times.max - times.min) / times.min
+      println(f"f1 min ${times.min}%.2f s max ${times.max}%.2f s " +
+        f"spread ${spread * 100}%.0f%% of min")
       spark.stop(); return
     }
     if (args.contains("d4")) {
@@ -209,24 +217,37 @@ object Probe {
     }
     if (args.contains("a13")) {
       // Is a13's sf100 growth compute or shuffle-I/O? Executed-plan bytes
-      // from the stage metrics: shuffle write+read and disk/memory spill.
+      // from the stage metrics: shuffle write+read and disk/memory spill —
+      // plus a PER-STAGE breakdown, and an optional bucket-width sweep
+      // (`a13 w20` runs the same two-pass at 2²⁰-height buckets) to
+      // separate algorithmic growth from cache locality (VERDICT r10
+      // item 6).
       val sw = new java.util.concurrent.atomic.AtomicLong
       val sr = new java.util.concurrent.atomic.AtomicLong
       val spill = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Int, String, Long, Long, Long, Long)]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-            sw.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-            sr.addAndGet(e.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
-            spill.addAndGet(e.stageInfo.taskMetrics.diskBytesSpilled)
+            val m = e.stageInfo.taskMetrics
+            sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            spill.addAndGet(m.diskBytesSpilled)
+            stages.add((e.stageInfo.stageId, e.stageInfo.name.takeWhile(_ != '('),
+              m.executorRunTime,
+              m.shuffleWriteMetrics.bytesWritten,
+              m.shuffleReadMetrics.totalBytesRead, m.diskBytesSpilled))
           }
         })
+      val widthBits = args.find(_.startsWith("w")).flatMap(_.drop(1).toIntOption)
+        .getOrElse(16)
       // honest evaluation, not count(): under count() Catalyst deletes
       // the window (it cannot change the row count) and the probe reads
       // 0 shuffle bytes off a bare scan — caught live at sf100
-      time("a13 full")({
-        Bench.evaluate(operators.Windows.queries("a13_cumsum_by_miner")(spark, d))
+      time(s"a13 full (2^$widthBits buckets)")({
+        Bench.evaluate(operators.Windows.a13At(widthBits)(spark, d))
         0L
       })
       // drain the listener bus before reading the counters — a fixed sleep
@@ -236,6 +257,13 @@ object Probe {
         spark.sparkContext, 30000L)
       println(f"a13 shuffle write ${sw.get / 1e9}%.1f GB, " +
         f"read ${sr.get / 1e9}%.1f GB, disk spill ${spill.get / 1e9}%.1f GB")
+      println("top stages by executor run time:")
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._3).take(8).foreach {
+        case (id, name, run, w, r, sp) =>
+          println(f"  stage $id%4d $name%-28s run ${run / 1e3}%8.1f s  " +
+            f"sw ${w / 1e9}%6.2f GB  sr ${r / 1e9}%6.2f GB  spill ${sp / 1e9}%5.2f GB")
+      }
       spark.stop(); return
     }
     if (args.contains("tx16")) {

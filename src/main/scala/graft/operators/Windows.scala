@@ -111,8 +111,12 @@ object Windows {
     * (ADVICE r10 — the unguarded broadcast failed past the limit). */
   private[graft] val CarryBroadcastMaxRows = 2000000L
 
-  private val a13: Q = (s, d) => {
-    val B = 1L << 16
+  /** a13's core at an explicit bucket width (2^widthBits) — the registered
+    * query pins 2¹⁶; Probe's sf100 breakdown compares widths to separate
+    * algorithmic growth from single-box cache locality (VERDICT r10 item
+    * 6). Output is width-independent (the two-pass split is exact). */
+  private[graft] def a13At(widthBits: Int): Q = (s, d) => {
+    val B = 1L << widthBits
     val cm = Domain.commits(s, d)
       .withColumn("bkt", floor(col("stacks_block_height") / B).cast("long"))
     val local = Window.partitionBy(col("leader_key_address"), col("bkt"))
@@ -141,6 +145,31 @@ object Windows {
         col("cum_burn"))
       .orderBy(col("address"), col("height"), col("vtxindex"))
   }
+
+  /** a13's bucket width now SCALES with the height domain (VERDICT r10
+    * item 6, probed at sf100): target ~256 buckets per miner, floor 2¹⁶.
+    * The fixed 2¹⁶ made carry-aggregation group cardinality grow linearly
+    * with the height domain — at sf100 the carry agg alone was 1 248
+    * executor-seconds (2.3 M groups) vs 246 at 2²⁰, the dominant term of
+    * the 19×/decade growth the r10 verdict flagged; the probe's stage
+    * breakdown (SCALE.md) shows the rest is the window shuffle ∝ data.
+    * 256 buckets/miner keeps the skew property (a hot key still spreads
+    * over 256 partitions) while carry rows stay ≤ 256·miners. Every
+    * oracle-gate scale has domain/256 < 2¹⁶, so gate plans are unchanged.
+    * Output is width-independent either way (exact integer split). */
+  private val heightDomainCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private[graft] def a13WidthBits(s: SparkSession, d: String): Int = {
+    val f = new java.io.File(s"$d/lineitem.parquet")
+    require(f.exists, s"lineitem.parquet missing under $d")
+    val dom = heightDomainCache.computeIfAbsent((d, f.lastModified),
+      _ => graft.Memo.timedBuild("a13_height_domain")(
+        Domain.commits(s, d).agg(max(col("stacks_block_height"))).head().getLong(0)))
+      .longValue
+    math.max(16, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, dom / 256)))
+  }
+
+  private val a13: Q = (s, d) => a13At(a13WidthBits(s, d))(s, d)
 
   /** A14 — same-height dedup, keep the later cumulative value
     * (mining_monitor_rpc.js:78-82). */

@@ -58,4 +58,30 @@ class CryptoSpec extends AnyFunSuite {
     val x = BigInt(1, un.slice(1, 33)); val y = BigInt(1, un.drop(33))
     assert((y * y - (x * x * x + 7)).mod(p) === BigInt(0))
   }
+
+}
+
+/** Spark-side laws for the crypto-keyed queries (CryptoSpec proper is
+  * vector-only, no session). */
+class CryptoQueriesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("tx-count index admits a delta incrementally: merge == recompute") {
+    // split the fact MID-ORDER-KEY (the boundary straddle is the case the
+    // additive merge must get right): stored sees part of an order's rows,
+    // the delta the rest — per-digest sums must still equal the one-shot
+    graft.GraftExtensions.ensure(spark)
+    val li = Tables.lineitem(spark, sf)
+    val stored = li.filter(col("l_linenumber") <= 2)
+    val delta = li.filter(col("l_linenumber") > 2)
+    val merged = functions.CryptoQueries.mergeTxCounts(
+      functions.CryptoQueries.txCountsOf(stored), delta)
+    val oneShot = functions.CryptoQueries.txCountsOf(li)
+    assert(merged.except(oneShot).isEmpty && oneShot.except(merged).isEmpty)
+    // and f1 over the memoized index keeps its output shape: every order
+    // key exactly once with a positive count
+    val f1 = q("f1_block_id_join")
+    assert(f1.filter(col("n_txs") <= 0).count() === 0L)
+    assert(f1.groupBy("o_orderkey").count().filter(col("count") > 1).count() === 0L)
+  }
 }

@@ -1218,18 +1218,16 @@ object Dedup {
     // legally evaluate AFTER the slice — ANSI slice(start=0) error on a
     // short doc (caught by the fixture spec when the checkpoint moved the
     // filter boundary, round 10)
-    // windows flow as 60-bit md5-prefix HASHES, not strings (round 11):
-    // the window relation feeds a corpus-grain count AND a join, and at
-    // sf100 those carried ~1 B ~30-byte window strings each — hashing at
-    // generation shuffles 8-byte longs instead (same h64 family and
-    // engine-parity argument as docHashedShingles: the oracle hashes
-    // identically, so even a collision changes both sides the same way;
-    // birthday bound ~n²/2⁶¹ ≈ 0.2 colliding pairs at 1 B windows)
+    // windows flow as raw strings, NOT md5-prefix hashes — tried and
+    // rejected by A/B (round 11): hashing at generation saved ~5% at sf10
+    // and nothing at sf100 (the window-grain count is ROW-COUNT-bound,
+    // not key-byte-bound) while the per-window md5 cost 67% at sf0.1
+    // (2.4 → 4.0 s) — the wrong trade at every scale that matters
     val ws = toked
       .select(col("doc_id"), expr(
         s"CASE WHEN size(tk) >= $k THEN transform(sequence(0, size(tk) - $k), " +
-          s"i -> CAST(conv(substring(md5(array_join(slice(tk, i + 1, $k), ' ')), 1, 15), 16, 10) AS BIGINT)) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END")
+          s"i -> array_join(slice(tk, i + 1, $k), ' ')) " +
+          "ELSE array() END")
         .as("wins"))
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("p", "w")))
     val dupW = ws.groupBy(col("w")).agg(count(lit(1)).as("n"))
@@ -1291,11 +1289,7 @@ object Dedup {
   /** px14's oracle at window grain k — generated from the same constant
     * as the Spark side so the two parameterizations cannot drift. */
   private def spanScrubSql(k: Int): String = {
-    // same 60-bit md5-prefix window hash as the Spark side (the hsSql
-    // family) — identical hashes, so even a collision is engine-identical
-    val winExpr = "('0x' || substr(md5(" +
-      (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ") +
-      "), 1, 15))::BIGINT"
+    val winExpr = (1 to k).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
     s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
        | ws AS (SELECT doc_id, i AS p, $winExpr AS w
        |   FROM d, UNNEST(range(len(tk) - ${k - 1})) AS r(i) WHERE len(tk) >= $k),

@@ -122,21 +122,26 @@ object Windows {
     val local = Window.partitionBy(col("leader_key_address"), col("bkt"))
       .orderBy(col("stacks_block_height"), col("vtxindex"), col("burn_fee"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry is materialized once (it feeds the size guard AND the join —
-    // the checkpoint makes the guard's count() free of recompute)
     val carry = cm.groupBy(col("leader_key_address"), col("bkt"))
       .agg(sum(col("burn_fee")).as("bkt_sum"))
       .withColumn("carry", sum(col("bkt_sum")).over(
         Window.partitionBy(col("leader_key_address")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("leader_key_address"), col("bkt"), col("carry"))
-      .localCheckpoint(true)
     // broadcast (guarded): carry is (miner × height-domain/B) rows —
     // joining it hash-wise would re-shuffle the windowed fact side (its
     // (miner,bkt) partitioning is not compatible with carry's miner-only
-    // one), so broadcast whenever the measured row count allows
+    // one). The guard is a STATIC bound, not a measured count: miners are
+    // the supplier dimension's keys (Domain.commits maps l_suppkey →
+    // leader_key_address), so carry rows ≤ suppliers × (domain/B + 1) —
+    // two memoized metadata-grain lookups. The first guard COUNTED a
+    // checkpointed carry, which forced an extra eager aggregation pass
+    // over the fact per construction (+4 s at sf10, measured); the bound
+    // costs nothing and fails to the shuffled join just as safely.
+    val buckets = maxHeightOf(s, d) / B + 1L
+    val carryBound = supplierRowsOf(s, d) * buckets
     val carrySide =
-      if (carry.count() <= CarryBroadcastMaxRows) broadcast(carry) else carry
+      if (carryBound <= CarryBroadcastMaxRows) broadcast(carry) else carry
     cm.withColumn("local_cum", sum(col("burn_fee")).over(local))
       .join(carrySide, Seq("leader_key_address", "bkt"))
       .withColumn("cum_burn", col("local_cum") + coalesce(col("carry"), lit(0L)))
@@ -159,13 +164,34 @@ object Windows {
     * Output is width-independent either way (exact integer split). */
   private val heightDomainCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
-  private[graft] def a13WidthBits(s: SparkSession, d: String): Int = {
+
+  /** Max block height, memoized per (dir, mtime) — one parquet
+    * min/max-stats aggregation, the input to both the adaptive width and
+    * the carry-size bound. */
+  private[graft] def maxHeightOf(s: SparkSession, d: String): Long = {
     val f = new java.io.File(s"$d/lineitem.parquet")
     require(f.exists, s"lineitem.parquet missing under $d")
-    val dom = heightDomainCache.computeIfAbsent((d, f.lastModified),
+    heightDomainCache.computeIfAbsent((d, f.lastModified),
       _ => graft.Memo.timedBuild("a13_height_domain")(
         Domain.commits(s, d).agg(max(col("stacks_block_height"))).head().getLong(0)))
       .longValue
+  }
+
+  /** Supplier-dimension cardinality, memoized — the miner-key domain
+    * bound (Domain.commits maps l_suppkey → leader_key_address, so
+    * distinct miners can never exceed it). One metadata-grain count. */
+  private val supplierRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private def supplierRowsOf(s: SparkSession, d: String): Long = {
+    val f = new java.io.File(s"$d/supplier.parquet")
+    require(f.exists, s"supplier.parquet missing under $d")
+    supplierRowsCache.computeIfAbsent((d, f.lastModified),
+      _ => graft.Memo.timedBuild("supplier_rowcount")(
+        Tables.supplier(s, d).count())).longValue
+  }
+
+  private[graft] def a13WidthBits(s: SparkSession, d: String): Int = {
+    val dom = maxHeightOf(s, d)
     math.max(16, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, dom / 256)))
   }
 

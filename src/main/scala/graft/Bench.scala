@@ -66,8 +66,15 @@ object Bench {
     // bound; the capped twins are the tier that runs there). An explicit
     // `only` arg overrides the skip: a dev pointing the bench at a named
     // exact query at scale is asking for exactly that probe.
+    // failure-isolated like every per-query crash (the no-documents-table
+    // dir must still produce a JSON record — the document-family queries
+    // will land in "failed" on their own)
     val skipped =
-      if (only.isDefined) Set.empty[String] else ScaleTiers.skippedAt(spark, sfDir)
+      if (only.isDefined) Set.empty[String]
+      else try ScaleTiers.skippedAt(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scale-tier probe failed (${e.getMessage}); " +
+          "running all queries"); Set.empty[String] }
     if (skipped.nonEmpty)
       System.err.println(s"[bench] exact-groundtruth tier skipped at this " +
         s"scale (> ${ScaleTiers.ExactTierMaxDocs} docs): " +

@@ -241,8 +241,10 @@ object Probe {
               m.shuffleReadMetrics.totalBytesRead, m.diskBytesSpilled))
           }
         })
-      val widthBits = args.find(_.startsWith("w")).flatMap(_.drop(1).toIntOption)
-        .getOrElse(16)
+      // strict flag shape (w<digits>) — args(0) is the data dir and may
+      // itself start with 'w' (review r11)
+      val widthBits = args.drop(1).find(_.matches("w\\d+"))
+        .flatMap(_.drop(1).toIntOption).getOrElse(16)
       // honest evaluation, not count(): under count() Catalyst deletes
       // the window (it cannot change the row count) and the probe reads
       // 0 shuffle bytes off a bare scan — caught live at sf100

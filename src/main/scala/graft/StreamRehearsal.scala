@@ -44,19 +44,27 @@ object StreamRehearsal {
     val step = math.max(1L, (hi - lo) / k + 1L)
     java.nio.file.Files.createDirectories(dir)
     val base = System.currentTimeMillis() - k * 2000L
+    val tmp = dir.resolveSibling(s"${dir.getFileName}_tmp")
     (0 until k).foreach { i =>
       val a = lo + i * step; val b = lo + (i + 1) * step
-      val tmp = dir.resolveSibling(s"${dir.getFileName}_tmp")
       df.filter(ord >= a && ord < b)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for chunk $i"))
+      val listing = java.nio.file.Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for chunk $i"))
+        finally listing.close()
       val target = dir.resolve(f"chunk_$i%03d.parquet")
       java.nio.file.Files.move(part, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       target.toFile.setLastModified(base + i * 1000L)
     }
+    // staging debris (_SUCCESS/.crc) must not linger next to the real dirs
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(tmp.toFile)
   }
 
   /** One bounded-micro-batch file stream over a landed chunk dir. */
@@ -80,6 +88,13 @@ object StreamRehearsal {
     val spark = Sessions.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"), "stream-rehearsal")
     val wd = java.nio.file.Paths.get(workDir)
+    // enforce freshness LOUDLY: a reused workDir's checkpoints remember
+    // the chunk paths as already-seen, so every trigger would process 0
+    // rows while the TOTAL lines read the PREVIOUS run's stores — a no-op
+    // rehearsal indistinguishable from a successful one (review r11)
+    require(!java.nio.file.Files.exists(wd) ||
+      { val l = java.nio.file.Files.list(wd); try !l.iterator().hasNext finally l.close() },
+      s"workDir $workDir is not fresh — checkpoints would replay as no-ops")
 
     // ---- 1. dedupIngest: documents in doc_id-ordered micro-batches ----
     val docsLanding = wd.resolve("docs_landing")

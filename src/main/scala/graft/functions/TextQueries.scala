@@ -609,10 +609,6 @@ object TextQueries {
   private val px16: Q = (s, d) =>
     prep(s, d, px15(s, d).select(col("keep_id").as("doc_id")))
 
-  /** TX12's core: the BPE-training counting kernel over any documents
-    * frame — exposed so the spec can hand-check a planted vocabulary.
-    * Returns the FULL adjacent-pair inventory; the registered query takes
-    * the top-[[BpeTop]]. */
   /** The word-frequency VOCAB table — BPE's working relation: the one
     * corpus-grain shuffle collapses the token stream to (word, count);
     * every training round afterwards iterates on THIS table. */
@@ -621,6 +617,10 @@ object TextQueries {
       .select(explode(toks(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
 
+  /** TX12's core: the BPE-training counting kernel over any documents
+    * frame — exposed so the spec can hand-check a planted vocabulary.
+    * Returns the FULL adjacent-pair inventory; the registered query takes
+    * the top-[[BpeTop]]. */
   private[graft] def bpePairs(docs: DataFrame): DataFrame = {
     val words = vocabOf(docs)
     words

@@ -673,8 +673,10 @@ object TextQueries {
     * millions of rows, not terabytes — and move one row to the driver.
     * Returns the merge table (round, sym_a, sym_b, pair_count), the
     * training artifact a tokenizer ships. */
-  private[graft] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame = {
-    val s = vocab.sparkSession
+  /** The merge SEQUENCE as driver data — the artifact a tokenizer ships
+    * (and the thing [[bpeEncode]] applies). */
+  private[graft] def bpeMergeList(vocab: DataFrame,
+                                  rounds: Int): Seq[(Long, String, String, Long)] = {
     var v = vocab
       .select(regexp_replace(col("w"), "(.)", "\\|$1\\|").as("wrapped"),
         col("wf"))
@@ -705,9 +707,51 @@ object TextQueries {
           .localCheckpoint(true)
       }
     }
-    s.createDataFrame(out.toSeq)
+    out.toSeq
+  }
+
+  private[graft] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame =
+    vocab.sparkSession.createDataFrame(bpeMergeList(vocab, rounds))
       .toDF("round", "sym_a", "sym_b", "pair_count")
       .orderBy(col("round"))
+
+  /** The corpus merge sequence, memoized per (dir, mtime) — training is
+    * deterministic, and tx12b/tx12c must share ONE sequence (the
+    * fixedCodebook contract: the trained artifact is driver data). */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Long, String, String, Long)]]()
+  private[graft] def corpusMerges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
+    val fp = new java.io.File(s"$d/documents.parquet").lastModified
+    mergeCache.computeIfAbsent((d, fp), _ =>
+      graft.Memo.timedBuild("bpe_merges")(
+        bpeMergeList(vocabOf(Tables.documents(s, d)), BpeMergeRounds)))
+  }
+
+  /** APPLY the trained merges — BPE ENCODING, the serving half of the
+    * tokenizer (train = tx12b, apply = here): wrap each word's characters,
+    * run the R merge replaces IN TRAINING ORDER (row-local; order matters —
+    * later merges consume earlier merges' symbols), and count the
+    * resulting symbols. Per doc: words, characters, and the BPE symbol
+    * count — the compression profile a tokenizer team reads (chars/symbol
+    * rises as merges land). One corpus scan + one doc-grain aggregation;
+    * the merges are literals, so the whole encode is codegen'd with no
+    * join and no shuffle beyond the rollup. */
+  private[graft] def bpeEncode(docs: DataFrame,
+                               merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val wrapped0 = regexp_replace(col("w"), "(.)", "\\|$1\\|")
+    val encoded = merges.foldLeft(wrapped0) { case (c, (_, a, b, _)) =>
+      replace(c, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    // symbols = half the pipe count (each symbol carries exactly 2 pipes)
+    val nSyms = ((length(encoded) -
+      length(replace(encoded, lit("|"), lit("")))) / 2).cast("long")
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum(nSyms).as("n_symbols"))
+      .orderBy(col("doc_id"))
   }
 
   /** TX12B — the corpus BPE merge table at [[BpeMergeRounds]] rounds. The
@@ -715,7 +759,16 @@ object TextQueries {
     * the full merge SEQUENCE — including ties broken and merges of earlier
     * merges — is hash-compared, not just round 1. */
   private val tx12b: Q = (s, d) =>
-    bpeMerges(vocabOf(Tables.documents(s, d)), BpeMergeRounds)
+    s.createDataFrame(corpusMerges(s, d))
+      .toDF("round", "sym_a", "sym_b", "pair_count")
+      .orderBy(col("round"))
+
+  /** TX12C — BPE ENCODING of the corpus under the tx12b-trained merges:
+    * per doc, words / characters / resulting symbol count. The oracle
+    * re-derives the merge layers AND the encode in one statement, so the
+    * apply path is held to the training path it claims to use. */
+  private val tx12c: Q = (s, d) =>
+    bpeEncode(Tables.documents(s, d), corpusMerges(s, d))
 
   /** tx12b's oracle: the merge loop UNROLLED as CTE layers (the g3
     * convention) — per round, the same pair count over the symbolized
@@ -739,6 +792,37 @@ object TextQueries {
        | v0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wrapped, wf FROM wf0),
        |$layers
        | SELECT * FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  /** tx12c's oracle: the SAME training layers (t1..tR) followed by the
+    * encode — each doc word wrapped, the R merges applied in training
+    * order, symbols counted as pipes/2. */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val layers = (1 to rounds).map { r =>
+      s""" s$r AS (SELECT string_split(substr(wrapped, 2, length(wrapped)-2), '||') AS syms, wf FROM v${r - 1}),
+         | p$r AS (SELECT syms[i+1] AS a, syms[i+2] AS b, CAST(sum(wf) AS BIGINT) AS cnt
+         |   FROM s$r, UNNEST(range(len(syms)-1)) AS r(i) GROUP BY 1, 2),
+         | t$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         | v$r AS (SELECT replace(wrapped, '|'||t.a||'||'||t.b||'|', '|'||t.a||t.b||'|') AS wrapped, wf
+         |   FROM v${r - 1}, t$r t)""".stripMargin
+    }.mkString(",\n")
+    val encLayers = (1 to rounds).map { r =>
+      s""" enc$r AS (SELECT doc_id, w,
+         |   replace(wrapped, '|'||t.a||'||'||t.b||'|', '|'||t.a||t.b||'|') AS wrapped
+         |   FROM enc${r - 1}, t$r t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
+       | wf0 AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w0 GROUP BY 1),
+       | v0 AS (SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS wrapped, wf FROM wf0),
+       |$layers,
+       | enc0 AS (SELECT doc_id, t.w AS w,
+       |     regexp_replace(t.w, '(.)', '|\\1|', 'g') AS wrapped
+       |   FROM (SELECT doc_id, $toksSql AS tk FROM documents), UNNEST(tk) AS t(w)),
+       |$encLayers
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |   CAST(sum(length(w)) AS BIGINT) AS n_chars,
+       |   CAST(sum((length(wrapped) - length(replace(wrapped, '|', ''))) // 2) AS BIGINT) AS n_symbols
+       | FROM enc$rounds GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** tx11 thresholds — tuned on the corpus feature distributions so every
@@ -1024,6 +1108,7 @@ object TextQueries {
     "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
     "tx12b_bpe_merges" -> tx12b,
+    "tx12c_bpe_encode" -> tx12c,
     "px13_novelty" -> px13,
     "px15_best_of_cluster" -> px15,
     "px16_quality_prep" -> px16,
@@ -1195,6 +1280,7 @@ object TextQueries {
          |   mean_len_milli, CAST(rs AS BIGINT) AS reasons, rs = 0 AS keep
          | FROM r ORDER BY doc_id""".stripMargin,
     "tx12b_bpe_merges" -> bpeMergesSql(BpeMergeRounds),
+    "tx12c_bpe_encode" -> bpeEncodeSql(BpeMergeRounds),
     "tx12_bpe_pairs" ->
       s"""WITH w0 AS (SELECT unnest($toksSql) AS w FROM documents),
          | wf AS (SELECT w, count(*) AS wf FROM w0 GROUP BY 1),

@@ -1529,6 +1529,27 @@ class TextQueriesSpec extends SparkSpec {
     assert(functions.TextQueries.bpeMerges(vocab, 10).count() === 2L)
   }
 
+  test("tx12c encode applies merges in training order (hand-checked)") {
+    val sp = spark; import sp.implicits._
+    // the classic vocabulary's 8 trained merges (hand-verified in the
+    // tx12b spec above), applied to one doc holding all four words:
+    // low → [low] (1), lower → [low,e,r] (3 — the (e,w) merge cannot fire
+    // inside 'low e r'), newest → [newest] (1 — six merges chain),
+    // widest → [w,i,dest] (3 — (d,est) needs (e,s)+(es,t) FIRST, the
+    // order-sensitivity this test exists to pin)
+    val merges = Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L), (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L), (6L, "ew", "est", 6L),
+      (7L, "n", "ewest", 6L), (8L, "d", "est", 3L))
+    val docs = Seq((1L, "low lower newest widest")).toDF("doc_id", "text")
+    val r = functions.TextQueries.bpeEncode(docs, merges).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((4L, 20L, 8L)))
+    // zero merges = character tokenization: symbols == chars
+    val r0 = functions.TextQueries.bpeEncode(docs, Nil).head()
+    assert(r0.getLong(3) === r0.getLong(2))
+  }
+
   test("px5 is px1 with near-dup canonicals: subset of filters, only canonicals kept") {
     val px5 = q("px5_canonical_prep")
     val px1 = q("px1_corpus_prep")

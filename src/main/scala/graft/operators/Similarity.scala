@@ -532,13 +532,17 @@ object Similarity {
   private[graft] val PqTrainedNprobe = 12
 
   /** x5b's exact-re-rank depth: same adaptive n/5000 scaling as x5 but a
-    * deeper floor — the trained path's ADC estimate quantizes RANDOM
-    * 8-dim subspaces with 16 centroids, and at gate scale the probed
-    * candidate pool (~12·√n per query) is only a few× the depth, so a
-    * 50-deep cut measurably drops true neighbors the probes DID surface
-    * (r11 probe at sf0.1: 41/50 in probed cells, 31/50 surviving the
-    * 50-cut). 150 point re-scores per query is noise next to the scan. */
-  private[graft] def pqTopTrainedFor(n: Long): Long = math.max(150L, n / 5000L)
+    * floor of 500 — at gate scales the probed pool (~12·√n per query) is
+    * only ~250–550 candidates, so ANY aggressive cut just trades recall
+    * for a prune that saves nothing (measured at sf0.1: 42/50 true pairs
+    * in the probed cells, 37/50 surviving a 150-cut; a ≥pool floor makes
+    * the cut a no-op there and recall equals cell recall). At the scales
+    * where pruning pays the floor is a 3–9% cut (sf10: 500 of ~5.3 k
+    * per query; sf100: 500 of ~16 k), and recall is MONOTONE in depth
+    * (survivor supersets, exact re-rank), so the 1.00 sf10/sf100 battery
+    * rows are preserved by construction. 500 exact point re-scores per
+    * query is noise next to any scan. */
+  private[graft] def pqTopTrainedFor(n: Long): Long = math.max(500L, n / 5000L)
 
   /** Per-subspace PQ sub-codebooks TRAINED on the corpus (16 codewords ×
     * PqM subspaces, k-means over the subspace slices — the production PQ

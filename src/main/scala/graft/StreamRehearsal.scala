@@ -40,6 +40,9 @@ object StreamRehearsal {
       case _ => col(orderCol).cast("long")
     }
     val mm = df.agg(min(ord), max(ord)).head()
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"landChunks: source frame is empty (no $orderCol range) — " +
+        "cannot stage an empty table into chunks")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = math.max(1L, (hi - lo) / k + 1L)
     java.nio.file.Files.createDirectories(dir)

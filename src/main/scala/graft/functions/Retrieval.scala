@@ -334,7 +334,7 @@ object Retrieval {
       .filter(col("gram").isin(grams: _*))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("ng"))
-      .filter(col("ng") === grams.size.toLong)
+      .filter(col("ng") >= grams.size.toLong)
       .select(col("doc_id"))
     docs.join(cand, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),

@@ -606,7 +606,7 @@ object Similarity {
     * against the persisted PQ index ([[pqEncoded]]) — codes only, no
     * vector payload — and scores by PqM array lookups per pair. Survivors
     * fetch their true vectors for the exact re-rank (pqCandsFrom, depth
-    * [[pqTopTrainedFor]]: max(150, n/5000)). Candidate volume:
+    * [[pqTopTrainedFor]]: max(500, n/5000)). Candidate volume:
     * nprobe·n/k ≈ 12√n per query. */
   private[graft] def pqApproxTrained(s: SparkSession, d: String): DataFrame = {
     val v = vecs(s, d)

@@ -97,22 +97,24 @@ object Windows {
     * Skew-proof two-pass (a6/a7's bucket shape, KEYED): a plain per-miner
     * window serializes a hot miner into one task — the zipf sf10 rehearsal
     * measured 2.1× (70% of rows on 5 miners ⇒ 2.1 M-row sort partitions).
-    * Bucketing the window key to (miner, ⌊height/2¹⁶⌋) caps any partition
-    * at the miner's per-bucket density; the carry-in is the exclusive
-    * prefix sum of per-bucket totals (≤ height-domain/2¹⁶ rows per miner).
+    * Bucketing the window key to (miner, ⌊height/B⌋) — B adaptive via
+    * [[a13WidthBits]], ~256 buckets/miner with a 2¹⁶ floor — caps any
+    * partition at the miner's per-bucket density; the carry-in is the
+    * exclusive prefix sum of per-bucket totals (≤ ~256 rows per miner).
     * ⌊height/B⌋ is monotone in the leading sort key, so bucket order
     * refines the window order exactly; integer fees keep the split exact. */
   /** Above this many carry rows the broadcast is no longer safe (driver
     * memory + the 8 GB broadcast hard cap; ~60 B/row ⇒ ~120 MB at the
     * bound) and a13 falls back to a shuffled join — slower (the windowed
     * fact side re-shuffles) but unconditionally correct. Carry cardinality
-    * = distinct (miner, ⌊height/2¹⁶⌋) pairs: sf100 measures ~10⁵, so the
+    * = distinct (miner, ⌊height/B⌋) pairs: sf100 measures ~10⁵, so the
     * fallback only arises on corpora with ≫10⁶ distinct miners
     * (ADVICE r10 — the unguarded broadcast failed past the limit). */
   private[graft] val CarryBroadcastMaxRows = 2000000L
 
   /** a13's core at an explicit bucket width (2^widthBits) — the registered
-    * query pins 2¹⁶; Probe's sf100 breakdown compares widths to separate
+    * query uses the ADAPTIVE width ([[a13WidthBits]]: ~256 buckets/miner,
+    * floor 2¹⁶); Probe's sf100 breakdown compares widths to separate
     * algorithmic growth from single-box cache locality (VERDICT r10 item
     * 6). Output is width-independent (the two-pass split is exact). */
   private[graft] def a13At(widthBits: Int): Q = (s, d) => {

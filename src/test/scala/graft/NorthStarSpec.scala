@@ -1550,6 +1550,107 @@ class TextQueriesSpec extends SparkSpec {
     assert(r0.getLong(3) === r0.getLong(2))
   }
 
+  test("tx12e exact-batched BPE ≡ the sequential merge loop on the gate corpus") {
+    import functions.TextQueries._
+    // THE law the exact mode exists for (VERDICT r11 next #1): flattening
+    // the strict batches must reproduce the sequential merge sequence —
+    // same pairs, same order, same counts. Full-tuple equality, so the
+    // count-invariance argument (non-interacting merges leave each
+    // other's occurrence sets untouched) is checked too, not just order.
+    val batched = corpusBatchedMerges(spark, sf, strict = true)
+    assert(batched.nonEmpty)
+    val seqMerges = bpeMergeList(vocabOf(Tables.documents(spark, sf)),
+      batched.size)
+    assert(batched.map(m => (m._3, m._4, m._5)) ===
+      seqMerges.map(m => (m._2, m._3, m._4)))
+    // merge_seq is contiguous 1..n and batch_round is non-decreasing
+    assert(batched.map(_._1) === (1L to batched.size.toLong))
+    assert(batched.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+  }
+
+  test("tx12e batch selection: prefix-stop, self-merge cut, strict-descent cut") {
+    import functions.TextQueries._
+    // prefix-stop: (h,e) chains into (e,r) (d=a boundary) → batch ends
+    // BEFORE it even though (i,n) further down would not interact
+    val chained = IndexedSeq(("e", "r", 10L), ("h", "e", 9L), ("i", "n", 8L))
+    assert(selectBpeBatch(chained, 8, 32, strict = true).map(_._4) === Seq(1L))
+    // self-merge cut: accepting (a,a) closes the batch — its successor
+    // pairs ((aa,aa) from runs ≥ 4) are bounded only by cnt(a,a)/2, which
+    // can exceed ANY later candidate, so nothing may follow it
+    val self = IndexedSeq(("a", "a", 3000L), ("c", "d", 600L))
+    assert(selectBpeBatch(self, 8, 32, strict = true)
+      .map(m => (m._1, m._2)) === Seq(("a", "a")))
+    // ...and the pathological corpus that rule exists for: runs of a's
+    // where (aa,aa) outranks the next snapshot candidate after merge 1
+    val sp = spark; import sp.implicits._
+    val patho = Seq(("aaaa", 1000L), ("cd", 600L)).toDF("w", "wf")
+    val strict3 = bpeMergeListBatched(patho, 3, 8, 32, strict = true)
+    assert(strict3.map(m => (m._3, m._4, m._5)) ===
+      Seq(("a", "a", 3000L), ("aa", "aa", 1000L), ("c", "d", 600L)))
+    assert(strict3.map(m => (m._3, m._4, m._5)) ===
+      bpeMergeList(patho, 3).map(m => (m._2, m._3, m._4)))
+    // strict-descent cut: a tie at the batch boundary must shrink the
+    // batch (a new pair born of member 1 could tie the boundary count and
+    // win the lexicographic break in the sequential loop)
+    val tied = IndexedSeq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L),
+      ("g", "h", 9L))
+    assert(selectBpeBatch(tied, 3, 32, strict = true).map(_._4) === Seq(1L))
+    // ...but an interior tie with a strict boundary is kept whole
+    val interior = IndexedSeq(("a", "b", 10L), ("c", "d", 10L), ("e", "f", 7L))
+    assert(selectBpeBatch(interior, 2, 32, strict = true).map(_._4) ===
+      Seq(1L, 2L))
+  }
+
+  test("tx12d throughput batches are pairwise non-interacting and skip-justified") {
+    import functions.TextQueries._
+    val batched = corpusBatchedMerges(spark, sf, strict = false)
+    assert(batched.nonEmpty)
+    for ((_, batch) <- batched.groupBy(_._2)) {
+      for (Seq(p, c) <- batch.combinations(2)) {
+        assert(!bpeInteracts(p._3, p._4, c._3, c._4) &&
+          !bpeInteracts(c._3, c._4, p._3, p._4),
+          s"batch ${p._2}: ${(p._3, p._4)} interacts with ${(c._3, c._4)}")
+      }
+    }
+    // the jobs economics the mode exists for: ≥ 4 merges landed per
+    // counting round on the corpus (measured 8/8/8 — full batches)
+    val rounds = batched.map(_._2).max
+    assert(batched.size >= 4 * rounds,
+      s"${batched.size} merges over $rounds rounds — batching not paying")
+  }
+
+  test("tx12d ≡ tx12e ≡ sequential when the top candidates don't interact") {
+    import functions.TextQueries._
+    val sp = spark; import sp.implicits._
+    // disjoint, non-chaining, no output collisions: the conditional law's
+    // hypothesis holds corpus-wide, so ALL THREE forms must agree exactly
+    val v = Seq(("ab", 10L), ("cd", 9L), ("ef", 8L)).toDF("w", "wf")
+    val skip = bpeMergeListBatched(v, 1, 8, 32, strict = false)
+    val strict1 = bpeMergeListBatched(v, 1, 8, 32, strict = true)
+    val sequential = bpeMergeList(v, 3)
+    assert(skip === strict1)
+    assert(skip.map(m => (m._3, m._4, m._5)) ===
+      sequential.map(m => (m._2, m._3, m._4)))
+    assert(skip.map(_._2).distinct === Seq(1L)) // one round did all three
+  }
+
+  test("tx12d trained tokenizer compresses within 1% of sequential at equal merges") {
+    import functions.TextQueries._
+    // The throughput mode's honest trade: the merge SEQUENCE may diverge
+    // from sequential (skipped chained pairs re-enter later), but the
+    // artifact that matters — the tokenizer — must not degrade. Encode
+    // the corpus under both merge tables at the same merge count and
+    // bound the symbol-count gap (measured 0.058% at sf0.01/64 merges).
+    val docs = Tables.documents(spark, sf)
+    val batched = corpusBatchedMerges(spark, sf, strict = false)
+      .map(m => (m._1, m._3, m._4, m._5))
+    val sequential = bpeMergeList(vocabOf(docs), batched.size)
+    def symbols(merges: Seq[(Long, String, String, Long)]): Long =
+      bpeEncode(docs, merges).agg(sum("n_symbols")).head().getLong(0)
+    val (b, s) = (symbols(batched), symbols(sequential))
+    assert(b <= s + s / 100, s"batched $b vs sequential $s symbols")
+  }
+
   test("px5 is px1 with near-dup canonicals: subset of filters, only canonicals kept") {
     val px5 = q("px5_canonical_prep")
     val px1 = q("px1_corpus_prep")

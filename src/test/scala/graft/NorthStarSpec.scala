@@ -1390,6 +1390,54 @@ class TextQueriesSpec extends SparkSpec {
     assert(got === Set((1L, "abc"), (1L, "bca"), (1L, "cab"), (3L, "xyz")))
   }
 
+  test("tx13c postings probe equals the fused phrase search for both phrases") {
+    import functions.TextQueries._
+    for (phrase <- Seq(Phrase2, Phrase3)) {
+      val fused = phraseSearch(Tables.documents(spark, sf), phrase)
+      val viaIndex = phraseSearchPostings(positionalPostingsFor(spark, sf), phrase)
+      assert(viaIndex.except(fused).isEmpty && fused.except(viaIndex).isEmpty)
+      assert(fused.count() > 0L)
+    }
+  }
+
+  test("tx13c incremental positional-postings admit equals the one-shot build") {
+    import functions.TextQueries._
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") < 340)
+    val batch = docs.filter(col("doc_id") >= 340)
+    val incremental = appendPositionalPostings(positionalPostings(hist), batch)
+    val oneShot = positionalPostings(docs)
+    // (tok, doc_id, pos) rows are unique (pos unique per doc), so set
+    // equality IS multiset equality here
+    assert(incremental.except(oneShot).isEmpty &&
+      oneShot.except(incremental).isEmpty)
+    val out = phraseSearchPostings(incremental, Phrase2)
+    val fused = phraseSearch(docs, Phrase2)
+    assert(out.except(fused).isEmpty && fused.except(out).isEmpty)
+  }
+
+  test("tx13c anchor-vote counting: overlaps, repeated phrase terms, no false adjacency") {
+    import functions.TextQueries._
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // two (a b) occurrences, third a unfinished
+      (2L, "a a a"), // overlapping (a a) at anchors 0 and 1
+      (3L, "a c a") // a's present but never adjacent
+    ).toDF("doc_id", "text")
+    val post = positionalPostings(docs)
+    def res(terms: Seq[String]) = phraseSearchPostings(post, terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(Seq("a", "b")) === Map(1L -> 2L))
+    // repeated term: slot expansion must vote once per slot, and an
+    // anchor completes only when BOTH slots vote — adjacency required
+    assert(res(Seq("a", "a")) === Map(2L -> 2L))
+    // ...and the fused form agrees on the planted frame (degenerate
+    // corpora are where the two plans would diverge first)
+    for (terms <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "a")))
+      assert(phraseSearchPostings(post, terms).collect().toSeq ===
+        phraseSearch(docs, terms).collect().toSeq, s"terms $terms")
+  }
+
   test("tx17 lexical knn: contiguous ranks, non-increasing cos2, pairs from tx9") {
     val out = q("tx17_lexical_knn").cache()
     // ranks contiguous 1..n≤3 per doc; similarity never increases with rank

@@ -583,21 +583,42 @@ object Similarity {
     * 2·⟨v_sub, c⟩ − ‖c‖² over 16 codeword literals). Memoized: this
     * relation is exactly what a production build writes to disk. */
   private[graft] def pqEncoded(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, d, "pq_codes", "embeddings.parquet") {
-      val sub = trainedPqCodebook(s, d)
-      def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
-        struct(
-          (lit(2.0) * dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))
-            - lit(c._3)).as("s"),
-          lit(-c._1).as("nc"))
-      scaledAssigned(s, d)
-        .select(Seq(col("vec_id"), col("cell_id")) ++
-          (0 until PqM).map(m =>
-            (-greatest(sub(m).map(c => encScore(m, c)): _*).getField("nc"))
-              .cast("int").as(s"code$m")): _*)
-        .withColumn("recon_sq", (0 until PqM).map(m =>
-          element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
-    }
+    graft.Memo.cached(s, d, "pq_codes", "embeddings.parquet")(
+      pqEncode(scaledAssigned(s, d), trainedPqCodebook(s, d)))
+
+  /** PQ-encode any coarse-assigned postings frame (vec_id, v, cell_id)
+    * against frozen sub-codebooks — row-local (per subspace, a
+    * statically-unrolled argmax of 2·⟨v_sub, c⟩ − ‖c‖² over 16 codeword
+    * literals), which is what makes the index admittable: encoding a
+    * batch never looks at the stored codes. */
+  private[graft] def pqEncode(assigned: DataFrame,
+                              sub: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame = {
+    def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
+      struct(
+        (lit(2.0) * dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))
+          - lit(c._3)).as("s"),
+        lit(-c._1).as("nc"))
+    assigned
+      .select(Seq(col("vec_id"), col("cell_id")) ++
+        (0 until PqM).map(m =>
+          (-greatest(sub(m).map(c => encScore(m, c)): _*).getField("nc"))
+            .cast("int").as(s"code$m")): _*)
+      .withColumn("recon_sq", (0 until PqM).map(m =>
+        element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
+  }
+
+  /** Admit a batch of new vectors into a stored PQ index (VERDICT r11
+    * item 8 — the coarse IVF postings and the trigram/positional postings
+    * all have admits; the PQ codes are just as per-row): coarse-assign
+    * the batch against the FROZEN IVF codebook, encode against the FROZEN
+    * sub-codebooks — both row-local — and append. Incremental ≡ one-shot
+    * exactly (spec law), because codes depend only on (v, codebooks),
+    * never on other rows. Re-admitting an id is the caller's dedup
+    * concern (the appendIndex contract). */
+  private[graft] def appendPqIndex(stored: DataFrame, delta: DataFrame,
+                                   cells: Seq[(Long, Seq[Double])],
+                                   sub: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame =
+    stored.unionByName(pqEncode(assignCells(delta, cells), sub))
 
   /** X5B candidates — IVF-PQ over the TRAINED adaptive codebook: queries
     * probe their [[PqTrainedNprobe]] nearest trained cells (join-form
@@ -608,7 +629,14 @@ object Similarity {
     * fetch their true vectors for the exact re-rank (pqCandsFrom, depth
     * [[pqTopTrainedFor]]: max(500, n/5000)). Candidate volume:
     * nprobe·n/k ≈ 12√n per query. */
-  private[graft] def pqApproxTrained(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pqApproxTrained(s: SparkSession, d: String): DataFrame =
+    pqApproxTrainedOn(pqEncoded(s, d), s, d)
+
+  /** The x5b ADC probe against an EXPLICIT index frame — factored so the
+    * incremental-admit law can drive the real read path over an
+    * incrementally-built index (the d9/tx16c probe-path convention). */
+  private[graft] def pqApproxTrainedOn(index: DataFrame, s: SparkSession,
+                                       d: String): DataFrame = {
     val v = vecs(s, d)
     val cells = scaledCodebook(s, d)
     val sub = trainedPqCodebook(s, d)
@@ -619,7 +647,7 @@ object Similarity {
         (0 until PqM).map(m => array(sub(m).map(c =>
           dot(slice(col("qv"), m * PqSub + 1, PqSub), typedlit(c._2))): _*)
           .as(s"qlut$m")): _*)
-    pqEncoded(s, d).join(broadcast(q), Seq("cell_id"))
+    index.join(broadcast(q), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_cos",
         (0 until PqM).map(m => element_at(col(s"qlut$m"), col(s"code$m") + 1))

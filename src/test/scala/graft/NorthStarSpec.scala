@@ -714,6 +714,32 @@ class SimilaritySpec extends SparkSpec {
       direct.exceptAll(fromIncr).count() === 0L)
   }
 
+  test("PQ index admits a delta incrementally: append == one-shot, ADC probe identical") {
+    // the x5b serving index's maintenance shape (VERDICT r11 item 8):
+    // coarse-assign + PQ-encode the batch against the FROZEN codebooks —
+    // both row-local — and append; codes depend only on (v, codebooks),
+    // so incremental must equal the one-shot encode EXACTLY
+    val cells = operators.Similarity.scaledCodebook(spark, sf)
+    val sub = operators.Similarity.trainedPqCodebook(spark, sf)
+    val v = operators.Similarity.vecs(spark, sf)
+    val half = col("vec_id") % 2 === 0
+    val incremental = operators.Similarity.appendPqIndex(
+      operators.Similarity.pqEncode(
+        operators.Similarity.assignCells(v.filter(half), cells), sub),
+      v.filter(!half), cells, sub)
+    val oneShot = operators.Similarity.pqEncoded(spark, sf)
+    assert(incremental.exceptAll(oneShot).count() === 0L &&
+      oneShot.exceptAll(incremental).count() === 0L)
+    // the REAL read path (x5b's ADC probe) over the incrementally built
+    // index yields exactly the one-shot approx-candidate relation
+    val fromIncr = operators.Similarity.pqApproxTrainedOn(incremental, spark, sf)
+      .select(col("q_id"), col("vec_id"), col("approx_cos"))
+    val direct = operators.Similarity.pqApproxTrained(spark, sf)
+      .select(col("q_id"), col("vec_id"), col("approx_cos"))
+    assert(fromIncr.exceptAll(direct).count() === 0L &&
+      direct.exceptAll(fromIncr).count() === 0L)
+  }
+
   test("x1 brute-force top-k: k rows per query, contiguous ranks, cos in [-1,1]") {
     val df = q("x1_knn_bruteforce")
     val perQ = df.groupBy("q_id").agg(count(lit(1)).as("n"), max("rank").as("mr"))

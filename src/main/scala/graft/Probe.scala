@@ -44,6 +44,62 @@ object Probe {
         f"spread ${spread * 100}%.0f%% of min")
       spark.stop(); return
     }
+    if (args.contains("nprobe")) {
+      // VERDICT r11 item 5: x5b's organic-scale recall headroom — sweep
+      // the constant probe count and measure recall@10 + candidate cost
+      // so the registered constant is justified by data, not prose.
+      val exact = SparkEntry.queries("x1_knn_bruteforce")(spark, d)
+        .select(col("q_id"), col("neighbor_id")).localCheckpoint(true)
+      val total = exact.count()
+      val n = operators.Similarity.corpusN(spark, d)
+      val depth = operators.Similarity.pqTopTrainedFor(n)
+      Memo.drainBuilds().foreach { case (t, sec) =>
+        println(f"  build $t $sec%.1f s (pre-sweep)") }
+      for (np <- Seq(8, 12, 16, 24)) {
+        val t0 = System.nanoTime()
+        val ap = operators.Similarity.pqApproxTrainedOn(
+            operators.Similarity.pqEncoded(spark, d), spark, d, np)
+          .select(col("q_id"), col("vec_id"), col("qv"), col("qnorm"),
+            col("approx_cos"))
+          .localCheckpoint(true)
+        val cand = ap.select(col("q_id"), col("vec_id")).distinct().count()
+        val hits = operators.Similarity
+          .rerank(operators.Similarity.pqCandsFrom(ap, spark, d, depth))
+          .select(col("q_id"), col("neighbor_id"))
+          .join(exact, Seq("q_id", "neighbor_id")).count()
+        Memo.drainBuilds().foreach { case (t, sec) =>
+          println(f"  build $t $sec%.1f s (excluded)") }
+        println(f"nprobe=$np%2d recall@10=${hits.toDouble / total}%.3f " +
+          f"cand_pairs=$cand%9d wall=${(System.nanoTime() - t0) / 1e9}%6.1f s " +
+          f"(n=$n depth=$depth)")
+        System.gc()
+      }
+      spark.stop(); return
+    }
+    if (args.contains("bpe")) {
+      // VERDICT r11 item 1's 'Done' metric: rounds-to-merges at scale —
+      // batched (skip-accept) vs sequential for the SAME merge budget.
+      // Jobs per round are identical in shape (one vocab-grain count +
+      // one checkpoint), so rounds IS the scheduler-round-trip count.
+      import functions.TextQueries._
+      val vocab = vocabOf(Tables.documents(spark, d)).localCheckpoint(true)
+      println(s"vocab rows=${vocab.count()}")
+      for (top <- Seq(8, 16)) {
+        val t0 = System.nanoTime()
+        val batched = bpeMergeListBatched(vocab, rounds = 8, top = top,
+          scan = 4 * top, strict = false)
+        val rounds = if (batched.isEmpty) 0L else batched.map(_._2).max
+        println(f"batched top=$top%2d: merges=${batched.size}%3d rounds=$rounds%3d " +
+          f"ratio=${batched.size.toDouble / math.max(1L, rounds)}%.1f " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        val t1 = System.nanoTime()
+        val seqM = bpeMergeList(vocab, batched.size)
+        println(f"sequential    : merges=${seqM.size}%3d rounds=${seqM.size}%3d " +
+          f"ratio=1.0 wall=${(System.nanoTime() - t1) / 1e9}%6.1f s")
+        System.gc()
+      }
+      spark.stop(); return
+    }
     if (args.contains("d4")) {
       time("warm docs")(Tables.documents(spark, d).count())
       time("pairs (memo build)")(operators.Dedup.lshPairsCached(spark, d).count())

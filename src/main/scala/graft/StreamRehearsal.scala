@@ -167,6 +167,81 @@ object StreamRehearsal {
     report("hourlyAgg", q4)
     val hours = spark.read.parquet(s"$workDir/hourly").count()
     println(s"[hourlyAgg] TOTAL closed windows=$hours")
+
+    // ---- 5. sessionizer: custom flatMapGroupsWithState loop -----------
+    // documented bound: state rows = users with an OPEN session; idle
+    // users age out on event-time timeout (gap past the watermark), so
+    // state tracks concurrent activity, never accumulated history
+    val q5 = streaming.EventStream.streamingSessions(eventsStream())
+      .toDF.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/_ckpt_sess")
+      .format("parquet").option("path", s"$workDir/sessions")
+      .start()
+    q5.awaitTermination()
+    report("sessions", q5)
+    val sess = spark.read.parquet(s"$workDir/sessions")
+    val users = spark.read.parquet(evLanding.toString)
+      .select(col("user_id")).distinct().count()
+    println(s"[sessions] TOTAL closed sessions=${sess.count()} " +
+      s"distinct users=$users (state ≤ users with an open session)")
+
+    // ---- 6. stream-stream interval join (attribution) -----------------
+    // documented bound: each side buffers only rows the other side's
+    // watermark can still reach — rate × 1 h horizon, independent of
+    // stream length
+    val q6 = streaming.EventStream.streamAttribution(eventsStream())
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/_ckpt_attr")
+      .format("parquet").option("path", s"$workDir/attributed")
+      .start()
+    q6.awaitTermination()
+    report("attribution", q6)
+    println(s"[attribution] TOTAL attributed pairs=" +
+      s"${spark.read.parquet(s"$workDir/attributed").count()}")
+
+    // ---- 7. trailing-hour features: per-second totals state -----------
+    // documented bound: per-user seconds within the trailing horizon
+    // (rate × horizon); watermark prunes seconds no future event sees
+    val q7 = streaming.EventStream.streamingTrailingHour(eventsStream())
+      .toDF.writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/_ckpt_trail")
+      .format("parquet").option("path", s"$workDir/trailing")
+      .start()
+    q7.awaitTermination()
+    report("trailingHour", q7)
+    val evsN = spark.read.parquet(evLanding.toString).count()
+    println(s"[trailingHour] TOTAL feature rows=" +
+      s"${spark.read.parquet(s"$workDir/trailing").count()} (events=$evsN)")
+
+    // ---- 8. heavy hitters: space-saving counters, cap-bounded state ----
+    // documented bound: buckets × cap counters FOREVER, independent of
+    // stream length; total counter mass == items seen (the space-saving
+    // conservation law, checked here on the final store)
+    val q8 = streaming.EventStream.streamingHeavyHitters(eventsStream())
+      .toDF.writeStream.outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$workDir/_ckpt_hh")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.write.mode("overwrite").parquet(s"$workDir/hh/batch=$id")
+      }
+      .start()
+    q8.awaitTermination()
+    report("heavyHitters", q8)
+    // final counters per bucket = its row in the LAST batch that touched it
+    val hh = spark.read.option("basePath", s"$workDir/hh")
+      .parquet(s"$workDir/hh/batch=*")
+    val lastPer = hh.groupBy(col("bucket"))
+      .agg(max(col("batch")).as("batch"))
+    val finalHh = hh.join(lastPer, Seq("bucket", "batch"))
+    val mass = finalHh
+      .select(explode(col("counts")).as("c")).agg(sum(col("c"))).head().getLong(0)
+    val maxCounters = finalHh
+      .select(size(col("counts")).as("n")).agg(max(col("n"))).head().getInt(0)
+    println(s"[heavyHitters] TOTAL counter mass=$mass (events=$evsN) " +
+      s"buckets=${finalHh.count()} maxCountersPerBucket=$maxCounters (cap=32)")
     spark.stop()
   }
 }

@@ -52,7 +52,11 @@ object Probe {
         .select(col("q_id"), col("neighbor_id")).localCheckpoint(true)
       val total = exact.count()
       val n = operators.Similarity.corpusN(spark, d)
-      val depth = operators.Similarity.pqTopTrainedFor(n)
+      // optional d<NUM> arg overrides the re-rank depth (the displacement
+      // control: with depth >= candidates the ADC cut is a no-op and
+      // recall must be monotone in nprobe — candidate supersets)
+      val depth = args.find(_.matches("d\\d+")).map(_.drop(1).toLong)
+        .getOrElse(operators.Similarity.pqTopTrainedFor(n))
       Memo.drainBuilds().foreach { case (t, sec) =>
         println(f"  build $t $sec%.1f s (pre-sweep)") }
       for (np <- Seq(8, 12, 16, 24)) {

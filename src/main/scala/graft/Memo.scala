@@ -107,4 +107,36 @@ object Memo {
       if (prev != null) prev else built
     }
   }
+
+  /** [[cached]] for INDEX-SIZED cores: materialize as compressed parquet
+    * in a session-scoped scratch dir instead of a serialized RDD
+    * checkpoint. A localCheckpoint stores deserialized-then-serialized
+    * rows with no columnar encoding — the sf100 trigram postings
+    * (~1.5 B (gram, doc_id) rows) ENOSPC'd the box at ~30 GB where
+    * parquet's dictionary + RLE holds the same relation in a few GB —
+    * and parquet IS the artifact a production build persists anyway (the
+    * bucketed-layout story BucketingSpec drives). Session-scoped path,
+    * so staleness across code changes is impossible (same lifetime as a
+    * checkpoint); same (session, dir, tag, mtime) keying, same build
+    * attribution. */
+  def cachedParquet(s: SparkSession, dir: String, tag: String,
+                    srcFile: String)(build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val fp = new java.io.File(s"$dir/$srcFile").lastModified
+    val key = (s, dir, tag, fp)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = timedBuild(tag) {
+        val path = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-memo-${s.sparkContext.applicationId}",
+          s"${tag}_$fp").toString
+        build.write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      }
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
 }

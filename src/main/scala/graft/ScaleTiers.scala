@@ -21,9 +21,16 @@ import org.apache.spark.sql.SparkSession
   * has its twin registered AND oracle-gated, so the tag can never orphan. */
 object ScaleTiers {
 
-  /** exact-groundtruth query → its bounded (capped) production twin. */
+  /** exact-groundtruth query → its bounded (capped) production twin.
+    * d2 joined the tier in round 12 when the FIRST full-suite sf100 run
+    * ENOSPC'd on it — the raw LSH pair relation is the same answer-bound
+    * output d4/d10 verify (2.5 B pairs under the replica cliques), and it
+    * had stayed untagged only because no earlier sf100 run reached it. */
   val exactGroundtruth: Map[String, String] = Map(
+    "d2_minhash_lsh" -> "d2b_minhash_lsh_capped",
     "d4_ngram_jaccard" -> "d4b_ngram_jaccard_capped",
+    "d7_embedding_clusters" -> "d7b_embedding_clusters_grouped",
+    "d8_simhash_clusters" -> "d8b_simhash_clusters_grouped",
     "d10_edit_verify" -> "d10b_edit_verify_capped",
     "px17_containment" -> "px17b_containment_capped",
     "px22_eval_scrub" -> "px22b_eval_scrub_capped")

@@ -300,9 +300,13 @@ object Retrieval {
             i => col("text").substr(i, lit(3))))).as("gram"))
 
   /** The corpus postings as a memoized shared core (the lsh_pairs /
-    * cell_asg contract — build once, probe many). */
+    * cell_asg contract — build once, probe many). Parquet-backed
+    * (Memo.cachedParquet): this is the biggest index in the suite
+    * (~300 (gram, doc_id) rows per doc — 1.5 B at sf100), and a
+    * serialized-row checkpoint of it ENOSPC'd the first full sf100 run
+    * where columnar dictionary+RLE holds it in a few GB. */
   private[graft] def trigramPostingsFor(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, d, "tri_postings", "documents.parquet")(
+    graft.Memo.cachedParquet(s, d, "tri_postings", "documents.parquet")(
       trigramPostings(Tables.documents(s, d)))
 
   /** Admit a batch of new documents into a stored postings relation:

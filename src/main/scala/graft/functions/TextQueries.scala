@@ -1181,9 +1181,11 @@ object TextQueries {
       .select(col("tok"), col("doc_id"), col("pos"))
 
   /** The corpus positional postings as a memoized shared core (the
-    * tri_postings contract — build once, probe many). */
+    * tri_postings contract — build once, probe many; parquet-backed like
+    * tri_postings — token-grain relations are index-sized and columnar
+    * encoding beats a serialized-row checkpoint ~5–10×). */
   private[graft] def positionalPostingsFor(s: SparkSession, d: String): DataFrame =
-    graft.Memo.cached(s, d, "pos_postings", "documents.parquet")(
+    graft.Memo.cachedParquet(s, d, "pos_postings", "documents.parquet")(
       positionalPostings(Tables.documents(s, d)))
 
   /** Admit a batch of new documents into a stored positional postings

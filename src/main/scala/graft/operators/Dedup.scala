@@ -219,6 +219,23 @@ object Dedup {
   private val d2: Q = (s, d) =>
     lshPairsCached(s, d).orderBy(col("d1"), col("d2"))
 
+  /** D2B — the BUCKET-CAPPED LSH candidate pair relation: d2 through
+    * [[lshPairsCapped]], the production-scale twin of the raw pair set.
+    * Found the honest way (round 12): the FIRST full-suite sf100 bench
+    * run hit d2 itself with ENOSPC mid-shuffle — its output is the same
+    * answer-bound 2.5 B-pair relation d4/d10 verify, and those were
+    * tier-tagged in r11 while the pair relation they read stayed
+    * untagged because no prior sf100 run reached it (the TOP10 subset
+    * skipped the d-family). Under organic duplication no bucket nears
+    * the cap, so d2b ≡ d2 column-for-column (spec law + the oracle gate);
+    * under mass replication the over-cap cliques' pairs are summarized
+    * by d6/d8 at linear cost. */
+  private val d2b: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
+    lshPairsCapped(bandsFromHs(docHashedShingles(s, d)), LshBucketCap)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** INCREMENTAL dedup — admit a new ingest batch against a persisted LSH
     * band index WITHOUT rescanning the corpus. `state` is a band frame
     * ([[bandSignatures]] rows, typically read back from parquet); `batch`
@@ -421,8 +438,10 @@ object Dedup {
     * the ANSWER itself is quadratic (most within-cluster pairs qualify —
     * same output-bound class as j13); no blocking scheme changes that,
     * only the candidate-generation cost, which this one bounds. */
-  private val d5: Q = (s, d) => {
-    val v = Similarity.scaledAssigned(s, d)
+  /** d5's cell-blocked threshold pairing over any assigned frame
+    * (vec_id, v, norm, cell_id) — factored so d7b can run the SAME
+    * pairing over distinct-vector representatives only. */
+  private[graft] def d5PairsOver(v: DataFrame): DataFrame = {
     val a = v.as("a"); val b = v.as("b")
     a.join(b, col("a.cell_id") === col("b.cell_id") && col("a.vec_id") < col("b.vec_id"))
       .select(
@@ -430,8 +449,10 @@ object Dedup {
         round(dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4)
           .as("cos"))
       .filter(col("cos") >= 0.35)
-      .orderBy(col("v1"), col("v2"))
   }
+
+  private val d5: Q = (s, d) =>
+    d5PairsOver(Similarity.scaledAssigned(s, d)).orderBy(col("v1"), col("v2"))
 
   /** Connected components by alternating LARGE-STAR/SMALL-STAR rounds
     * (the MapReduce CC algorithm of Kiveris et al., "Connected Components
@@ -544,6 +565,53 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** D7B — embedding clustering with EXACT-DUPLICATE COLLAPSE: the
+    * production twin of d7, found the honest way (round 12's first
+    * full-suite sf100 run ENOSPC'd d7 — its edge set is d5's pair
+    * relation, which is answer-bound quadratic under the replica cliques:
+    * every pair of identical copies passes the threshold). The collapse
+    * is EXACTLY closure-preserving, not an approximation:
+    *
+    *   1. group bitwise-identical vectors (one vector-grain groupBy;
+    *      gid = min vec_id) and star-connect each group through gid —
+    *      identical vectors have cosine 1 ≥ t and identical cell
+    *      assignments, so every star edge IS a d5 edge;
+    *   2. run d5's cell-blocked pairing over the gid REPRESENTATIVES
+    *      only — for any dropped cross-group edge (a, b),
+    *      cos(rep_a, rep_b) = cos(a, b) ≥ t and the reps share a's/b's
+    *      cells (assignment is a function of the vector), so the rep
+    *      edge exists and a —star→ rep_a — rep_b ←star— b reconnects it.
+    *
+    * Hence the transitive closure — the only thing clustering reads —
+    * equals d7's EXACTLY, on any input (spec law + the shared oracle),
+    * while pair work drops from Σ group² to distinct-vector pairs:
+    * the sf100 cliques collapse 1000× before any self-join. Organic
+    * corpora (no exact dups) pass through unchanged. */
+  /** d7b's collapsed edge set over any assigned frame — exposed so the
+    * closure-equivalence law can drive planted replica frames. */
+  private[graft] def d7bEdges(asg: DataFrame): DataFrame = {
+    val gid = asg.groupBy(col("v")).agg(min(col("vec_id")).as("gid"))
+    val withG = asg.join(gid, Seq("v"))
+    val star = withG.filter(col("vec_id") =!= col("gid"))
+      .select(col("gid").as("x"), col("vec_id").as("y"))
+    val reps = withG.filter(col("vec_id") === col("gid"))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell_id"))
+    star.unionByName(
+      d5PairsOver(reps).select(col("v1").as("x"), col("v2").as("y")))
+  }
+
+  private val d7b: Q = (s, d) => {
+    val labels = cachedLabels(s, d, "emb_grouped", "embeddings.parquet")(
+      d7bEdges(Similarity.scaledAssigned(s, d)))
+      .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** 32-bit SimHash over DISTINCT SHINGLES — d3's digit-vote rule extended
     * to all 32 md5 hex positions, but voting on shingles, not tokens:
     * token votes are dominated by the shared vocabulary, so unrelated
@@ -613,6 +681,40 @@ object Dedup {
   private val d8: Q = (s, d) => {
     val labels = cachedLabels(s, d, "simhash", "documents.parquet")(
       d8Pairs(s, d).select(col("d1").as("x"), col("d2").as("y")))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d8b's collapsed edge set over a (doc_id, sh) signature frame — the
+    * d7b trick at signature grain. Identical signatures are hamming-0
+    * pairs sharing every band (so every within-group star edge IS a d8
+    * edge), and a dropped cross-group pair's representatives carry the
+    * SAME two signatures — same shared band, same hamming — so the rep
+    * pair survives and reconnects it: closure ≡ d8's on any input. */
+  private[graft] def d8bEdges(sh: DataFrame): DataFrame = {
+    val gid = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("gid"))
+    val withG = sh.join(gid, Seq("sh"))
+    val star = withG.filter(col("doc_id") =!= col("gid"))
+      .select(col("gid").as("x"), col("doc_id").as("y"))
+    val reps = withG.filter(col("doc_id") === col("gid"))
+      .select(col("doc_id"), col("sh"))
+    star.unionByName(d8PairsFrom(simBands(reps))
+      .select(col("d1").as("x"), col("d2").as("y")))
+  }
+
+  /** D8B — SimHash clustering with EXACT-SIGNATURE COLLAPSE: d8's
+    * production twin (round 12: the first full-suite sf100 run ENOSPC'd
+    * d8 — the replica cliques put 1000 identical signatures in every
+    * band bucket, Σ bucket² pairs before the verify). Same closure,
+    * provably (see [[d8bEdges]]), pair work at distinct-signature grain:
+    * the cliques collapse 1000× before the band self-join. */
+  private val d8b: Q = (s, d) => {
+    val labels = cachedLabels(s, d, "simhash_grouped", "documents.parquet")(
+      d8bEdges(simhashFrame(s, d).localCheckpoint(true)))
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1268,6 +1370,7 @@ object Dedup {
     "px14b_span_scrub_6" -> px14b,
     "d1_exact_dedup" -> d1,
     "d2_minhash_lsh" -> d2,
+    "d2b_minhash_lsh_capped" -> d2b,
     "d9_incremental_dedup" -> d9,
     "d10_edit_verify" -> d10,
     "d10b_edit_verify_capped" -> d10b,
@@ -1277,7 +1380,9 @@ object Dedup {
     "d5_embedding_neardup" -> d5,
     "d6_neardup_clusters" -> d6,
     "d7_embedding_clusters" -> d7,
+    "d7b_embedding_clusters_grouped" -> d7b,
     "d8_simhash_clusters" -> d8,
+    "d8b_simhash_clusters_grouped" -> d8b,
     "px4_decontaminate" -> px4,
     "px22_eval_scrub" -> px22,
     "px22b_eval_scrub_capped" -> px22b,
@@ -1378,7 +1483,8 @@ object Dedup {
   /** Declared statically so callers can skip generation (which trains the
     * codebook) when a subset run doesn't need these keys. */
   val dynamicOracleKeys: Set[String] =
-    Set("d5_embedding_neardup", "d7_embedding_clusters")
+    Set("d5_embedding_neardup", "d7_embedding_clusters",
+      "d7b_embedding_clusters_grouped")
 
   /** Oracles that EMBED data-derived literals (the trained blocking
     * codebook) — generated against the actual dir at Verify dump time
@@ -1388,19 +1494,25 @@ object Dedup {
     // same oracle-tractability bound as d6: the recursive closure is
     // O(family²) on the testdata's small duplicate families; the Spark
     // side never materializes a closure at any scale
-    "d7_embedding_clusters" ->
-      s"""WITH RECURSIVE p AS (SELECT v1, v2 FROM (${d5PairSqlFor(s, d)})),
-         | edges AS (SELECT v1 AS x, v2 AS y FROM p UNION SELECT v2, v1 FROM p),
-         | reach(x, y) AS (
-         |   SELECT x, y FROM edges
-         |   UNION
-         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         | lab AS (SELECT em.vec_id,
-         |     least(em.vec_id, coalesce(min(r.y), em.vec_id)) AS cluster_id
-         |   FROM embeddings em LEFT JOIN reach r ON r.x = em.vec_id
-         |   GROUP BY em.vec_id)
-         | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
-         | FROM lab ORDER BY vec_id""".stripMargin)
+    "d7_embedding_clusters" -> d7ClosureSqlFor(s, d),
+    // d7b's output is PROVABLY identical to d7's (the exact-duplicate
+    // collapse is closure-preserving — see d7b's scaladoc), so one oracle
+    // text holds both gates to one truth (the tx13c convention)
+    "d7b_embedding_clusters_grouped" -> d7ClosureSqlFor(s, d))
+
+  private def d7ClosureSqlFor(s: SparkSession, d: String): String =
+    s"""WITH RECURSIVE p AS (SELECT v1, v2 FROM (${d5PairSqlFor(s, d)})),
+       | edges AS (SELECT v1 AS x, v2 AS y FROM p UNION SELECT v2, v1 FROM p),
+       | reach(x, y) AS (
+       |   SELECT x, y FROM edges
+       |   UNION
+       |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+       | lab AS (SELECT em.vec_id,
+       |     least(em.vec_id, coalesce(min(r.y), em.vec_id)) AS cluster_id
+       |   FROM embeddings em LEFT JOIN reach r ON r.x = em.vec_id
+       |   GROUP BY em.vec_id)
+       | SELECT vec_id, cluster_id, vec_id = cluster_id AS is_canonical
+       | FROM lab ORDER BY vec_id""".stripMargin
 
   /** d4's exact-Jaccard SQL over any candidate CTE chain exposing `cand`
     * — d4 and d4b share this tail verbatim, so the two gates can differ
@@ -1441,12 +1553,41 @@ object Dedup {
        |     AS is_near_dup
        | FROM p ORDER BY d1, d2""".stripMargin
 
+  private lazy val d8ClosureSql: String = {
+      val sh32 = (1 to 32).map { p =>
+        s"(CASE WHEN list_sum(list_transform(shingles, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH RECURSIVE
+         | sh AS (SELECT doc_id, $sh32 AS sh FROM ($docShinglesSql)),
+         | bands AS (SELECT doc_id, sh, b.band_idx,
+         |     (sh >> (b.band_idx * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS bv
+         |   FROM sh, (SELECT unnest(range($SimBands)) AS band_idx) b),
+         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS s1, b.sh AS s2
+         |   FROM bands a JOIN bands b
+         |   ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         | p AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= $SimHamMax),
+         | edges AS (SELECT d1 AS x, d2 AS y FROM p UNION SELECT d2, d1 FROM p),
+         | reach(x, y) AS (
+         |   SELECT x, y FROM edges
+         |   UNION
+         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+         | lab AS (SELECT d.doc_id,
+         |     least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
+         |   FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+         |   GROUP BY d.doc_id)
+         | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
+         | FROM lab ORDER BY doc_id""".stripMargin
+      }
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
         | FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "d2_minhash_lsh" ->
       s"""WITH $candSql
+         | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
+    "d2b_minhash_lsh_capped" ->
+      s"""WITH ${candSqlCapped(LshBucketCap)}
          | SELECT d1, d2 FROM cand ORDER BY d1, d2""".stripMargin,
     "d10_edit_verify" -> editVerifySqlOver(candSql),
     "d10b_edit_verify_capped" -> editVerifySqlOver(candSqlCapped(LshBucketCap)),
@@ -1488,31 +1629,11 @@ object Dedup {
          | FROM lab ORDER BY doc_id""".stripMargin,
     // same closure-oracle tractability bound as d6 (d7's closure oracle is
     // dir-dependent — see dynamicOracles)
-    "d8_simhash_clusters" -> {
-      val sh32 = (1 to 32).map { p =>
-        s"(CASE WHEN list_sum(list_transform(shingles, t -> CASE WHEN substr(md5(t), $p, 1) >= '8' THEN 1 ELSE -1 END)) > 0 THEN ${1L << (p - 1)} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH RECURSIVE
-         | sh AS (SELECT doc_id, $sh32 AS sh FROM ($docShinglesSql)),
-         | bands AS (SELECT doc_id, sh, b.band_idx,
-         |     (sh >> (b.band_idx * $SimBandBits)) & ${(1 << SimBandBits) - 1} AS bv
-         |   FROM sh, (SELECT unnest(range($SimBands)) AS band_idx) b),
-         | cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sh AS s1, b.sh AS s2
-         |   FROM bands a JOIN bands b
-         |   ON a.band_idx = b.band_idx AND a.bv = b.bv AND a.doc_id < b.doc_id),
-         | p AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= $SimHamMax),
-         | edges AS (SELECT d1 AS x, d2 AS y FROM p UNION SELECT d2, d1 FROM p),
-         | reach(x, y) AS (
-         |   SELECT x, y FROM edges
-         |   UNION
-         |   SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
-         | lab AS (SELECT d.doc_id,
-         |     least(d.doc_id, coalesce(min(r.y), d.doc_id)) AS cluster_id
-         |   FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
-         |   GROUP BY d.doc_id)
-         | SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical
-         | FROM lab ORDER BY doc_id""".stripMargin
-    },
+    "d8_simhash_clusters" -> d8ClosureSql,
+    // d8b's output is PROVABLY identical to d8's (exact-signature
+    // collapse is closure-preserving — see d8bEdges), so one oracle text
+    // holds both gates to one truth (the d7b/tx13c convention)
+    "d8b_simhash_clusters_grouped" -> d8ClosureSql,
     "px4_decontaminate" ->
       s"""WITH ds AS ($docShinglesSql),
          | test AS (SELECT doc_id, shingles FROM ds WHERE doc_id % 10 = 7),

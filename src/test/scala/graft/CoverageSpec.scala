@@ -11,7 +11,12 @@ class CoverageSpec extends SparkSpec {
     // the registry and the oracle gate — and the tagged exact form itself
     // must stay registered (it is the ground truth the twin's laws check)
     val qs = SparkEntry.queries.keySet
-    val os = SparkEntry.oracleSql.keySet
+    // dynamic (dir-dependent) oracles count: they reach the same Verify
+    // gate via oracleSqlFor — their key sets are declared statically so
+    // this check doesn't have to train a codebook to see them (d7b)
+    val os = SparkEntry.oracleSql.keySet ++
+      operators.Dedup.dynamicOracleKeys ++
+      operators.Similarity.dynamicOracleKeys
     ScaleTiers.exactGroundtruth.foreach { case (exact, twin) =>
       assert(qs.contains(exact), s"tagged exact form $exact not registered")
       assert(qs.contains(twin), s"$exact's capped twin $twin not registered")

@@ -175,6 +175,88 @@ class DedupSpec extends SparkSpec {
     capped.unpersist()
   }
 
+  test("d2b equals d2 under organic duplication (cap binds nothing here)") {
+    // the pair RELATION itself gets the d4b/d10b law: round 12's first
+    // full-suite sf100 run ENOSPC'd on d2 — the raw pair set is the same
+    // answer-bound output its verifiers were already tier-tagged for
+    val full = q("d2_minhash_lsh")
+    val capped = q("d2b_minhash_lsh_capped")
+    assert(full.except(capped).isEmpty && capped.except(full).isEmpty)
+    assert(capped.count() > 0L)
+  }
+
+  test("d2b drops a planted mega-clique's pairs but keeps the organic pair") {
+    val sp = spark; import sp.implicits._
+    val cap = operators.Dedup.LshBucketCap
+    val cliqueN = (cap + 6).toInt
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val org = (1 to 40).map(i => s"org$i").mkString(" ")
+    val docs = ((1 to cliqueN).map(i => (i.toLong, base)) ++
+      Seq((9001L, org), (9002L, org.replace("org7 ", "org7x "))))
+      .toDF("doc_id", "text")
+    val bands = operators.Dedup.bandSignatures(docs)
+    val capped = operators.Dedup.lshPairsCapped(bands, cap)
+    assert(capped.filter(col("d1") <= cliqueN && col("d2") <= cliqueN).isEmpty)
+    assert(capped.filter(col("d1") === 9001L && col("d2") === 9002L)
+      .count() === 1L)
+  }
+
+  test("d7b equals d7 on the gate corpus (exact-duplicate collapse is closure-preserving)") {
+    val full = q("d7_embedding_clusters")
+    val grouped = q("d7b_embedding_clusters_grouped")
+    assert(full.except(grouped).isEmpty && grouped.except(full).isEmpty)
+  }
+
+  test("d7b edge collapse preserves components on planted replica cliques") {
+    val sp = spark; import sp.implicits._
+    graft.GraftExtensions.ensure(sp)
+    // two replica groups (identical vectors — the sf100 clique shape), an
+    // organic neighbor that links to group A only through cosine, and an
+    // isolated opposite-direction vector sharing A's cell
+    def row(id: Long, v: Seq[Double], cell: Long) =
+      (id, v, math.sqrt(v.map(x => x * x).sum), cell)
+    val a = Seq(1.0, 0.0); val near = Seq(0.9, 0.1); val b = Seq(0.0, 1.0)
+    val asg = Seq(
+      row(1L, a, 0L), row(2L, a, 0L), row(3L, a, 0L),
+      row(4L, near, 0L),
+      row(10L, b, 1L), row(11L, b, 1L),
+      row(20L, Seq(-1.0, 0.0), 0L))
+      .toDF("vec_id", "v", "norm", "cell_id")
+    def labelsOf(edges: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = labelsOf(operators.Dedup.d5PairsOver(asg)
+      .select(col("v1").as("x"), col("v2").as("y")))
+    val collapsed = labelsOf(operators.Dedup.d7bEdges(asg))
+    assert(direct === collapsed)
+    // and the collapse actually fired: {1,2,3,4} one component via reps,
+    // {10,11} another, 20 isolated (negative cosine)
+    assert(collapsed === Set((2L, 1L), (3L, 1L), (4L, 1L), (11L, 10L)))
+  }
+
+  test("d8b equals d8 on the gate corpus (exact-signature collapse is closure-preserving)") {
+    val full = q("d8_simhash_clusters")
+    val grouped = q("d8b_simhash_clusters_grouped")
+    assert(full.except(grouped).isEmpty && grouped.except(full).isEmpty)
+  }
+
+  test("d8b edge collapse preserves components on planted signature cliques") {
+    val sp = spark; import sp.implicits._
+    // signature groups: three docs at sh=5, two at sh=7 (hamming(5,7)=1
+    // ≤ 3 and they share bands 1-3 → cross-group rep edge), one far away
+    // (hamming(5, 5<<9) way over the verify bound; band 0 values differ)
+    val sh = Seq((1L, 5L), (2L, 5L), (3L, 5L), (10L, 7L), (11L, 7L),
+      (20L, 5L << 9)).toDF("doc_id", "sh")
+    def labelsOf(edges: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = labelsOf(operators.Dedup.d8PairsFrom(
+      operators.Dedup.simBands(sh)).select(col("d1").as("x"), col("d2").as("y")))
+    val collapsed = labelsOf(operators.Dedup.d8bEdges(sh))
+    assert(direct === collapsed)
+    assert(collapsed === Set((2L, 1L), (3L, 1L), (10L, 1L), (11L, 1L)))
+  }
+
   test("lsh star edges yield exactly the clique pairs' connected components") {
     val sp = spark; import sp.implicits._
     def componentsEqual(bands: org.apache.spark.sql.DataFrame): Unit = {

@@ -128,15 +128,48 @@ object Memo {
     if (hit != null) hit
     else {
       val built = timedBuild(tag) {
+        // The scratch path carries EVERY cache-key component that varies
+        // within a session: tag, DATA DIR (hashed — two scale dirs used in
+        // one session share tags, and dirs generated together share
+        // mtimes; omitting the dir made the second build overwrite the
+        // parquet backing the first's still-cached DataFrame, ADVICE r12),
+        // and source mtime.
+        val dirHash = java.lang.Integer.toHexString(dir.hashCode)
         val path = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
           s"graft-memo-${s.sparkContext.applicationId}",
-          s"${tag}_$fp").toString
-        build.write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
+          s"${tag}_${dirHash}_$fp")
+        // Build into a unique temp dir and atomically rename: two threads
+        // racing the first call would otherwise both write THE SAME final
+        // path with mode=overwrite, and the loser's overwrite races the
+        // winner's readers (ADVICE r12 — computeIfAbsent is not an option
+        // here, cores compose and re-enter this map). rename(2) of a
+        // directory fails if the target exists, so exactly one build
+        // lands; the loser discards its files and reads the winner's.
+        val tmp = java.nio.file.Paths.get(
+          path.toString + "_tmp_" + java.util.UUID.randomUUID().toString)
+        build.write.mode("overwrite").parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case e: java.nio.file.FileSystemException =>
+            // rename refused. If the target exists we lost the race (or a
+            // prior run of this app left it) — it is a COMPLETE index for
+            // this exact (tag, dirHash, mtime) key, so drop ours and read
+            // theirs; anything else is a real failure and must surface.
+            if (!java.nio.file.Files.exists(path)) throw e
+            deleteRecursively(tmp.toFile)
+        }
+        s.read.parquet(path.toString)
       }
       val prev = cache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 }

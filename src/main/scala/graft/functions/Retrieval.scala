@@ -318,9 +318,14 @@ object Retrieval {
 
   /** TX16C — substring search AGAINST THE POSTINGS INDEX: candidacy is
     * "the doc appears in EVERY needle gram's postings list", computed as
-    * one doc-grain count over only the probed lists — postings are
-    * distinct per (gram, doc), so a doc with count = |grams| contains all
-    * of them. This is the rarest-first semi-join chain COLLAPSED into one
+    * one doc-grain count over only the probed lists. A freshly-built index
+    * is distinct per (gram, doc), but an index that has ADMITTED batches
+    * can carry duplicate (gram, doc) rows ([[appendPostings]] never
+    * re-distincts the union), so candidacy uses count ≥ |grams| — a
+    * superset of the exact-intersection set on any admitted index, equal
+    * to it on a fresh one — and the exact n_occurrences verify below
+    * restores exactness either way (containment was never sufficient to
+    * begin with). This is the rarest-first semi-join chain COLLAPSED into one
     * aggregation: the chain would shuffle k times to intersect k lists;
     * the count shuffles once, over Σ df(g) rows (the probed lists
     * themselves, never the corpus — and never any document bytes).

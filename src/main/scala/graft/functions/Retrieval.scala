@@ -58,13 +58,23 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // score = idf · tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl) with
-    // avgdl = T/N; multiplying through by 10T makes every factor integer:
-    //   num = (2(N−df)+1) · 22·tf·T
-    //   den = (2df+1) · (10·tf·T + 3T + 9·dl·N)
-    // Caller factors stay in int64 (ANSI raises loudly past ~10^18 —
-    // ExactRatio's documented contract); at that corpus size reduce T, N
-    // by their gcd upstream.
+    bm25Score(tf, dfreq, stats)
+  }
+
+  /** The shared BM25 scoring tail (the d4b shared-tail convention): the
+    * fused form and the postings probe ([[bm25Probe]]) differ ONLY in
+    * where the matched (doc_id, dl, term, tf) rows and the corpus stats
+    * come from, so the two gated forms cannot drift in the arithmetic.
+    *
+    * score = idf · tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl) with
+    * avgdl = T/N; multiplying through by 10T makes every factor integer:
+    *   num = (2(N−df)+1) · 22·tf·T
+    *   den = (2df+1) · (10·tf·T + 3T + 9·dl·N)
+    * Caller factors stay in int64 (ANSI raises loudly past ~10^18 —
+    * ExactRatio's documented contract); at that corpus size reduce T, N
+    * by their gcd upstream. */
+  private def bm25Score(tf: DataFrame, dfreq: DataFrame,
+                        stats: DataFrame): DataFrame = {
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -80,6 +90,79 @@ object Retrieval {
       .orderBy(col("bm25_milli").desc, col("doc_id"))
       .limit(TopDocs)
   }
+
+  /** The BM25 TERM-POSTINGS relation (term, doc_id, tf, dl) — the
+    * persisted inverted index behind tx8c, completing the serving-index
+    * family (substring → tx16c gram postings, phrase → tx13c positional
+    * postings, ANN → IVF/PQ codes; ranked retrieval was the one probe
+    * family still re-deriving its index per query). tf is the within-doc
+    * term count; dl rides along so the probe never joins back to the
+    * corpus — BM25's per-doc factor needs only (tf, dl) plus broadcast
+    * corpus stats. Building is one tokenize pass + one (term, doc) count —
+    * per-doc facts only, no cross-doc state, which is what makes the admit
+    * ([[admitBm25]]) a plain union. */
+  private[graft] def bm25TermPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.toks(col("text")).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Doc-length sidecar (doc_id, dl): corpus stats (N = count, ΣT = sum)
+    * must range over EVERY document — including those matching no probe
+    * term — so they cannot come from the probed postings slices. One row
+    * per doc; at 100 TB this is the doc-dimension relation, 5–6 orders
+    * smaller than the postings. */
+  private[graft] def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(TextOps.toks(col("text"))).cast("long").as("dl"))
+
+  /** The corpus BM25 index as memoized shared cores (the tri_postings /
+    * pos_postings contract — build once, probe many). The postings are
+    * parquet-backed (term-grain, the big relation); the doc-length sidecar
+    * is a checkpoint (doc-grain, small). */
+  private[graft] def bm25PostingsFor(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cachedParquet(s, d, "bm25_postings", "documents.parquet")(
+      bm25TermPostings(Tables.documents(s, d)))
+  private[graft] def docLengthsFor(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "doc_lens", "documents.parquet")(
+      docLengths(Tables.documents(s, d)))
+
+  /** Admit a batch of NEW documents into a stored (postings, lengths)
+    * index pair: tokenize + count the BATCH only, union both relations —
+    * no rebuild, incremental ≡ one-shot as a set identity (spec law).
+    * Precondition (the d9/appendPostings convention): batch doc_ids are
+    * disjoint from the stored ones — tf, dl, and the probe-time df are
+    * per-doc facts keyed by doc_id, so re-admitting a doc would
+    * double-count them (replace, don't re-admit). */
+  private[graft] def admitBm25(postings: DataFrame, lens: DataFrame,
+                               batch: DataFrame): (DataFrame, DataFrame) =
+    (postings.unionByName(bm25TermPostings(batch)),
+      lens.unionByName(docLengths(batch)))
+
+  /** TX8C — BM25 AGAINST THE POSTINGS INDEX: the probe touches the query
+    * terms' postings lists (bucket-prunable term filter — never the
+    * corpus, never any document bytes), derives per-term df from the
+    * probed lists themselves (one row per (term, doc), so a term-grain
+    * count over Σ df(q) rows IS the document frequency), takes corpus
+    * stats from one doc-grain pass over the length sidecar, and runs the
+    * shared scoring tail. Shuffle shape at 100 TB: the index's term
+    * buckets make the df count exchange-free, leaving ONE doc-grain
+    * aggregation over the matched postings plus the broadcast stats —
+    * identical economics to the fused form's final stage, minus the
+    * corpus tokenize. */
+  private[graft] def bm25Probe(postings: DataFrame, lens: DataFrame,
+                               queryTerms: Seq[String]): DataFrame = {
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tokens"))
+    val tf = postings.filter(col("term").isInCollection(queryTerms))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25Score(tf, dfreq, stats)
+  }
+
+  private def tx8c(queryTerms: Seq[String]): Q = (s, d) =>
+    bm25Probe(bm25PostingsFor(s, d), docLengthsFor(s, d), queryTerms)
 
   /** tx9 geometry. Weights: w(term) = IdfScale ⌊/⌋ df — an integer idf
     * (∝ 1/df; cosine is scale-invariant so the dropped N factor changes
@@ -386,6 +469,8 @@ object Retrieval {
   val queries: Map[String, Q] = Map(
     "tx8_bm25" -> bm25(QueryTerms),
     "tx8_bm25_rare" -> bm25(RareTerms),
+    "tx8c_bm25_postings" -> tx8c(QueryTerms),
+    "tx8c_bm25_postings_rare" -> tx8c(RareTerms),
     "tx9_tfidf_pairs" -> tx9,
     "tx10_keywords" -> tx10,
     "tx16_substring" -> tx16,
@@ -466,6 +551,12 @@ object Retrieval {
   val oracles: Map[String, String] = Map(
     "tx8_bm25" -> bm25Sql(QueryTerms),
     "tx8_bm25_rare" -> bm25Sql(RareTerms),
+    // the postings probe answers the SAME ranked-retrieval question as the
+    // fused form (the tx16c convention): one oracle definition, so the
+    // index path is held to the direct tokenize-and-score answer, not to
+    // its own machinery
+    "tx8c_bm25_postings" -> bm25Sql(QueryTerms),
+    "tx8c_bm25_postings_rare" -> bm25Sql(RareTerms),
     "tx9_tfidf_pairs" -> tx9Sql,
     "tx10_keywords" -> tx10Sql,
     "tx16_substring" -> substringSql(Needle),

@@ -116,6 +116,45 @@ class BucketingSpec extends SparkSpec {
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
   }
 
+  test("tx8c BM25 postings bucketed by term: probe prunes buckets, one doc-grain shuffle") {
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS b_bm25_postings")
+    val whDir = new java.io.File("spark-warehouse/b_bm25_postings")
+    if (whDir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(whDir)
+    }
+    functions.Retrieval.bm25TermPostings(Tables.documents(s, sf)).write
+      .bucketBy(8, "term").sortBy("term")
+      .mode("overwrite").saveAsTable("b_bm25_postings")
+    val prevAuto = s.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = functions.Retrieval.bm25Probe(
+        s.table("b_bm25_postings"),
+        functions.Retrieval.docLengths(Tables.documents(s, sf)),
+        functions.Retrieval.QueryTerms)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the term filter reads bucket slices of the index, never all of it
+      assert(plan.contains("SelectedBucketsCount"),
+        s"probe did not use the bucketed layout:\n$plan")
+      // the bucket layout satisfies the df count's term-grain clustering,
+      // so the only hash exchange is the doc-grain score rollup over the
+      // probed lists; the index itself is never reshuffled on term
+      val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nEx === 1, s"expected exactly one doc-grain shuffle:\n$plan")
+      assert("Exchange hashpartitioning\\(term".r.findAllIn(plan).isEmpty,
+        s"the postings index was reshuffled on term:\n$plan")
+      // and the bucketed probe computes the fused answer, order included
+      val fused = functions.Retrieval
+        .bm25(functions.Retrieval.QueryTerms)(s, sf)
+      assert(probe.collect().toSeq === fused.collect().toSeq)
+    } finally s.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+  }
+
   test("tx13c positional postings bucketed by tok: probe prunes buckets, keyed shuffles only") {
     val s = spark
     s.sql("DROP TABLE IF EXISTS b_pos_postings")

@@ -1498,6 +1498,51 @@ class TextQueriesSpec extends SparkSpec {
     assert(got === Set((1L, "abc"), (1L, "bca"), (1L, "cab"), (3L, "xyz")))
   }
 
+  test("tx8c postings probe equals the fused BM25 for both term sets") {
+    // probe-path equality (the tx16c convention): the persisted-index
+    // read path must answer exactly what the fused tokenize-and-score
+    // form answers — ranks, scores, and tie-breaks included
+    import functions.Retrieval._
+    for (terms <- Seq(QueryTerms, RareTerms)) {
+      val fused = bm25(terms)(spark, sf)
+      val viaIndex = bm25Probe(bm25PostingsFor(spark, sf),
+        docLengthsFor(spark, sf), terms)
+      assert(viaIndex.collect().toSeq === fused.collect().toSeq,
+        s"terms $terms") // ORDERED equality — ranking is part of the answer
+      assert(fused.count() > 0L)
+    }
+  }
+
+  test("tx8c incremental admit equals the one-shot build and probes identically") {
+    import functions.Retrieval._
+    val docs = Tables.documents(spark, sf)
+    val hist = docs.filter(col("doc_id") < 340)
+    val batch = docs.filter(col("doc_id") >= 340)
+    val (incPost, incLens) =
+      admitBm25(bm25TermPostings(hist), docLengths(hist), batch)
+    val onePost = bm25TermPostings(docs)
+    val oneLens = docLengths(docs)
+    // rows are per-doc facts keyed by (term, doc) / doc — set identity
+    assert(incPost.except(onePost).isEmpty && onePost.except(incPost).isEmpty)
+    assert(incLens.except(oneLens).isEmpty && oneLens.except(incLens).isEmpty)
+    // and the incrementally-admitted index serves the fused answer —
+    // df, stats, and scores all recover exactly after the union
+    val out = bm25Probe(incPost, incLens, QueryTerms)
+    assert(out.collect().toSeq === bm25(QueryTerms)(spark, sf).collect().toSeq)
+  }
+
+  test("tx8c postings carry exactly each doc's term counts and length") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val got = functions.Retrieval.bm25TermPostings(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(2)))
+      .toSet
+    assert(got === Set(("a", 1L, 2L, 3L), ("b", 1L, 1L, 3L), ("b", 2L, 1L, 1L)))
+    val lens = functions.Retrieval.docLengths(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lens === Set((1L, 3L), (2L, 1L)))
+  }
+
   test("tx13c postings probe equals the fused phrase search for both phrases") {
     import functions.TextQueries._
     for (phrase <- Seq(Phrase2, Phrase3)) {

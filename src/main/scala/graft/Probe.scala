@@ -104,6 +104,70 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.contains("q")) {
+      // Generic honest-wall mode: time any registered queries by name
+      // (evaluate + GC + build exclusion — the f1/px14 discipline).
+      // Isolated walls compare to other ISOLATED walls only (JIT-warmth
+      // differs from full-run position, SCALE.md r12).
+      Memo.drainBuilds()
+      for (name <- args.drop(args.indexOf("q") + 1)) {
+        val t0 = System.nanoTime()
+        Bench.evaluate(SparkEntry.queries(name)(spark, d))
+        var dt = (System.nanoTime() - t0) / 1e9
+        Memo.drainBuilds().foreach { case (t, sec) =>
+          println(f"  build $t $sec%.1f s (excluded)")
+          dt -= sec
+        }
+        println(f"$name%-26s ${dt}%8.2f s")
+        System.gc()
+      }
+      spark.stop(); return
+    }
+    if (args.contains("px14x")) {
+      // Decomposition A/B (r13): the first px14 rework changed two things
+      // at once — parquet-memo toked AND the row-local interval covSet.
+      // Time the new covSet under (C) a per-query checkpoint and (D) a
+      // SHARED checkpoint, to attribute the px14b movement.
+      import graft.functions.TextOps.toks
+      Memo.drainBuilds()
+      def ckptToked() = Tables.documents(spark, d)
+        .select(col("doc_id"), toks(col("text")).as("tk")).localCheckpoint(true)
+      for (k <- Seq(4, 6)) {
+        val t0 = System.nanoTime()
+        Bench.evaluate(operators.Dedup.spanScrubToked(k)(ckptToked()))
+        println(f"C ckpt-per-query k=$k ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        System.gc()
+      }
+      val tb = System.nanoTime()
+      val shared = ckptToked()
+      println(f"D shared ckpt build ${(System.nanoTime() - tb) / 1e9}%8.2f s")
+      for (k <- Seq(4, 6)) {
+        val t0 = System.nanoTime()
+        Bench.evaluate(operators.Dedup.spanScrubToked(k)(shared))
+        println(f"D shared-ckpt k=$k ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        System.gc()
+      }
+      spark.stop(); return
+    }
+    if (args.contains("px14")) {
+      // r13: px14/px14b are the suite's heaviest pair at sf100 (637 + 601 s
+      // of 5 946 — 21%). Honest walls for both grains, builds excluded,
+      // GC between runs (the f1 probe discipline), so a plan change can be
+      // A/B'd isolated-vs-isolated across builds.
+      Memo.drainBuilds()
+      for (name <- Seq("px14_span_scrub", "px14b_span_scrub_6")) {
+        val t0 = System.nanoTime()
+        Bench.evaluate(SparkEntry.queries(name)(spark, d))
+        var dt = (System.nanoTime() - t0) / 1e9
+        Memo.drainBuilds().foreach { case (t, sec) =>
+          println(f"  build $t $sec%.1f s (excluded)")
+          dt -= sec
+        }
+        println(f"$name%-22s ${dt}%8.2f s")
+        System.gc()
+      }
+      spark.stop(); return
+    }
     if (args.contains("d4")) {
       time("warm docs")(Tables.documents(spark, d).count())
       time("pairs (memo build)")(operators.Dedup.lshPairsCached(spark, d).count())

@@ -950,9 +950,21 @@ object TextQueries {
     * later merges consume earlier merges' symbols), and count the
     * resulting symbols. Per doc: words, characters, and the BPE symbol
     * count — the compression profile a tokenizer team reads (chars/symbol
-    * rises as merges land). One corpus scan + one doc-grain aggregation;
-    * the merges are literals, so the whole encode is codegen'd with no
-    * join and no shuffle beyond the rollup. */
+    * rises as merges land).
+    *
+    * The encode runs at VOCAB grain (r13) — the same trick training
+    * leans on: encode(word) depends on the word alone (merges never cross
+    * word boundaries — '|' wraps every symbol and toks are word chars),
+    * so the R-replace chain runs once per DISTINCT (doc, word) pair's
+    * word, not once per token occurrence. Shape: one map-side-combined
+    * (doc, word) count, one vocab-grain distinct for the encode table
+    * (millions of rows at 100 TB, never the token stream), a join the
+    * optimizer broadcasts (vocab ≪ corpus; on a vocabulary too big to
+    * broadcast the shuffled join keys on the word — still never token
+    * grain on the encode side), one doc-grain rollup. The previous form
+    * ran ~R string replaces per TOKEN OCCURRENCE — 158 s at sf100,
+    * dominated by per-occurrence allocation for work that is a pure
+    * function of the word. */
   private[graft] def bpeEncode(docs: DataFrame,
                                merges: Seq[(Long, String, String, Long)]): DataFrame = {
     val wrapped0 = regexp_replace(col("w"), "(.)", "\\|$1\\|")
@@ -962,12 +974,16 @@ object TextQueries {
     // symbols = half the pipe count (each symbol carries exactly 2 pipes)
     val nSyms = ((length(encoded) -
       length(replace(encoded, lit("|"), lit("")))) / 2).cast("long")
-    docs
+    val perDocWord = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("occ"))
+    val encTable = perDocWord.select(col("w")).distinct()
+      .select(col("w"), nSyms.as("w_syms"))
+    perDocWord.join(encTable, Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w")).cast("long")).as("n_chars"),
-        sum(nSyms).as("n_symbols"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(length(col("w")).cast("long") * col("occ")).as("n_chars"),
+        sum(col("w_syms") * col("occ")).as("n_symbols"))
       .orderBy(col("doc_id"))
   }
 

@@ -1307,12 +1307,29 @@ object Dedup {
   /** The window grain is a REAL parameter (p3/w7 convention): px14 runs
     * the 4-token grain, px14b the coarser 6-token grain — same plan at
     * any k, oracle generated from the same constant. */
-  private[graft] def spanScrubAt(k: Int)(docs: DataFrame): DataFrame = {
+  private[graft] def spanScrubAt(k: Int)(docs: DataFrame): DataFrame =
     // checkpoint-pinned for the same reason as containmentFrom: the token
     // array feeds a Generate (window posexplode) plus two more consumers,
     // and pushed-down filters re-inline the regex tokenizer inside them
-    val toked = docs.select(col("doc_id"), toks(col("text")).as("tk"))
-      .localCheckpoint(true)
+    spanScrubToked(k)(docs.select(col("doc_id"), toks(col("text")).as("tk"))
+      .localCheckpoint(true))
+
+  /** The tokenized corpus (doc_id, tk) as a memoized CHECKPOINT core:
+    * both registered span grains (px14 at 4, px14b at 6) consume the
+    * identical relation, and each was paying its own corpus tokenize +
+    * materialization (the two heaviest queries of the first full sf100
+    * suite, 637 + 601 s). Checkpoint-backed (Memo.cached), NOT parquet:
+    * the relation is re-read twice per query (window generation + final
+    * reassembly join), and the r13 A/B measured parquet array decode
+    * ~20–55% slower than MEMORY_AND_DISK reads at sf10 (60.2/54.5 s
+    * parquet vs 35.5/34.6 s shared checkpoint) — doc-grain token arrays
+    * are ~rows-of-the-corpus, not the token-grain row explosion that
+    * forced pos_postings/tri_postings to parquet. */
+  private[graft] def docToksFor(s: SparkSession, d: String): DataFrame =
+    graft.Memo.cached(s, d, "doc_toks", "documents.parquet")(
+      Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("tk")))
+
+  private[graft] def spanScrubToked(k: Int)(toked: DataFrame): DataFrame = {
     // the window expr is TOTAL (short docs yield an empty array INSIDE the
     // expression, not via a preceding filter): filter inference from the
     // Generate inlines this chain into a combined predicate whose conjunct
@@ -1334,21 +1351,26 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("wins")).as(Seq("p", "w")))
     val dupW = ws.groupBy(col("w")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= SpanDupMin).select(col("w"))
-    val cov = ws.join(dupW, Seq("w"))
-      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${k - 1})")).as("tpos"))
-      .distinct()
-    // Reassembly is ROW-LOCAL (round 10): aggregate the covered positions
-    // to ONE int-array per doc, join that at doc grain, and filter the
-    // token array in place. The old form re-exploded every doc to token
-    // grain, anti-joined, and rebuilt each doc via collect_list +
-    // array_sort — two extra token-grain shuffles and a per-doc sort that
-    // the honest bench exposed as ~90% of px14's cost (it had hidden
-    // behind count()'s left-join elimination). Membership is an
-    // array_contains scan per token — O(|cov|·n) per doc, bounded by the
-    // short doc lengths; order is the array's own order, so the kept
-    // string is byte-identical to the sorted-collect_list form.
-    val covSet = cov.groupBy(col("doc_id"))
-      .agg(collect_set(col("tpos")).as("covps"))
+    // Duplicated-window OCCURRENCES (doc, start position) — unique per
+    // (doc_id, p) because ws is a posexplode. The join stays a shuffle
+    // join on purpose: a pathological boilerplate window's occurrences
+    // stream through a join partition (AQE splits skewed ones) where a
+    // collect_list-per-window form would buffer them in one agg row.
+    val occ = ws.join(dupW, Seq("w")).select(col("doc_id"), col("p"))
+    // Covered positions are aggregated at OCCURRENCE grain and expanded to
+    // the per-position set ROW-LOCALLY (r13): the previous form exploded
+    // every occurrence to its k positions and ran a corpus-wide distinct
+    // before the per-doc aggregation — with stride-1 windows that is k×
+    // occurrence-grain rows through TWO extra wide stages (the distinct's
+    // repartition + its reshuffle into the doc grain), all to deduplicate
+    // overlaps that are doc-local by construction. One groupBy(doc_id)
+    // now carries each occurrence once; the k-expansion + dedup happen
+    // inside the row (arrays bounded by doc length, the covSet bound that
+    // already held). Same covered set, same oracle.
+    val covSet = occ.groupBy(col("doc_id"))
+      .agg(collect_list(col("p")).as("ps"))
+      .select(col("doc_id"), array_distinct(flatten(transform(col("ps"),
+        p => sequence(p, p + lit(k - 1))))).as("covps"))
     toked.join(covSet, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         when(col("covps").isNull, col("tk"))
@@ -1361,8 +1383,8 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val px14: Q = (s, d) => spanScrub(Tables.documents(s, d))
-  private val px14b: Q = (s, d) => spanScrubAt(6)(Tables.documents(s, d))
+  private val px14: Q = (s, d) => spanScrubToked(SpanTokens)(docToksFor(s, d))
+  private val px14b: Q = (s, d) => spanScrubToked(6)(docToksFor(s, d))
 
   val queries: Map[String, Q] = Map(
     "px8_passage_dedup" -> px8,

@@ -552,10 +552,21 @@ object Dedup {
     * the LSH candidates — the semantic-dedup pipeline (embed → block →
     * pair → cluster → keep one per cluster) end to end. Reuses
     * [[connectedComponents]]; the oracle is the full transitive closure of
-    * d5's pair set. */
+    * d5's pair set.
+    *
+    * r13 (optimization): the labels are served from the SAME memoized core
+    * as d7b — the exact-duplicate collapse is closure-preserving ON ANY
+    * INPUT (the [[d7bEdges]] proof; law-checked against the raw d5 pair
+    * closure on the gate corpus AND on planted replica cliques in
+    * NorthStarSpec), so running CC twice per session over two
+    * provably-equal edge sets bought nothing: one redundant CC build
+    * (~4.4 s at sf0.1) dropped, and d7 loses the answer-bound raw pair
+    * relation that ENOSPC'd it at sf100 — it leaves the exact-groundtruth
+    * skip tier. The raw-edge path stays alive (d5 is its own registered
+    * query; the law spec drives the uncollapsed closure directly). */
   private val d7: Q = (s, d) => {
-    val labels = cachedLabels(s, d, "emb", "embeddings.parquet")(
-      d5(s, d).select(col("v1").as("x"), col("v2").as("y")))
+    val labels = cachedLabels(s, d, "emb_grouped", "embeddings.parquet")(
+      d7bEdges(Similarity.scaledAssigned(s, d)))
       .withColumnRenamed("doc_id", "vec_id")
     Tables.embeddings(s, d).select(col("vec_id"))
       .join(labels, Seq("vec_id"), "left")
@@ -677,10 +688,20 @@ object Dedup {
     * components → canonical-survivor tail as d6 (LSH shingles) and d7
     * (embedding cosine). Three modalities share one clusterer because at
     * scale the clusterer is modality-blind — only candidate generation
-    * changes. */
+    * changes.
+    *
+    * r13 (optimization): labels served from d8b's memoized core — the
+    * exact-signature collapse is closure-preserving on any input (the
+    * [[d8bEdges]] proof, law-checked against the raw d8Pairs closure on
+    * the gate corpus and planted signature cliques), so the second CC
+    * build (~5.1 s at sf0.1) was pure redundancy and the raw Σ bucket²
+    * band self-join (d8's sf100 ENOSPC) leaves the query's plan; d8
+    * leaves the exact-groundtruth skip tier. The raw band self-join
+    * stays exercised by [[d8PairsFrom]]'s own laws and the d8b law's
+    * direct closure compare. */
   private val d8: Q = (s, d) => {
-    val labels = cachedLabels(s, d, "simhash", "documents.parquet")(
-      d8Pairs(s, d).select(col("d1").as("x"), col("d2").as("y")))
+    val labels = cachedLabels(s, d, "simhash_grouped", "documents.parquet")(
+      d8bEdges(simhashFrame(s, d).localCheckpoint(true)))
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -560,16 +560,35 @@ object Similarity {
     pqTrainedCache.computeIfAbsent((d, fp), { _ =>
       graft.Memo.timedBuild("pq_subcodebooks") {
         val v = vecs(s, d)
-        (0 until PqM).map { m =>
-          val sliced = v.select(col("vec_id"),
-            slice(col("v"), m * PqSub + 1, PqSub).as("v"))
-          // l2 = true: PQ encodes by reconstruction error, so the training
-          // argmin must be the serving argmin (see KMeansCodebook.train)
-          val cents = KMeansCodebook.train(sliced, NCells, 3, l2 = true)
-          require(cents.map(_._1) == (0 until NCells),
-            s"PQ codes index positionally; expected ids 0..${NCells - 1}")
-          cents.map { case (id, cv) => (id.toLong, cv, cv.map(x => x * x).sum) }
-        }
+        // The PqM subspace trainings are INDEPENDENT deterministic jobs
+        // (each reads only its own slice; decimal means make each result
+        // merge-order-free), so they run from a small thread pool instead
+        // of sequentially — Lloyd's is driver-round-trip bound at this
+        // sample size (~8 tiny jobs per subspace), and overlapping the 8
+        // chains back-fills the cluster exactly as guide §2.6 prescribes
+        // (r13: build 5.1 s → measured below 2 s at sf0.1). Result order
+        // is pinned by Future.sequence, so the codebooks (and the oracle
+        // literals derived from them) are byte-identical to the
+        // sequential build's.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(PqM)
+        try {
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          val futs = (0 until PqM).map { m => Future {
+            val sliced = v.select(col("vec_id"),
+              slice(col("v"), m * PqSub + 1, PqSub).as("v"))
+            // l2 = true: PQ encodes by reconstruction error, so the
+            // training argmin must be the serving argmin
+            // (see KMeansCodebook.train)
+            val cents = KMeansCodebook.train(sliced, NCells, 3, l2 = true)
+            require(cents.map(_._1) == (0 until NCells),
+              s"PQ codes index positionally; expected ids 0..${NCells - 1}")
+            cents.map { case (id, cv) => (id.toLong, cv, cv.map(x => x * x).sum) }
+          } }
+          Await.result(Future.sequence(futs),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
     })
   }
@@ -676,7 +695,15 @@ object Similarity {
     // the second consumer measured FASTER than persist() (6.2 s vs 4.5 s
     // at sf0.1 — materialization barriers beat pipelined recompute at
     // candidate-set sizes), so the lineage is deliberately unshared
+    // the exact baseline is referenced by EVERY method row (7 hit-joins)
+    // plus the total aggregate — 8 executions of the brute-force subtree
+    // per x4 run (96 parquet scans in the r13 before-plan). Post-rerank it
+    // is exactly queries×TopK = 50 rows, so the checkpoint is free and the
+    // corpus-sized candX1 pass runs ONCE (r13: the per-candidate-set
+    // recompute-not-persist note below is about the WIDE generation
+    // frames, not this tiny result relation).
     val exact = x1(s, d).select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint(true)
     val total = exact.agg(count(lit(1)).as("total"))
     // cand_pairs must count the candidate set the method's scoring join
     // actually touches — for ivf_pq that is the ADC-scored set (costCand),

@@ -202,9 +202,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("d7b equals d7 on the gate corpus (exact-duplicate collapse is closure-preserving)") {
-    val full = q("d7_embedding_clusters")
-    val grouped = q("d7b_embedding_clusters_grouped")
-    assert(full.except(grouped).isEmpty && grouped.except(full).isEmpty)
+    // r13: d7's registered query now SERVES the grouped core (the collapse
+    // is closure-preserving on any input), so comparing the two registered
+    // queries became a tautology. The law's content — raw d5-pair closure
+    // ≡ collapsed closure — is kept by driving the UNCOLLAPSED edge set
+    // through CC directly and comparing label sets.
+    val asg = operators.Similarity.scaledAssigned(spark, sf)
+    val raw = operators.Dedup.connectedComponents(
+      operators.Dedup.d5PairsOver(asg)
+        .select(col("v1").as("x"), col("v2").as("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = operators.Dedup.connectedComponents(
+      operators.Dedup.d7bEdges(asg))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw === grouped)
   }
 
   test("d7b edge collapse preserves components on planted replica cliques") {
@@ -235,9 +246,17 @@ class DedupSpec extends SparkSpec {
   }
 
   test("d8b equals d8 on the gate corpus (exact-signature collapse is closure-preserving)") {
-    val full = q("d8_simhash_clusters")
-    val grouped = q("d8b_simhash_clusters_grouped")
-    assert(full.except(grouped).isEmpty && grouped.except(full).isEmpty)
+    // r13: same as the d7b law — d8 now serves the grouped core, so the
+    // law drives the raw band-self-join closure directly.
+    val shf = operators.Dedup.simhashFrame(spark, sf).localCheckpoint(true)
+    val raw = operators.Dedup.connectedComponents(
+      operators.Dedup.d8Pairs(spark, sf)
+        .select(col("d1").as("x"), col("d2").as("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grouped = operators.Dedup.connectedComponents(
+      operators.Dedup.d8bEdges(shf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(raw === grouped)
   }
 
   test("d8b edge collapse preserves components on planted signature cliques") {

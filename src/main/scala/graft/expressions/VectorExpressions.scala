@@ -157,3 +157,293 @@ case class SortedLongIntersect(left: Expression, right: Expression)
 object SortedLongIntersect {
   val info = new ExpressionInfo(classOf[SortedLongIntersect].getName, "graft_isect")
 }
+
+/** `graft_argmax_cell(v, scale, cents, aux, mode)` — row-local argmax of a
+  * per-centroid score over a FOLDABLE codebook, returning the winning
+  * centroid's INDEX (0-based, ascending order of the `cents` array; callers
+  * map index → cell_id). Modes (mode is a foldable string):
+  *
+  *   - "dot": score_c = ⟨v, cents[c]⟩                      (k-means training)
+  *   - "cos": score_c = ⟨v, cents[c]⟩ / (scale · aux[c])   (serving; scale =
+  *            the row's norm, aux = centroid norms)
+  *   - "l2":  score_c = 2·⟨v, cents[c]⟩ − aux[c]           (PQ; aux = ‖c‖²)
+  *
+  * Ties break to the SMALLER index and NaN sorts greatest — exactly the
+  * (score DESC, cell_id ASC) total order of the two plans this replaces
+  * (the k-literal `greatest()` unroll and the broadcast-join + max(struct)
+  * form): strict `>` while scanning ascending keeps the earlier index on
+  * equal scores (including −0.0 vs 0.0, which SQLOrderingUtil.compareDoubles
+  * also treats as equal), and the explicit NaN branch replicates
+  * nanSafeCompareDoubles' NaN-greatest rule. Dot products accumulate
+  * index-ascending over min(|v|, dim) — bit-identical to graft_dot and the
+  * oracle's list_sum fold.
+  *
+  * Why an expression and not the join form: the join scored n·k THIN ROWS
+  * through a partial aggregate and re-joined the payload — at the sf100
+  * rehearsal (n = 2 M, k = 1415) that is 2.8 B row materializations for a
+  * row-local argmax (memo:cell_asg 240 s). This loop does the same flops
+  * with zero row traffic. Why not the unrolled greatest(): k literal struct
+  * scores inflate analysis and generated code O(k·dim) — and re-planning
+  * with fresh centroid literals (k-means iterations) recompiled per round;
+  * here the codebook lives in the references array, so the generated source
+  * is constant and the codegen cache hits across iterations. */
+case class CellArgmax(vec: Expression, scale: Expression, cents: Expression,
+                      aux: Expression, mode: Expression) extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, scale, cents, aux, mode)
+  override def nullable: Boolean = vec.nullable || scale.nullable
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_argmax_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dArr(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true; case _ => false }
+    def dArr2(t: DataType) = t match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false }
+    if (!dArr(vec.dataType))
+      TypeCheckResult.TypeCheckFailure("vec must be array<double>")
+    else if (scale.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure("scale must be double")
+    else if (!dArr2(cents.dataType) || !cents.foldable)
+      TypeCheckResult.TypeCheckFailure("cents must be a foldable array<array<double>>")
+    else if (!dArr(aux.dataType) || !aux.foldable)
+      TypeCheckResult.TypeCheckFailure("aux must be a foldable array<double>")
+    else if (mode.dataType != org.apache.spark.sql.types.StringType || !mode.foldable)
+      TypeCheckResult.TypeCheckFailure("mode must be a foldable string")
+    else {
+      val m = mode.eval(null).toString
+      if (m != "dot" && m != "cos" && m != "l2")
+        TypeCheckResult.TypeCheckFailure(s"unknown mode '$m' (dot|cos|l2)")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
+  // codebook flattened row-major (k·dim) once per plan; lives in the codegen
+  // references array, never in generated source
+  private lazy val (flat: Array[Double], dim: Int) = {
+    val a = cents.eval(null).asInstanceOf[ArrayData]
+    val k = a.numElements()
+    val d = if (k == 0) 0 else a.getArray(0).numElements()
+    val f = new Array[Double](k * d)
+    var c = 0
+    while (c < k) {
+      val row = a.getArray(c)
+      var i = 0
+      while (i < d) { f(c * d + i) = row.getDouble(i); i += 1 }
+      c += 1
+    }
+    (f, d)
+  }
+  private lazy val auxArr: Array[Double] = {
+    val a = aux.eval(null).asInstanceOf[ArrayData]
+    val out = new Array[Double](a.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = a.getDouble(i); i += 1 }
+    out
+  }
+  private lazy val modeId: Int = mode.eval(null).toString match {
+    case "dot" => 0; case "cos" => 1; case "l2" => 2
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val sc = scale.eval(input)
+    if (sc == null) return null
+    CellArgmax.argmax(v.asInstanceOf[ArrayData],
+      sc.asInstanceOf[Double], flat, auxArr, dim, modeId)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vc = vec.genCode(ctx)
+    val sc = scale.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("centsFlat", flat, "double[]")
+    val auxRef = ctx.addReferenceObj("auxArr", auxArr, "double[]")
+    ev.copy(code =
+      code"""
+        ${vc.code}
+        ${sc.code}
+        boolean ${ev.isNull} = ${vc.isNull} || ${sc.isNull};
+        int ${ev.value} = -1;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expressions.CellArgmax.argmax(
+            ${vc.value}, ${sc.value}, $flatRef, $auxRef,
+            $flatRef.length / $auxRef.length, $modeId);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), scale = newChildren(1), cents = newChildren(2),
+      aux = newChildren(3), mode = newChildren(4))
+}
+
+object CellArgmax {
+  val info = new ExpressionInfo(classOf[CellArgmax].getName, "graft_argmax_cell")
+
+  /** The shared eval/codegen kernel (static forwarder — callable from
+    * generated Java). See the class doc for the exact comparison contract. */
+  def argmax(v: ArrayData, scale: Double, flat: Array[Double],
+             aux: Array[Double], dim: Int, mode: Int): Int = {
+    val k = aux.length
+    val vn = v.numElements()
+    val n = if (vn < dim) vn else dim
+    var best = -1
+    var bestScore = 0.0
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * flat(off + i); i += 1 }
+      val score =
+        if (mode == 0) acc
+        else if (mode == 1) acc / (scale * aux(c))
+        else 2.0 * acc - aux(c)
+      if (best < 0 || score > bestScore ||
+          (java.lang.Double.isNaN(score) && !java.lang.Double.isNaN(bestScore))) {
+        best = c; bestScore = score
+      }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `graft_pq_codes(v, subCents, subSqs)` — the full product-quantization
+  * encode in ONE row-local pass: for each of the M subspaces, the argmax
+  * over its K codewords of 2·⟨v_sub, cw⟩ − ‖cw‖² (≡ argmin reconstruction
+  * L2), returned as an array<int> of M codes (code = codeword index; the
+  * producers pin codeword ids to 0..K−1 positionally).
+  *
+  * subCents is a foldable array<array<array<double>>> (M × K × subDim),
+  * subSqs a foldable array<array<double>> (M × K) of Scala-computed ‖cw‖²
+  * (ascending-fold — the exact literals the previous unrolled form embedded).
+  * Score arithmetic, tie order (smaller code), and NaN rule match the
+  * unrolled `greatest()` per-subspace argmax bit for bit; the subspace dot
+  * reads v[m·subDim + i] directly, which removes the 2·M·K slice() array
+  * allocations per row that made the encode allocation-bound (memo:pq_codes
+  * 115 s at sf100 for ~4 GFLOP of real work). */
+case class PqCodes(vec: Expression, cents: Expression, sqs: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(vec, cents, sqs)
+  override def nullable: Boolean = vec.nullable
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def dArr(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true; case _ => false }
+    val c3 = cents.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false }
+    val s2 = sqs.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false }
+    if (!dArr(vec.dataType))
+      TypeCheckResult.TypeCheckFailure("vec must be array<double>")
+    else if (!c3 || !cents.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "subCents must be a foldable array<array<array<double>>>")
+    else if (!s2 || !sqs.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "subSqs must be a foldable array<array<double>>")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  // (M, K, subDim) + both tables flattened row-major, resolved once per plan
+  private lazy val (flat: Array[Double], sqFlat: Array[Double], m_ : Int,
+      k_ : Int, sub_ : Int) = {
+    val a = cents.eval(null).asInstanceOf[ArrayData]
+    val mm = a.numElements()
+    val kk = if (mm == 0) 0 else a.getArray(0).numElements()
+    val ss = if (kk == 0) 0 else a.getArray(0).getArray(0).numElements()
+    val f = new Array[Double](mm * kk * ss)
+    val q = new Array[Double](mm * kk)
+    val sq = sqs.eval(null).asInstanceOf[ArrayData]
+    var m = 0
+    while (m < mm) {
+      val km = a.getArray(m); val sm = sq.getArray(m)
+      var c = 0
+      while (c < kk) {
+        val row = km.getArray(c)
+        var i = 0
+        while (i < ss) { f((m * kk + c) * ss + i) = row.getDouble(i); i += 1 }
+        q(m * kk + c) = sm.getDouble(c)
+        c += 1
+      }
+      m += 1
+    }
+    (f, q, mm, kk, ss)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqCodes.encode(v.asInstanceOf[ArrayData], flat, sqFlat, m_, k_, sub_))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val vc = vec.genCode(ctx)
+    val flatRef = ctx.addReferenceObj("pqCentsFlat", flat, "double[]")
+    val sqRef = ctx.addReferenceObj("pqSqFlat", sqFlat, "double[]")
+    val shape = ctx.addReferenceObj("pqShape", Array(m_, k_, sub_), "int[]")
+    ev.copy(code =
+      code"""
+        ${vc.code}
+        boolean ${ev.isNull} = ${vc.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            graft.expressions.PqCodes.encode(${vc.value}, $flatRef, $sqRef,
+              $shape[0], $shape[1], $shape[2]));
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), cents = newChildren(1), sqs = newChildren(2))
+}
+
+object PqCodes {
+  val info = new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes")
+
+  /** Static kernel (see class doc): per subspace m, argmax over its K
+    * codewords of 2·dot − ‖cw‖², dot folding ascending over the v slice
+    * that exists (graft_dot's min-length rule on the old slice() form). */
+  def encode(v: ArrayData, flat: Array[Double], sq: Array[Double],
+             mm: Int, kk: Int, sub: Int): Array[Int] = {
+    val vn = v.numElements()
+    val out = new Array[Int](mm)
+    var m = 0
+    while (m < mm) {
+      val voff = m * sub
+      val avail = vn - voff
+      val n = if (avail <= 0) 0 else if (avail < sub) avail else sub
+      var best = -1
+      var bestScore = 0.0
+      var c = 0
+      while (c < kk) {
+        var acc = 0.0
+        val coff = (m * kk + c) * sub
+        var i = 0
+        while (i < n) { acc += v.getDouble(voff + i) * flat(coff + i); i += 1 }
+        val score = 2.0 * acc - sq(m * kk + c)
+        if (best < 0 || score > bestScore ||
+            (java.lang.Double.isNaN(score) && !java.lang.Double.isNaN(bestScore))) {
+          best = c; bestScore = score
+        }
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    out
+  }
+}

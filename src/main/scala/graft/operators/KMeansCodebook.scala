@@ -57,44 +57,32 @@ object KMeansCodebook {
     var centroids = sample.orderBy(col("vec_id")).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 1 to iters) {
-      // centroids are driver-side data → unroll the assignment STATICALLY:
-      // greatest() over k codegen'd (cos, -cell_id) struct scores, one per
-      // centroid literal — a row-local argmax inside whole-stage codegen
-      // (≡ ORDER BY cos DESC, cell_id ASC; same unrolled form as
-      // Similarity.ivfCands, which measured ~2× faster than an interpreted
-      // HOF fold). The old crossJoin + row_number form shuffled and sorted
-      // k×sample rows per iteration to compute this per-row-local value
-      // (r3 finding).
-      // Assignment is ALWAYS the broadcast-join + max_by form here (not
-      // the unrolled greatest Similarity.assignCells uses below
-      // UnrollMax): training re-plans every iteration with fresh
-      // centroids, and the unrolled form embeds them as literals — a new
-      // Janino compilation per iteration (the k=45 training measured
-      // ~8 s, dominated by 6 fresh codegens). The join form's generated
-      // code is literal-free (centroids flow through the broadcast
-      // relation), so iterations hit the codegen cache. Identical argmax
-      // either way — same graft_dot floats, same (dot, -id) total order —
-      // and the one-shot assignCells path keeps its unrolled fast form.
-      // score THIN (vec_id, 16-byte score) and join the vector payload
-      // back once per row — running the 512-byte array through the
-      // aggregate buffer for every (vector, cell) pair was the sf10
-      // allocation storm (same fix as Similarity.assignCellsJoin)
+      // centroids are driver-side data → assignment is the native row-local
+      // argmax (expressions.CellArgmax, r13): one tight loop per sample row
+      // over the codebook held in the codegen references array. Replaces
+      // the broadcast-join + max(struct) form, which materialized k×sample
+      // thin rows through a partial aggregate + a payload re-join PER
+      // ITERATION (141 M rows/iteration at the sf100 rehearsal's k=1415)
+      // to compute a row-local value. Identical argmax — same graft_dot
+      // ascending fold, same 2·dot−‖c‖² float ops for l2, same
+      // (score DESC, cell_id ASC) tie order (KMeansSpec's triangle law) —
+      // so the trained centroids (and every literal-codebook oracle built
+      // on them) are byte-identical. Codegen-cache friendly like the join
+      // form was: the codebook lives in the references array, not in
+      // generated source, so iterations with fresh centroids do not
+      // recompile (the reason the unrolled k-literal greatest() was
+      // rejected here back in r9).
       val assigned = {
-        // ‖c‖² is driver data (k small vectors), carried as a codebook
-        // column so the l2 score stays literal-free for the codegen cache
-        val cbDf = s.createDataFrame(centroids.map { case (id, cv) =>
-          (id, cv, cv.map(x => x * x).sum) }).toDF("cid", "cv", "sq")
-        val scoreCol =
-          if (l2) lit(2.0) * call_function("graft_dot", col("v"), col("cv")) - col("sq")
-          else call_function("graft_dot", col("v"), col("cv"))
-        val best = sample.crossJoin(broadcast(cbDf))
-          .select(col("vec_id"), struct(
-            scoreCol.as("cos"),
-            (-col("cid")).as("neg_id")).as("score"))
-          .groupBy(col("vec_id"))
-          .agg(max(col("score")).as("b"))
-          .select(col("vec_id"), (-col("b.neg_id")).cast("int").as("cell_id"))
-        sample.join(best, Seq("vec_id"))
+        val ordered = centroids.sortBy(_._1)
+        // ‖c‖² driver-computed, ascending fold — the same literals the l2
+        // score always embedded
+        val idx = call_function("graft_argmax_cell", col("v"), lit(0.0),
+          typedlit(ordered.map(_._2)),
+          typedlit(ordered.map { case (_, cv) => cv.map(x => x * x).sum }),
+          lit(if (l2) "l2" else "dot"))
+        val ids = ordered.map(_._1)
+        sample.withColumn("cell_id",
+          element_at(typedlit(ids), idx + 1))
       }
       // decimal mean, not double: decimal addition is exactly associative
       // and commutative, so the aggregate is IDENTICAL whatever order

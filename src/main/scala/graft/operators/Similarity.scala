@@ -215,23 +215,48 @@ object Similarity {
     * same codebook and appends — no rebuild, no rescan, and incremental ≡
     * one-shot exactly (spec-proven), the ANN twin of d9's band-index
     * admit. */
-  /** Above this codebook size the statically-unrolled greatest() argmax
+  /** Above this codebook size a statically-unrolled greatest() argmax
     * stops being the right plan: k literal struct scores inflate analysis
     * and generated-code size linearly with k (and at k in the hundreds
-    * risk the huge-method JIT cliff the d4 rehearsal hit). Past it,
-    * assignment switches to the broadcast-join + max_by form — same
-    * argmax, same (cos DESC, cell_id ASC) total order, proven equal by
-    * spec — whose plan size is O(1) in k. 64 keeps every oracle-gated
-    * scale (k=23 at sf0.01, k=45 at sf0.1) on the unrolled fast path. */
+    * risk the huge-method JIT cliff the d4 rehearsal hit). Since r13 the
+    * ASSIGNMENT side is the native CellArgmax expression at every k (plan
+    * size O(1), no row fanout); this threshold still switches the QUERY-
+    * side probe scoring (queryProbes needs the full sorted score list,
+    * which the argmax expression does not produce) between the unrolled
+    * array of k literal scores and the broadcast-join + collect_list form. */
   private[graft] val UnrollMax = 64
+
+  /** Cell-id column: native row-local argmax over the codebook
+    * (expressions.CellArgmax — one tight loop per row, codebook in the
+    * codegen references array). Replaces both prior plans (r13, guide §4):
+    * the k-literal greatest() unroll (O(k·dim) plan/codegen size — the
+    * UnrollMax ceiling existed for its JIT cliff) and the broadcast-join +
+    * max(struct) form (n·k materialized rows through a partial aggregate +
+    * a payload re-join — memo:cell_asg 240 s at sf100 for a row-local
+    * argmax). Identical output by construction — same graft_dot fold, same
+    * cos = dot/(norm·cnorm) float ops, same (cos DESC, cell_id ASC) tie
+    * order — and KMeansSpec triangle-compares all three forms. */
+  private[graft] def cellIdOf(v: Column, norm: Column,
+                              cells: Seq[(Long, Seq[Double])]): Column = {
+    val sorted = cellNorms(cells).sortBy(_._1)
+    val idx = call_function("graft_argmax_cell", v, norm,
+      typedlit(sorted.map(_._2)), typedlit(sorted.map(_._3)), lit("cos"))
+    element_at(typedlit(sorted.map(_._1)), idx + 1)
+  }
 
   private[graft] def assignCells(v: DataFrame,
                                      cells: Seq[(Long, Seq[Double])]): DataFrame =
-    if (cells.size <= UnrollMax)
-      v.withColumn("best", greatest(cellNorms(cells).map(cellScore): _*))
-        .select(col("vec_id"), col("v"), col("norm"),
-          (-col("best.neg_id")).as("cell_id"))
-    else assignCellsJoin(v, cells)
+    v.select(col("vec_id"), col("v"), col("norm"),
+      cellIdOf(col("v"), col("norm"), cells).as("cell_id"))
+
+  /** The pre-r13 statically-unrolled argmax, kept as the law REFERENCE the
+    * native expression is triangle-compared against (KMeansSpec) — k
+    * literal struct scores through greatest(); only valid ≤ UnrollMax. */
+  private[graft] def assignCellsUnrolled(v: DataFrame,
+                                     cells: Seq[(Long, Seq[Double])]): DataFrame =
+    v.withColumn("best", greatest(cellNorms(cells).map(cellScore): _*))
+      .select(col("vec_id"), col("v"), col("norm"),
+        (-col("best.neg_id")).as("cell_id"))
 
   /** Join-form assignment for large codebooks: broadcast the k-row
     * codebook, score each (vector, cell) pair, keep the per-vector argmax
@@ -462,21 +487,12 @@ object Similarity {
         (dot(col("v"), typedlit(c._2)) / (col("norm") * lit(c._3))).as("cos"),
         lit(-c._1).as("neg_id"))
     val sub = pqCodebook(s, d)
-    def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
-      struct(
-        (lit(2.0) * dot(slice(col("v"), m * PqSub + 1, PqSub), typedlit(c._2))
-          - lit(c._3)).as("s"),
-        lit(-c._1).as("nc"))
-    // index side: cell + codes + reconstruction norm — all row-local
-    val assigned = v
-      .withColumn("best", greatest(withNorm.map(cellScore): _*))
-      .withColumn("cell_id", -col("best.neg_id"))
-      .select(Seq(col("vec_id"), col("cell_id")) ++
-        (0 until PqM).map(m =>
-          (-greatest(sub(m).map(c => encScore(m, c)): _*).getField("nc"))
-            .cast("int").as(s"code$m")): _*)
-      .withColumn("recon_sq", (0 until PqM).map(m =>
-        element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
+    // index side: cell + codes + reconstruction norm — all row-local (r13:
+    // one native argmax + one native encode pass per row; same floats and
+    // tie order as the unrolled greatest() forms — see cellIdOf/pqCodeCols)
+    val assigned = pqCodeCols(
+      v.select(col("vec_id"),
+        cellIdOf(col("v"), col("norm"), cells).as("cell_id"), col("v")), sub)
     // query side (5 rows, broadcast): 2 probe cells + the ADC lookup tables
     val q = v.filter(col("vec_id") < 5)
       .withColumn("scores", array(withNorm.map(cellScore): _*))
@@ -611,6 +627,32 @@ object Similarity {
     * literals), which is what makes the index admittable: encoding a
     * batch never looks at the stored codes. */
   private[graft] def pqEncode(assigned: DataFrame,
+                              sub: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame =
+    pqCodeCols(assigned.select(col("vec_id"), col("cell_id"), col("v")), sub)
+
+  /** Attach code0..code{M−1} + recon_sq to any frame carrying `v`,
+    * dropping `v`: ONE native graft_pq_codes pass computes all M codes
+    * (expressions.PqCodes — same 2·dot−‖c‖² scores, same smaller-code tie
+    * rule as the unrolled per-subspace greatest() it replaces, which paid
+    * 2·M·K slice() allocations per row; NorthStarSpec law-compares the
+    * two). recon_sq folds the per-subspace ‖codeword‖² in subspace order,
+    * unchanged. */
+  private def pqCodeCols(framed: DataFrame,
+                         sub: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame = {
+    val codes = call_function("graft_pq_codes", col("v"),
+      typedlit(sub.map(_.map(_._2))), typedlit(sub.map(_.map(_._3))))
+    framed
+      .withColumn("_codes", codes)
+      .select(framed.columns.filter(_ != "v").map(col).toSeq ++
+        (0 until PqM).map(m =>
+          element_at(col("_codes"), m + 1).as(s"code$m")): _*)
+      .withColumn("recon_sq", (0 until PqM).map(m =>
+        element_at(typedlit(sub(m).map(_._3)), col(s"code$m") + 1)).reduce(_ + _))
+  }
+
+  /** The pre-r13 unrolled encode, kept as the law REFERENCE for the native
+    * graft_pq_codes path (NorthStarSpec). */
+  private[graft] def pqEncodeUnrolled(assigned: DataFrame,
                               sub: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame = {
     def encScore(m: Int, c: (Long, Seq[Double], Double)): Column =
       struct(

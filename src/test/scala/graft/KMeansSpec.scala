@@ -17,22 +17,36 @@ class KMeansSpec extends SparkSpec {
     assert(cb.forall(r => r.getDouble(2) > 0.0)) // no degenerate centroid
   }
 
-  test("join-form cell assignment equals the unrolled argmax exactly") {
+  test("native, unrolled and join-form cell assignment are identical") {
     import org.apache.spark.sql.functions._
-    // the same codebook through both forms must assign every vector to
-    // the identical cell — the switch at UnrollMax can never change an
-    // answer, only the plan (unrolled k-literal greatest vs broadcast
-    // join + max_by)
+    // the same codebook through all three forms must assign every vector
+    // to the identical cell — a plan-shape switch can never change an
+    // answer: native CellArgmax loop (assignCells since r13) vs the
+    // k-literal greatest() unroll vs broadcast join + max_by
     val cells = operators.Similarity.scaledCodebook(spark, sf)
     val v = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(call_function("graft_dot", col("v"), col("v"))))
-    assert(cells.size <= operators.Similarity.UnrollMax) // gate scales unroll
-    val unrolled = operators.Similarity.assignCells(v, cells)
+    assert(cells.size <= operators.Similarity.UnrollMax) // unroll form valid
+    val native = operators.Similarity.assignCells(v, cells)
+      .select("vec_id", "cell_id")
+    val unrolled = operators.Similarity.assignCellsUnrolled(v, cells)
       .select("vec_id", "cell_id")
     val joined = operators.Similarity.assignCellsJoin(v, cells)
       .select("vec_id", "cell_id")
-    assert(unrolled.exceptAll(joined).isEmpty && joined.exceptAll(unrolled).isEmpty)
+    assert(native.exceptAll(unrolled).isEmpty && unrolled.exceptAll(native).isEmpty)
+    assert(native.exceptAll(joined).isEmpty && joined.exceptAll(native).isEmpty)
+  }
+
+  test("native PQ encode equals the unrolled per-subspace argmax exactly") {
+    // graft_pq_codes (one native pass, all subspaces) vs the unrolled
+    // greatest() reference — codes AND recon_sq must match bit for bit
+    val asg = operators.Similarity.scaledAssigned(spark, sf)
+    val sub = operators.Similarity.trainedPqCodebook(spark, sf)
+    val native = operators.Similarity.pqEncode(asg, sub)
+    val unrolled = operators.Similarity.pqEncodeUnrolled(asg, sub)
+    assert(native.columns.toSeq === unrolled.columns.toSeq)
+    assert(native.exceptAll(unrolled).isEmpty && unrolled.exceptAll(native).isEmpty)
   }
 
   test("k-means training at k above UnrollMax produces a stable codebook") {

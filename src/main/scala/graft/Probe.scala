@@ -123,6 +123,44 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (args.contains("tx11x")) {
+      // r13: decompose tx11's row-local cost — tokenize only, the full
+      // gate, and the gate with the O(distinct·n) dominance HOF stubbed —
+      // to locate the interpreted-HOF hot spot before replacing it.
+      import graft.functions.TextOps.toks
+      val docs = Tables.documents(spark, d)
+      time("toks only")(docs.select(toks(col("text")).as("tk"))
+        .agg(sum(size(col("tk")))).head().getLong(0))
+      def gate(dom: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Long = {
+        val tk = col("tk")
+        Bench.evaluate(docs.select(col("doc_id"), toks(col("text")).as("tk"))
+          .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
+            dom(tk).as("mx"),
+            size(array_distinct(tk)).cast("long").as("nd"),
+            aggregate(tk, lit(0L), (acc, t) => acc + length(t)).as("sl")))
+        0L
+      }
+      time("gate full (old dominance)")(gate(t =>
+        array_max(transform(array_distinct(t),
+          u => size(filter(t, x => x === u)))).cast("long")))
+      time("gate no dominance")(gate(_ => lit(0L)))
+      time("gate sorted-runs dominance")(gate { t =>
+        val sorted = array_sort(t)
+        // longest run in the sorted token array == max term count
+        aggregate(sorted,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best"))
+      })
+      time("tx11 full")({
+        Bench.evaluate(SparkEntry.queries("tx11_rule_gate")(spark, d)); 0L })
+      spark.stop(); return
+    }
     if (args.contains("px14x")) {
       // Decomposition A/B (r13): the first px14 rework changed two things
       // at once — parquet-memo toked AND the row-local interval covSet.

@@ -33,24 +33,45 @@ object TextQueries {
   private val tx1: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), toks(col("text")).as("tk"))
+      // token-HOF features once, scaled ratio over the attributes (the
+      // ruleGate/QF one-evaluation discipline, r13)
       .select(
         col("doc_id"), col("n_chars"),
         size(col("tk")).as("n_tokens"),
         size(array_distinct(col("tk"))).as("n_distinct_tokens"),
-        ExactRatio.scaled(
-          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)),
-          size(col("tk")).cast("long"), 1000L).as("avg_token_len_milli"))
+        aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("_ls"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+        ExactRatio.scaled(col("_ls"), col("n_tokens").cast("long"), 1000L)
+          .as("avg_token_len_milli"))
       .orderBy(col("doc_id"))
 
   /** The quality features over a materialized `tk`/`text` pair — ONE
     * definition shared by tx2 and px1 (Spark side) with [[qfSql]] as the
-    * oracle mirror, so the formula cannot drift between call sites. */
+    * oracle mirror, so the formula cannot drift between call sites.
+    *
+    * r13 (guide §4): the features are now ATTRIBUTES produced once per row
+    * by [[attach]], not inline expression trees — ExactRatio.scaled
+    * references its num ~5× and den ~8×, and with inline trees Catalyst
+    * duplicated the regexp_replace / stopword-HOF work that many times per
+    * row (qualityBp alone re-ran the regexp ~8×). CollapseProject cannot
+    * merge the feature projection upward because the aliases are non-cheap
+    * and multiply referenced, so each feature is evaluated exactly once;
+    * the values (and every oracle) are unchanged. */
   private object QF {
-    def n: Column = size(col("tk")).cast("long")
-    def len: Column = length(col("text")).cast("long")
-    def punct: Column = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
-    def stop: Column = hits(col("tk"), stopwords.head._2).cast("long")
+    def n: Column = col("_qf_n")
+    def len: Column = col("_qf_len")
+    def punct: Column = col("_qf_punct")
+    def stop: Column = col("_qf_stop")
+    /** Append the four feature columns to a frame carrying `text` + `tk`. */
+    def attach(df: DataFrame): DataFrame =
+      df.select(df.columns.map(col).toSeq ++ Seq(
+        size(col("tk")).cast("long").as("_qf_n"),
+        length(col("text")).cast("long").as("_qf_len"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long")
+          .as("_qf_punct"),
+        hits(col("tk"), stopwords.head._2).cast("long").as("_qf_stop")): _*)
   }
 
   /** quality = 0.4·min(1, n/100) + 0.3·(1 − punct/len) + 0.3·stop/n, in
@@ -67,8 +88,8 @@ object TextQueries {
   /** TX2 — quality score: length saturation + non-punct share + stopword
     * share, a typical pretraining quality filter (weights are fixed). */
   private val tx2: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+    QF.attach(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("tk")))
       .select(
         col("doc_id"),
         size(col("tk")).as("n_tokens"),
@@ -102,8 +123,8 @@ object TextQueries {
     * no shuffle at any corpus size. Laws: quality 10⁴ is always kept,
     * quality 0 never (spec re-derives every draw with MessageDigest). */
   private val px23: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+    QF.attach(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("tk")))
       .select(col("doc_id"), qualityBp.as("quality_bp"),
         draw4(DrawSalt).cast("long").as("u"))
       .withColumn("kept", col("u") * lit(10000L) < col("quality_bp") * lit(DrawScale))
@@ -245,9 +266,9 @@ object TextQueries {
     * feature shape (their oracles already share qfSql the same way). */
   private def prep(s: SparkSession, d: String,
                    survivors: org.apache.spark.sql.DataFrame) =
-    Tables.documents(s, d)
-      .filter(col("lang") === "en")
-      .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+    QF.attach(Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("text"), toks(col("text")).as("tk")))
       .select(col("doc_id"), size(col("tk")).as("n_tokens"),
         qualityBp.as("quality_bp"))
       .filter(col("quality_bp") >= 5500L)
@@ -1077,17 +1098,39 @@ object TextQueries {
   private[graft] def ruleGate(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
+      // feature pass SEPARATED from the scaled-ratio pass (r13, guide §4):
+      // ExactRatio.scaled references its num ~5× and den ~8×, and building
+      // the ratios inline duplicated every interpreted token HOF that many
+      // times per row (measured: the whole gate was 3× the one-evaluation
+      // cost at sf10). CollapseProject will not merge the projections
+      // because the aliases are non-cheap expressions referenced more than
+      // once, so each feature is evaluated exactly once.
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_tokens"),
-        ExactRatio.scaled(
-          array_max(transform(array_distinct(col("tk")),
-            t => size(filter(col("tk"), x => x === t)))).cast("long"),
-          size(col("tk")).cast("long"), 10000L).as("top_share_bp"),
-        ExactRatio.scaled(size(array_distinct(col("tk"))).cast("long"),
-          size(col("tk")).cast("long"), 10000L).as("distinct_ratio_bp"),
-        ExactRatio.scaled(
-          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)),
-          size(col("tk")).cast("long"), 1000L).as("mean_len_milli"))
+        // max term multiplicity via longest run in the SORTED token array —
+        // same integer as the old per-distinct-token count-then-max
+        // (equal tokens sort adjacent; run lengths ARE the multiplicities),
+        // at O(n log n) instead of O(distinct·n) per row (measured 2.1 s
+        // vs 4.5 s at sf10). Empty arrays: 0 here vs NULL before — both
+        // feed scaled() with den = 0, which yields 0 either way.
+        aggregate(array_sort(col("tk")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"),
+              acc.getField("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")).as("top_cnt"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).as("len_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        ExactRatio.scaled(col("top_cnt"), col("n_tokens"), 10000L)
+          .as("top_share_bp"),
+        ExactRatio.scaled(col("n_distinct"), col("n_tokens"), 10000L)
+          .as("distinct_ratio_bp"),
+        ExactRatio.scaled(col("len_sum"), col("n_tokens"), 1000L)
+          .as("mean_len_milli"))
       .withColumn("reasons",
         when(col("top_share_bp") > RuleMaxTopBp, 1L).otherwise(0L) +
           when(col("distinct_ratio_bp") < RuleMinDistinctBp, 2L).otherwise(0L) +

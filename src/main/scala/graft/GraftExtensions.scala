@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.expressions.{BandedLevenshtein, CellArgmax, DotProduct, PqCodes, Sha512_256, SortedLongIntersect}
+import graft.expressions.{BandedLevenshtein, CellArgmax, DotProduct, PqCodes, Sha512_256, SimHashBits, SortedLongIntersect}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so they resolve by name in SQL and via call_function — the
@@ -36,7 +36,10 @@ object GraftExtensions {
         CellArgmax(c(0), c(1), c(2), c(3), c(4))),
     (FunctionIdentifier("graft_pq_codes"), PqCodes.info,
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        PqCodes(c(0), c(1), c(2))))
+        PqCodes(c(0), c(1), c(2))),
+    (FunctionIdentifier("graft_simhash"), SimHashBits.info,
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashBits(c(0), c(1))))
 
   /** Idempotent per-session registration, for sessions built without
     * `.withExtensions` (e.g. a harness-owned SparkSession running one of

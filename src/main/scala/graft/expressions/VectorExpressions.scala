@@ -312,6 +312,103 @@ object CellArgmax {
   }
 }
 
+/** `graft_simhash(hs, nbits)` — the SimHash bit-vote signature over an
+  * array of 32-char lowercase-hex digests in ONE pass: for bit p (1-based),
+  * each digest votes +1 iff its p-th hex character is ≥ '8', else −1
+  * (a NULL digest or a digest shorter than p chars votes −1, matching the
+  * `substring(h, p, 1) >= "8"` fold it replaces: NULL comparison and "" ≥
+  * "8" both fall to the otherwise(−1) branch); bit p of the result is set
+  * iff its vote sum is > 0. Returns a long with the low `nbits` bits.
+  *
+  * Replaces nbits interpreted aggregate() folds per row (16 for d3's
+  * per-token signature, 32 for the shingle signature the d8/cc family
+  * builds on), each re-scanning the digest array with a per-element
+  * substring allocation — the votes are commutative integer sums, so one
+  * array scan accumulating all nbits counters is value-identical.
+  * PRECONDITION (the graft_isect convention): digests are ASCII (the one
+  * producer emits md5 hex), so byte indexing equals the old substring's
+  * code-point indexing. */
+case class SimHashBits(hs: Expression, nbits: Expression) extends BinaryExpression {
+  override def left: Expression = hs
+  override def right: Expression = nbits
+
+  override def checkInputDataTypes(): TypeCheckResult = hs.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _)
+      if nbits.dataType == org.apache.spark.sql.types.IntegerType && nbits.foldable =>
+      val n = nbits.eval(null).asInstanceOf[Int]
+      if (n >= 1 && n <= 63) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"nbits must be in [1, 63], got $n")
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "graft_simhash expects (array<string>, foldable int)")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  // a NULL digest ARRAY yields 0, not NULL — the fold this replaces summed
+  // nbits `when(bitVote > 0, bit).otherwise(0)` terms, and a null array
+  // nulls every vote, landing every term in otherwise(0)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = hs.eval(input)
+    if (a == null) 0L
+    else SimHashBits.signature(a.asInstanceOf[ArrayData],
+      nbits.eval(input).asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ac = hs.genCode(ctx)
+    val bc = nbits.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ac.code}
+        ${bc.code}
+        boolean ${ev.isNull} = false;
+        long ${ev.value} = ${ac.isNull} ? 0L :
+          graft.expressions.SimHashBits.signature(${ac.value}, ${bc.value});
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(hs = newLeft, nbits = newRight)
+}
+
+object SimHashBits {
+  val info = new ExpressionInfo(classOf[SimHashBits].getName, "graft_simhash")
+
+  /** Static kernel (see class doc): one pass over the digest array,
+    * accumulating all nbits vote counters; ASCII byte p-1 ≥ '8' is the
+    * old `substring(h, p, 1) >= "8"` on hex digests. */
+  def signature(hs: ArrayData, nbits: Int): Long = {
+    val n = hs.numElements()
+    val votes = new Array[Int](nbits)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) {
+        var p = 0
+        while (p < nbits) { votes(p) -= 1; p += 1 }
+      } else {
+        val s = hs.getUTF8String(i)
+        val len = s.numBytes()
+        var p = 0
+        while (p < nbits) {
+          if (p < len && s.getByte(p) >= '8') votes(p) += 1 else votes(p) -= 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < nbits) {
+      if (votes(p) > 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
 /** `graft_pq_codes(v, subCents, subSqs)` — the full product-quantization
   * encode in ONE row-local pass: for each of the M subspaces, the argmax
   * over its K codewords of 2·⟨v_sub, cw⟩ − ‖cw‖² (≡ argmin reconstruction

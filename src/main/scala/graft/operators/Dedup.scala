@@ -318,18 +318,29 @@ object Dedup {
   /** One md5 per array element, hoisted out of the per-bit vote folds. */
   private def hashedCol(xs: Column): Column = transform(xs, t => md5(t))
 
+  /** The pre-r13 per-bit interpreted fold, kept as the law REFERENCE the
+    * native graft_simhash expression is compared against (DedupSpec). */
+  private[graft] def simhashUnrolled(hs: Column, bits: Int): Column =
+    (1 to bits).map(p =>
+      when(bitVote(hs, p) > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** D3 — 16-bit SimHash per document (row-local; identical docs get
-    * identical simhash, near-identical docs differ in few bits). */
-  private val d3: Q = (s, d) =>
+    * identical simhash, near-identical docs differ in few bits). The
+    * signature is the native graft_simhash (expressions.SimHashBits, r13):
+    * one pass over the digest array instead of 16 interpreted aggregate()
+    * folds — same votes, same bits (law-compared). */
+  private val d3: Q = (s, d) => {
+    graft.GraftExtensions.ensure(s)
     Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), hashedCol(col("tk")).as("hs"))
       .select(
         col("doc_id"),
-        (1 to 16).map(p =>
-          when(bitVote(col("hs"), p) > 0, lit(1 << (p - 1))).otherwise(lit(0)))
-          .reduce(_ + _).as("simhash"))
+        call_function("graft_simhash", col("hs"), lit(16)).cast("int")
+          .as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   /** D4 — n-gram Jaccard near-dup pairs (threshold 0.5): exact Jaccard
     * = |∩| / (|A|+|B|−|∩|) on distinct-shingle sets, verified over the LSH
@@ -484,10 +495,14 @@ object Dedup {
         .select(col("y").as("x"), col("m").as("y"))
         .distinct()
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("x"), col("y")).as("x"),
-          least(col("x"), col("y")).as("y"))
-        .filter(col("x") =!= col("y")).distinct()
+    // small-star over an ALREADY-DIRECTED, DISTINCT edge set — which is
+    // exactly what largeStar emits: its output rows are (old y, m) with
+    // m ≤ old x < old y, so new x > new y strictly, and it ends in
+    // distinct(). The general form's re-direct (greatest/least + filter +
+    // distinct) was therefore an identity costing one full extra shuffle
+    // per round (r13; the loop is per-round-overhead-bound at gate scale,
+    // ~6 rounds × 5 shuffles on a few hundred edges).
+    def smallStar(dir: DataFrame): DataFrame = {
       val mins = dir.groupBy("x").agg(min(col("y")).as("m"))
       dir.join(mins, "x")
         .select(col("y").as("x"), col("m").as("y"))
@@ -497,14 +512,19 @@ object Dedup {
     }
     var e = pairs.select(col("x"), col("y"))
       .filter(col("x") =!= col("y")).distinct().localCheckpoint(true)
+    var eCount = e.count()
     var converged = false
     var rounds = 0
     // star rounds converge in O(log²) of the largest component; 50 is a
     // loud safety net, not a silent truncation (require below)
     while (!converged && rounds < 50) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      // one count per round (the previous round's is carried over); the
+      // exact set compare runs only when counts already agree
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     require(converged, s"connected components did not converge in $rounds rounds")
@@ -633,9 +653,7 @@ object Dedup {
     * share most shingles (hamming ≲ 3) — measured separation: 234
     * qualifying pairs at sf0.1, background starting at hamming 5. */
   private def simhash32: Column =
-    (1 to 32).map(p =>
-      when(bitVote(col("hs"), p) > 0, lit(1L << (p - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
+    call_function("graft_simhash", col("hs"), lit(32))
 
   private val SimBands = 4
   private val SimBandBits = 8
@@ -651,10 +669,12 @@ object Dedup {
     * replaces O(n²) signature compares with Σ|bucket|² work, and the
     * signature is one integer — the cheapest near-dup index that exists
     * (4 bytes/doc at 100 TB vs 8 minhashes or a shingle set). */
-  private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashFrame(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.ensure(s)
     docShingles(s, d)
       .select(col("doc_id"), hashedCol(col("shingles")).as("hs"))
       .select(col("doc_id"), simhash32.as("sh"))
+  }
 
   /** The banding projection of a (doc_id, sh) frame — exposed so dev
     * probes time the SAME shape d8Pairs runs instead of a drifting copy. */

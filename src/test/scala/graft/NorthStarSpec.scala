@@ -348,6 +348,23 @@ class DedupSpec extends SparkSpec {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 0xFFFF)
   }
 
+  test("native graft_simhash equals the unrolled per-bit vote folds at 16 and 32 bits") {
+    import graft.functions.TextOps.toks
+    // one pass vs nbits interpreted aggregate() folds — bit-identical on
+    // the gate corpus, at BOTH producer widths (d3's token-digest 16 and
+    // the d8/cc shingle-digest 32)
+    graft.GraftExtensions.ensure(spark)
+    val hs = Tables.documents(spark, sf)
+      .select(col("doc_id"), transform(toks(col("text")), t => md5(t)).as("hs"))
+    for (bits <- Seq(16, 32)) {
+      val bad = hs.select(
+        call_function("graft_simhash", col("hs"), lit(bits)).as("native"),
+        operators.Dedup.simhashUnrolled(col("hs"), bits).as("unrolled"))
+        .filter(col("native") =!= col("unrolled")).count()
+      assert(bad === 0L, s"graft_simhash($bits) diverged from the fold")
+    }
+  }
+
   test("d4 jaccard_bp values are in [5000, 10000]") {
     val bad = q("d4_ngram_jaccard")
       .filter(col("jaccard_bp") < 5000L || col("jaccard_bp") > 10000L).count()

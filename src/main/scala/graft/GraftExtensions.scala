@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.expressions.{BandedLevenshtein, CellArgmax, DotProduct, PqCodes, Sha512_256, SimHashBits, SortedLongIntersect}
+import graft.expressions.{BandedLevenshtein, CellArgmax, DotProduct, MinHashXor, PqCodes, Sha512_256, SimHashBits, SortedLongIntersect}
 
 /** Engine extension point (SparkSessionExtensions): registers the native
   * expressions so they resolve by name in SQL and via call_function — the
@@ -39,7 +39,10 @@ object GraftExtensions {
         PqCodes(c(0), c(1), c(2))),
     (FunctionIdentifier("graft_simhash"), SimHashBits.info,
       (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashBits(c(0), c(1))))
+        SimHashBits(c(0), c(1))),
+    (FunctionIdentifier("graft_minhash"), MinHashXor.info,
+      (c: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashXor(c(0), c(1))))
 
   /** Idempotent per-session registration, for sessions built without
     * `.withExtensions` (e.g. a harness-owned SparkSession running one of

@@ -409,6 +409,91 @@ object SimHashBits {
   }
 }
 
+/** `graft_minhash(hs, seeds)` — all k MinHash signatures over a pre-hashed
+  * shingle array in ONE pass: element j of the result is min over the
+  * array of (h XOR seeds[j]), skipping NULL elements; an empty (or
+  * all-NULL) array yields a NULL element — exactly
+  * `array_min(transform(hs, h => h ^ seed_j))` per seed, which the band
+  * signature previously ran as k interpreted transform passes each
+  * allocating an intermediate array per row (the signature pass is the
+  * dominant cost of every LSH index build/admit). `seeds` is foldable
+  * array<long>; XOR and long compare are exact, so signatures (and every
+  * persisted band index) are bit-identical to the per-seed folds. */
+case class MinHashXor(hs: Expression, seeds: Expression) extends BinaryExpression {
+  override def left: Expression = hs
+  override def right: Expression = seeds
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hs.dataType, seeds.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) if seeds.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_minhash expects (array<bigint>, foldable array<bigint>)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  private lazy val seedArr: Array[Long] = {
+    val a = seeds.eval(null).asInstanceOf[ArrayData]
+    val out = new Array[Long](a.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = a.getLong(i); i += 1 }
+    out
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashXor.mins(a.asInstanceOf[ArrayData], seedArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("mhSeeds", seedArr, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      s"${ev.value} = graft.expressions.MinHashXor.mins($a, $seedsRef);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(hs = newLeft, seeds = newRight)
+}
+
+object MinHashXor {
+  val info = new ExpressionInfo(classOf[MinHashXor].getName, "graft_minhash")
+
+  /** Static kernel: per seed, min over non-null (h ^ seed); no non-null
+    * element → null slot (array_min semantics). */
+  def mins(hs: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = hs.numElements()
+    val k = seeds.length
+    val out = new Array[Any](k)
+    val acc = new Array[Long](k)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        if (!any) {
+          var j = 0
+          while (j < k) { acc(j) = h ^ seeds(j); j += 1 }
+          any = true
+        } else {
+          var j = 0
+          while (j < k) {
+            val x = h ^ seeds(j)
+            if (x < acc(j)) acc(j) = x
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    if (any) {
+      var j = 0
+      while (j < k) { out(j) = acc(j); j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `graft_pq_codes(v, subCents, subSqs)` — the full product-quantization
   * encode in ONE row-local pass: for each of the M subspaces, the argmax
   * over its K codewords of 2·⟨v_sub, cw⟩ − ‖cw‖² (≡ argmin reconstruction

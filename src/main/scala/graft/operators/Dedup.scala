@@ -93,7 +93,7 @@ object Dedup {
 
   /** 8 fixed xor-seeds (driver-derived from md5, embedded as literals in the
     * oracle SQL too, so both engines use the same hash family). */
-  private[operators] val seeds: Seq[Long] =
+  private[graft] val seeds: Seq[Long] =
     (0 until 8).map(j => java.lang.Long.parseLong(md5hexJvm(s"seed:$j").take(15), 16))
 
   /** 60-bit integer hash of a string: first 15 hex digits of md5. One md5
@@ -103,8 +103,10 @@ object Dedup {
   private def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature j over pre-hashed shingles: min(h ⊕ seed_j). */
-  private def minhash(j: Int): Column =
+  /** MinHash signature j over pre-hashed shingles: min(h ⊕ seed_j) — the
+    * per-seed fold, kept as the law REFERENCE for the native one-pass
+    * graft_minhash below (DedupSpec). */
+  private[graft] def minhashUnrolled(j: Int): Column =
     array_min(transform(col("hs"), h => h.bitwiseXOR(lit(seeds(j)))))
 
   /** LSH band rows (doc_id, band_idx, bh) for a documents frame: 8
@@ -126,9 +128,20 @@ object Dedup {
     * min(h ⊕ seed) ignores duplicates, so the distinct'd hashed core and
     * the raw string path produce identical bands. */
   private def bandsFromHs(hsFrame: DataFrame): DataFrame = {
+    // all 8 signatures in ONE native pass (expressions.MinHashXor, r13)
+    // instead of 8 interpreted transform+array_min folds, each allocating
+    // an intermediate xor'd array per row; h0..h7 then unpack as cheap
+    // element_at projections (the two selects stay separate — the mh
+    // alias is non-cheap and multiply referenced, so CollapseProject
+    // cannot re-inline the pass 8×). Identical signatures: xor and long
+    // min are exact, law-compared against the per-seed folds.
+    graft.GraftExtensions.ensure(hsFrame.sparkSession)
     val sig = hsFrame
+      .select(col("doc_id"),
+        call_function("graft_minhash", col("hs"), typedlit(seeds)).as("mh"))
       .select(
-        col("doc_id") +: (0 until 8).map(j => minhash(j).as(s"h$j")): _*)
+        col("doc_id") +: (0 until 8).map(j =>
+          element_at(col("mh"), j + 1).as(s"h$j")): _*)
     sig.select(
       col("doc_id"),
       posexplode(array(

@@ -348,6 +348,25 @@ class DedupSpec extends SparkSpec {
     assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 0xFFFF)
   }
 
+  test("native graft_minhash equals the per-seed xor-min folds") {
+    // one pass vs 8 interpreted transform+array_min folds over the
+    // hashed-shingle sets — every signature bit-identical
+    import graft.functions.TextOps.{shingles, toks}
+    graft.GraftExtensions.ensure(spark)
+    val frame = Tables.documents(spark, sf).select(col("doc_id"),
+      sort_array(array_distinct(transform(shingles(toks(col("text"))),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")))).as("hs"))
+    val stats = frame
+      .select(call_function("graft_minhash", col("hs"),
+        typedlit(operators.Dedup.seeds)).as("mh"), col("hs"))
+      .agg(count(lit(1)).as("n"),
+        sum(when((0 until 8).map(j =>
+            element_at(col("mh"), j + 1) <=> operators.Dedup.minhashUnrolled(j))
+          .reduce(_ && _), 0L).otherwise(1L)).as("bad")).head()
+    assert(stats.getLong(0) > 0L)
+    assert(stats.getLong(1) === 0L, "minhash diverged from the folds")
+  }
+
   test("native graft_simhash equals the unrolled per-bit vote folds at 16 and 32 bits") {
     import graft.functions.TextOps.toks
     // one pass vs nbits interpreted aggregate() folds — bit-identical on

@@ -161,6 +161,63 @@ object Probe {
         Bench.evaluate(SparkEntry.queries("tx11_rule_gate")(spark, d)); 0L })
       spark.stop(); return
     }
+    if (args.contains("f7x")) {
+      // r13: f7 is 223 s at sf10 — decompose the per-row expression cost:
+      // scan+hash floor, JSON synthesis (concat CASE), synthesis + parse
+      // (from_json), and the registered query (sort eliminated under the
+      // hash aggregate, so full ≈ synth+parse+extract).
+      val li = Tables.lineitem(spark, d)
+      time("scan+hash 4 cols")({
+        Bench.evaluate(li.select(col("l_orderkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_extendedprice"))); 0L })
+      val op = when(col("l_linenumber") % 2 === 0,
+        concat(lit("""{"LeaderBlockCommit":{"burn_fee":"""),
+          round(col("l_extendedprice")).cast("long"),
+          lit(""","vtxindex":"""), col("l_linenumber"), lit("}}")))
+        .otherwise(
+          concat(lit("""{"LeaderKeyRegister":{"address":"""),
+            col("l_suppkey"), lit("}}")))
+      time("synth only")({
+        Bench.evaluate(li.select(col("l_orderkey"), col("l_linenumber"),
+          op.as("op"))); 0L })
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "LeaderBlockCommit STRUCT<burn_fee: BIGINT, vtxindex: INT>, " +
+          "LeaderKeyRegister STRUCT<address: BIGINT>")
+      time("synth+from_json")({
+        Bench.evaluate(li.select(col("l_orderkey"), col("l_linenumber"),
+          from_json(op, schema).as("op"))); 0L })
+      time("f7 full")({
+        Bench.evaluate(
+          SparkEntry.queries("f7_op_variant_dispatch")(spark, d)); 0L })
+      spark.stop(); return
+    }
+    if (args.contains("px14y")) {
+      // r13: split px14's pipeline — window generation (ws), the global
+      // count (dupW), the occurrence join-back (occ), and the full query —
+      // to locate where the 117 s at sf10 actually goes.
+      import operators.Dedup
+      val toked = Dedup.docToksFor(spark, d)
+      Memo.drainBuilds()
+      val k = 4
+      def ws = toked
+        .select(col("doc_id"), expr(
+          s"CASE WHEN size(tk) >= $k THEN transform(sequence(0, size(tk) - $k), " +
+            s"i -> array_join(slice(tk, i + 1, $k), ' ')) " +
+            "ELSE array() END").as("wins"))
+        .select(col("doc_id"), posexplode(col("wins")).as(Seq("p", "w")))
+      time("ws generate+hash")({ Bench.evaluate(ws); 0L })
+      System.gc()
+      val dupW = ws.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= Dedup.SpanDupMin).select(col("w"))
+      time("dupW count")(dupW.count())
+      System.gc()
+      val occ = ws.join(dupW, Seq("w")).select(col("doc_id"), col("p"))
+      time("occ join-back")(occ.count())
+      System.gc()
+      time("px14 full")({
+        Bench.evaluate(SparkEntry.queries("px14_span_scrub")(spark, d)); 0L })
+      spark.stop(); return
+    }
     if (args.contains("px14x")) {
       // Decomposition A/B (r13): the first px14 rework changed two things
       // at once — parquet-memo toked AND the row-local interval covSet.

@@ -126,7 +126,10 @@ object ScalarQueries {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "LeaderBlockCommit STRUCT<burn_fee: BIGINT, vtxindex: INT>, " +
         "LeaderKeyRegister STRUCT<address: BIGINT>")
-    Tables.lineitem(s, d)
+    // fanned read: the per-row JSON synth + Jackson parse is ~5 µs/row —
+    // the heaviest row-local expression in the suite (223 s single-core at
+    // sf10) — and must not serialize on a single-row-group scan task
+    Tables.lineitemFanned(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), from_json(op, schema).as("op"))
       .select(
         col("l_orderkey"), col("l_linenumber"),

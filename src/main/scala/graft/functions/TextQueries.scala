@@ -576,9 +576,13 @@ object TextQueries {
     * (doc, shingle) stream is already unique and both counts are plain
     * hash aggregates. */
   private val px13: Q = (s, d) => {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(shingles(col("tk"))).as("sh"))
+    // r13: (doc_id, shingles) here is EXACTLY Dedup's memoized doc_shingles
+    // core (same toks∘shingles definition, TextOps) — px13 was the only
+    // shingle consumer still re-tokenizing the corpus, and it did so TWICE
+    // (the lazy stream feeds both the count and the join-back). Reading the
+    // shared checkpoint drops both tokenize passes.
+    val sh = graft.operators.Dedup.docShingles(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("n_docs"))
     sh.join(dfreq, "sh")
       .groupBy(col("doc_id"))

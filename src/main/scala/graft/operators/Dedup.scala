@@ -33,7 +33,7 @@ object Dedup {
     * registered queries consume this exact frame (the d2 chain, d4's
     * verify sides, px4, px17, px22) — without the memo each ran its own
     * tokenize of the whole corpus. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     graft.Memo.cached(s, d, "doc_shingles", "documents.parquet")(
       docShinglesOf(Tables.documents(s, d)))
 

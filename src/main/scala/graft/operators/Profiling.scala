@@ -406,14 +406,26 @@ object Profiling {
     * as the a16/a19 accuracy-contract boolean (estimates are engine-
     * specific; the exact counts are recomputed by DuckDB). */
   private val pr11: Q = (s, d) => {
-    val aggs = CardCols.flatMap(c => Seq(
-      countDistinct(col(c)).as(s"x_$c"),
-      approx_count_distinct(col(c), 0.02).as(s"a_$c")))
-    val stacked = CardCols.map(c => s"'$c', x_$c, a_$c").mkString(", ")
-    Tables.documents(s, d)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${CardCols.size}, $stacked) " +
-        "as (column_name, exact_distinct, approx)"))
+    // One independent subtree per column instead of k countDistincts in a
+    // single agg: the combined form planned a 5-way Expand (k distinct
+    // groups + one for the sketches) — every input row materialized 5×
+    // into ONE wide exchange. Per column the exact count is a two-level
+    // distinct (map-side dedup, then count) and the sketch is computed
+    // over the SAME distinct stream: HLL++ registers are max-merged per
+    // value hash, so duplicates never move a register and the estimate is
+    // bit-identical to the raw-row sketch; countDistinct and
+    // approx_count_distinct both ignore nulls, so the explicit isNotNull
+    // keeps the counts aligned with the old plan. Each subtree scans ONE
+    // pruned parquet column and the k subtrees' stages run concurrently
+    // inside the one job (total I/O unchanged: k×1 column vs 1×k columns).
+    CardCols.map { c =>
+      Tables.documents(s, d)
+        .select(col(c)).filter(col(c).isNotNull).distinct()
+        .agg(count(lit(1)).as("exact_distinct"),
+          approx_count_distinct(col(c), 0.02).as("approx"))
+        .select(lit(c).as("column_name"), col("exact_distinct"),
+          col("approx"))
+    }.reduce(_.unionByName(_))
       .select(col("column_name"), col("exact_distinct"),
         (abs(col("approx") - col("exact_distinct")) <=
           col("exact_distinct").cast("double") * 0.05).as("est_ok"))

@@ -177,6 +177,10 @@ object ForkWalk {
   /** Main chain with parents corrupted at every 1009th height — P2's input
     * needs genuine linkage breaks. */
   private[graft] def linkTable(s: SparkSession, d: String): DataFrame = {
+    // NOT a fanned read: the md5 chain derivation looked like a fan-out
+    // candidate, but the isolated A/B measured g1/g2 ~1 s WORSE fanned
+    // (the walk's repeated consumers each pay the exchange; the md5 work
+    // is only ~0.5 s single-core at sf0.1) and p2 a wash
     val o = Tables.orders(s, d)
     val k = col("o_orderkey")
     o.select(

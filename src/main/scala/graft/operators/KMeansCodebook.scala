@@ -51,9 +51,18 @@ object KMeansCodebook {
     val s = vectors.sparkSession
     graft.GraftExtensions.ensure(s)
     // deterministic bounded sample: lowest vec_ids (testdata is unordered
-    // random vectors, so this is an unbiased slice of them)
+    // random vectors, so this is an unbiased slice of them).
+    // repartitioned before the checkpoint (r13): limit() collapses to a
+    // single partition, so every iteration's assignment argmax AND the
+    // posexplode centroid update were running on ONE core (measured: the
+    // k=448 sf10 build spent ~15 s/iteration single-task). The fan-out
+    // cannot move any result: assignment is row-local, seeds re-sort by
+    // vec_id, and the centroid mean is decimal — exactly associative and
+    // commutative, the property the comment below already relies on.
     val sample = vectors.orderBy(col("vec_id")).limit(sampleCap.toInt)
-      .select(col("vec_id"), col("v")).localCheckpoint(true)
+      .select(col("vec_id"), col("v"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     var centroids = sample.orderBy(col("vec_id")).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     for (_ <- 1 to iters) {
